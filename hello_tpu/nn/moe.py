@@ -1,0 +1,277 @@
+"""Mixture-of-Experts variant-scoring model, TPU-first formulation.
+
+The reference model (reference python/MixtureOfExpertsAdvanced.py:71-252,
+``MoEAttention``) consumes *ragged* batches: a flat stack of read tensors with
+Python lists ``numReadsPerAllele`` / ``numAllelesPerSite`` driving
+cumsum-gather segment sums (``reduceSlots``) and ``repeat_interleave``
+expansion.  Ragged shapes defeat XLA, so here the same computation is
+re-expressed over **fixed-shape padded batches**:
+
+  * ``reads``:    ``[A, R, L, C]`` float — A padded allele slots, R padded reads
+                  per allele, L=150 positions, C=6/7 channels.
+  * ``read_mask``: ``[A, R]`` — 1.0 for real reads.
+  * ``site_ids``: ``[A]`` int32 — the site each allele slot belongs to.
+  * ``allele_mask``: ``[A]`` — 1.0 for real allele slots.
+  * ``ref_segments``: ``[S, L, 5]`` one-hot reference windows per site.
+
+Segment sums over reads/alleles become masked one-hot matmuls, which map onto
+the MXU; every shape is static so the whole forward compiles once per bucket.
+In exact arithmetic the padded forward equals the reference ragged forward for
+the shipping (weight-normalised, batch-norm-free) architectures, in both train
+and eval modes — padded rows are excluded by the masks before every reduction.
+
+Model variants (selected by which networks are present in the config dict,
+mirroring create_moe_attention_model reference:657-703):
+
+  * single-tech:        read_conv0 + compressor0 + xattn0 → 1 logit/allele
+  * hybrid no-ensemble: both platforms + combiners + xattn2 → 1 logit/allele
+  * hybrid full:        3 experts + meta-expert softmax over experts
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import archs
+from .layers import build_network
+
+
+def masked_read_sum(read_frames, read_mask):
+    """Sum read-level frames per allele slot with masking.
+
+    read_frames: [A, R, L, C]; read_mask: [A, R] -> [A, L, C]
+
+    Equivalent to the reference's reduceSlots over reads
+    (MixtureOfExpertsAdvanced.py:23-34) with direct (non-cumsum) summation.
+    """
+    return jnp.einsum("ar,arlc->alc", read_mask, read_frames,
+                      preferred_element_type=jnp.float32)
+
+
+def site_segment_sum(allele_feats, site_onehot):
+    """Sum allele-level features per site: [A, L, C] x [A, S] -> [S, L, C]."""
+    return jnp.einsum("as,alc->slc", site_onehot, allele_feats,
+                      preferred_element_type=jnp.float32)
+
+
+def make_site_onehot(site_ids, allele_mask, num_sites):
+    """[A] int32, [A] float -> [A, S] float one-hot with padded slots zeroed."""
+    onehot = (site_ids[:, None] == jnp.arange(num_sites)[None, :]).astype(jnp.float32)
+    return onehot * allele_mask[:, None]
+
+
+class MoEAttention:
+    """Functional MoE model over padded batches."""
+
+    NETWORK_NAMES = (
+        "read_conv0", "read_conv1",
+        "compressor0", "compressor1", "compressor2",
+        "xattn0", "xattn1", "xattn2",
+        "combiner0", "combiner1", "meta",
+    )
+
+    def __init__(self, config: Dict[str, list]):
+        self.config = config
+        self.nets = {}
+        for name in self.NETWORK_NAMES:
+            cfg = config.get(name)
+            self.nets[name] = build_network(cfg) if cfg is not None else None
+        assert self.nets["read_conv0"] is not None, "read_conv0 is required"
+        self.hybrid = self.nets["read_conv1"] is not None
+        self.in_channels0 = self._first_conv_channels("read_conv0")
+        self.in_channels1 = self._first_conv_channels("read_conv1") if self.hybrid else None
+        # which experts produce predictions
+        self.has_xattn0 = self.nets["xattn0"] is not None
+        self.has_xattn1 = self.nets["xattn1"] is not None
+        self.has_xattn2 = self.nets["xattn2"] is not None
+        self.has_meta = self.nets["meta"] is not None
+        self.has_compressor2 = self.nets["compressor2"] is not None
+
+    def _first_conv_channels(self, name):
+        for spec in self.config[name]:
+            if spec["type"] in ("Conv1d", "WeightNormedConv1d"):
+                return spec["kwargs"]["in_channels"]
+        raise ValueError(f"no conv layer in {name}")
+
+    # -- init ---------------------------------------------------------------
+
+    def init(self, key, feature_length=150):
+        params, state = {}, {}
+        keys = jax.random.split(key, len(self.NETWORK_NAMES))
+        shapes = self._network_in_shapes(feature_length)
+        for k, name in zip(keys, self.NETWORK_NAMES):
+            net = self.nets[name]
+            if net is None:
+                continue
+            p, s, _ = net.init(k, shapes[name])
+            params[name] = p
+            if s:
+                state[name] = s
+        return params, state
+
+    def _network_in_shapes(self, L):
+        """Abstract input shapes used for parameter initialisation."""
+        conv_l = 36  # read convolver output length for L=150
+        comp_l = 18
+        shapes = {
+            "read_conv0": (L, self.in_channels0),
+            "read_conv1": (L, self.in_channels1) if self.hybrid else None,
+            "compressor0": (conv_l, 64),
+            "compressor1": (conv_l, 64),
+            "compressor2": (conv_l, 64),
+            "xattn0": ((comp_l, 128), ((comp_l, 128), (comp_l, 128))),
+            "xattn1": ((comp_l, 128), ((comp_l, 128), (comp_l, 128))),
+            "xattn2": ((comp_l, 128), ((comp_l, 128), (comp_l, 128))),
+            "combiner0": ((comp_l, 128), (comp_l, 128)),
+            "combiner1": ((comp_l, 128), (comp_l, 128)),
+            "meta": ((comp_l, 128), (L, 5)),
+        }
+        return shapes
+
+    # -- forward ------------------------------------------------------------
+
+    def _apply_net(self, name, params, state, x, train, rng):
+        net = self.nets[name]
+        p = params.get(name, {})
+        s = state.get(name, {})
+        lrng = None
+        if rng is not None:
+            rng = jax.random.fold_in(rng, hash(name) % (2 ** 31))
+            lrng = rng
+        y, ns = net.apply(p, s, x, train=train, rng=lrng)
+        return y, ns
+
+    def _compress_and_predict(self, idx, reduced_allele, site_onehot, site_ids,
+                              params, state, new_state, train, rng):
+        """Mirror of MoEAttention.compress_and_predict (reference :117-159).
+
+        reduced_allele: [A, 36, 64] summed read frames per allele.
+        Returns (expert_logits [A,1] or None, (site0 [S,18,128], site1 [S,18,128]),
+        compressed_allele [A,18,128]).
+        """
+        cname = f"compressor{idx}"
+        ca, ns = self._apply_net(cname, params, state, reduced_allele, train, rng)
+        if ns:
+            new_state[cname] = ns
+
+        # site features route 1: compress the per-site sum of read frames
+        site_frames = site_segment_sum(reduced_allele, site_onehot)
+        cs0, ns = self._apply_net(cname, params, state, site_frames, train, rng)
+        if ns:
+            # merge batch-norm state updates from the second pass as well
+            new_state[cname] = ns
+        expand0 = cs0[site_ids]
+
+        # site features route 2: per-site sum of compressed allele features
+        cs1 = site_segment_sum(ca, site_onehot)
+        expand1 = cs1[site_ids]
+
+        xname = f"xattn{idx}"
+        logits = None
+        if self.nets.get(xname) is not None:
+            logits, ns = self._apply_net(
+                xname, params, state, (ca, (expand0, expand1)), train, rng)
+            if ns:
+                new_state[xname] = ns
+        return logits, (cs0, cs1), ca
+
+    def apply(self, params, state, batch, train=False, rng=None):
+        """Run the forward pass.
+
+        batch keys: reads0 [A,R0,L,C0], read_mask0 [A,R0], site_ids [A],
+        allele_mask [A], num_sites (static int), ref_segments [S,L,5];
+        plus reads1/read_mask1 for hybrid models.
+
+        Returns (out, new_state) where out = {
+            "experts": [A, E] raw logits per allele per expert,
+            "meta": [S, 3] softmax meta-expert weights or None,
+        }
+        """
+        new_state = dict(state)
+        A = batch["reads0"].shape[0]
+        S = batch["num_sites"]
+        site_ids = batch["site_ids"]
+        allele_mask = batch["allele_mask"].astype(jnp.float32)
+        site_onehot = make_site_onehot(site_ids, allele_mask, S)
+
+        def read_reduce(name, reads, mask):
+            Ax, R, L, C = reads.shape
+            flat = reads.reshape(Ax * R, L, C).astype(jnp.float32)
+            frames, ns = self._apply_net(name, params, state, flat, train, rng)
+            if ns:
+                new_state[name] = ns
+            frames = frames.reshape(Ax, R, frames.shape[1], frames.shape[2])
+            return masked_read_sum(frames, mask.astype(jnp.float32))
+
+        reduced0 = read_reduce("read_conv0", batch["reads0"], batch["read_mask0"])
+        e0, f0, ca0 = self._compress_and_predict(
+            0, reduced0, site_onehot, site_ids, params, state, new_state, train, rng)
+
+        if not self.hybrid:
+            out = {"experts": e0, "meta": None}
+            return out, new_state
+
+        reduced1 = read_reduce("read_conv1", batch["reads1"], batch["read_mask1"])
+        e1, f1, ca1 = self._compress_and_predict(
+            1, reduced1, site_onehot, site_ids, params, state, new_state, train, rng)
+
+        meta_site_frames = None
+        if self.has_compressor2:
+            # hybrid features straight from summed read frames (reference :181-192)
+            reduced2 = reduced0 + reduced1
+            e2, f2, _ = self._compress_and_predict(
+                2, reduced2, site_onehot, site_ids, params, state, new_state, train, rng)
+            meta_site_frames = f2[0]
+        elif self.has_xattn2:
+            # combiner path (reference :193-219)
+            ca2, ns = self._apply_net("combiner0", params, state, (ca0, ca1), train, rng)
+            if ns:
+                new_state["combiner0"] = ns
+            cs2, ns = self._apply_net("combiner1", params, state, (f0[1], f1[1]), train, rng)
+            if ns:
+                new_state["combiner1"] = ns
+            e2, ns = self._apply_net(
+                "xattn2", params, state, (ca2, (None, cs2[site_ids])), train, rng)
+            if ns:
+                new_state["xattn2"] = ns
+            meta_site_frames = cs2
+        else:
+            e2 = None
+            meta_site_frames = site_segment_sum(reduced0 + reduced1, site_onehot)
+
+        meta = None
+        if self.has_meta:
+            meta_logits, ns = self._apply_net(
+                "meta", params, state, (meta_site_frames, batch["ref_segments"].astype(jnp.float32)),
+                train, rng)
+            if ns:
+                new_state["meta"] = ns
+            meta = jax.nn.softmax(meta_logits, axis=-1)
+
+        if e0 is None and e1 is None:
+            # hybrid no-ensemble: expert2 binary classifier only (case 1, reference :237-240)
+            assert e2 is not None
+            out = {"experts": e2, "meta": None}
+        elif e2 is None:
+            # case 2: experts 0/1 + meta; expert2 substituted with zeros (reference :241-245)
+            experts = jnp.concatenate([e0, e1, jnp.zeros_like(e0)], axis=-1)
+            out = {"experts": experts, "meta": meta}
+        else:
+            # case 3: all three experts + meta (reference :246-248)
+            experts = jnp.concatenate([e0, e1, e2], axis=-1)
+            out = {"experts": experts, "meta": meta}
+        return out, new_state
+
+
+def create_model(name_or_config) -> MoEAttention:
+    """Create a model from a named config ("illumina", "pacbio", "pacbio_hp",
+    "hybrid", "hybrid_no_ensemble") or an explicit config dict."""
+    if isinstance(name_or_config, str):
+        config = archs.NAMED_CONFIGS[name_or_config]()
+    else:
+        config = name_or_config
+    return MoEAttention(config)

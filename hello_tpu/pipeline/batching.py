@@ -1,0 +1,177 @@
+"""Pack ragged per-site variant-calling work into fixed-shape device batches.
+
+The host pipeline produces, per site: a list of candidate alleles, and per
+allele a ``[num_reads, L, C]`` uint8 feature tensor per platform (ragged in
+both the allele and read dimensions).  TPU execution wants static shapes, so
+sites are packed into batches with
+
+  * the allele axis padded to a bucket size ``A``;
+  * the read axis padded to a bucket size ``R`` (per platform);
+  * masks marking real reads / alleles;
+  * ``site_ids`` grouping allele slots into ``S`` padded sites.
+
+Bucket sizes are drawn from geometric ladders so only a few distinct shapes are
+ever compiled (jit caches per shape).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import List, Optional, Sequence
+
+import numpy as np
+
+DEFAULT_READ_BUCKETS = (8, 16, 32, 64, 128, 256, 512, 1024)
+DEFAULT_ALLELE_BUCKETS = (8, 16, 32, 64, 128, 256, 512)
+DEFAULT_SITE_BUCKETS = (4, 8, 16, 32, 64, 128, 256)
+
+
+def _bucket(n: int, ladder: Sequence[int]) -> int:
+    for b in ladder:
+        if n <= b:
+            return b
+    return ladder[-1]
+
+
+@dataclasses.dataclass
+class SiteWork:
+    """One site's worth of scoring work (host-side, ragged)."""
+    chromosome: str
+    start: int
+    stop: int
+    alleles: List[str]
+    # per-allele feature tensors, uint8 [R_i, L, C]
+    tensors0: List[np.ndarray]
+    tensors1: Optional[List[np.ndarray]] = None
+    ref_segment: Optional[np.ndarray] = None  # [L, 5] one-hot
+    labels: Optional[List[int]] = None
+    site_label: Optional[int] = None
+
+
+@dataclasses.dataclass
+class PaddedBatch:
+    """Fixed-shape batch for the device; `sites` maps rows back to SiteWork."""
+    reads0: np.ndarray        # [A, R0, L, C0] uint8
+    read_mask0: np.ndarray    # [A, R0] float32
+    reads1: Optional[np.ndarray]
+    read_mask1: Optional[np.ndarray]
+    site_ids: np.ndarray      # [A] int32
+    allele_mask: np.ndarray   # [A] float32
+    ref_segments: np.ndarray  # [S, L, 5] float32
+    num_sites: int
+    sites: List[SiteWork]
+    allele_site_index: List[tuple]   # (site_idx, allele_idx) per real allele slot
+    labels: Optional[np.ndarray] = None      # [A] float32 (allele labels)
+
+    def device_dict(self):
+        d = {
+            "reads0": self.reads0,
+            "read_mask0": self.read_mask0,
+            "site_ids": self.site_ids,
+            "allele_mask": self.allele_mask,
+            "ref_segments": self.ref_segments,
+            "num_sites": self.num_sites,
+        }
+        if self.reads1 is not None:
+            d["reads1"] = self.reads1
+            d["read_mask1"] = self.read_mask1
+        return d
+
+
+def one_hot_ref_segment(bases: str) -> np.ndarray:
+    """One-hot encode a reference window [L, 5] — A,C,G,T,other
+    (reference caller_calling.py:53-67)."""
+    idx = {"A": 0, "C": 1, "G": 2, "T": 3}
+    out = np.zeros((len(bases), 5), np.float32)
+    for i, b in enumerate(bases):
+        out[i, idx.get(b, 4)] = 1.0
+    return out
+
+
+def pack_sites(
+    sites: Sequence[SiteWork],
+    hybrid: bool,
+    feature_length: int = 150,
+    channels0: int = 6,
+    channels1: int = 6,
+    read_buckets: Sequence[int] = DEFAULT_READ_BUCKETS,
+    allele_buckets: Sequence[int] = DEFAULT_ALLELE_BUCKETS,
+    site_buckets: Sequence[int] = DEFAULT_SITE_BUCKETS,
+) -> PaddedBatch:
+    """Pack a group of sites into one PaddedBatch.
+
+    Reads beyond the largest read bucket are truncated (the reference pipeline
+    subsamples reads upstream, so this is a backstop, not a policy).
+    """
+    num_alleles = sum(len(s.alleles) for s in sites)
+    A = _bucket(max(num_alleles, 1), allele_buckets)
+    S = _bucket(max(len(sites), 1), site_buckets)
+
+    max_r0 = 1
+    max_r1 = 1
+    for s in sites:
+        for t in s.tensors0:
+            max_r0 = max(max_r0, t.shape[0])
+        if hybrid and s.tensors1 is not None:
+            for t in s.tensors1:
+                max_r1 = max(max_r1, t.shape[0])
+    R0 = _bucket(max_r0, read_buckets)
+    R1 = _bucket(max_r1, read_buckets) if hybrid else None
+
+    L = feature_length
+    reads0 = np.zeros((A, R0, L, channels0), np.uint8)
+    mask0 = np.zeros((A, R0), np.float32)
+    if hybrid:
+        reads1 = np.zeros((A, R1, L, channels1), np.uint8)
+        mask1 = np.zeros((A, R1), np.float32)
+    else:
+        reads1, mask1 = None, None
+    site_ids = np.full((A,), S - 1, np.int32)  # padding slots point at the last (padded) site
+    allele_mask = np.zeros((A,), np.float32)
+    ref_segments = np.zeros((S, L, 5), np.float32)
+    labels = np.zeros((A,), np.float32)
+    has_labels = all(s.labels is not None for s in sites)
+
+    slot = 0
+    index = []
+    for si, site in enumerate(sites):
+        if site.ref_segment is not None:
+            ref_segments[si] = site.ref_segment
+        for ai, allele in enumerate(site.alleles):
+            t0 = site.tensors0[ai]
+            r0 = min(t0.shape[0], R0)
+            reads0[slot, :r0] = t0[:r0]
+            mask0[slot, :r0] = 1.0
+            if hybrid:
+                t1 = site.tensors1[ai]
+                r1 = min(t1.shape[0], R1)
+                reads1[slot, :r1] = t1[:r1]
+                mask1[slot, :r1] = 1.0
+            site_ids[slot] = si
+            allele_mask[slot] = 1.0
+            if has_labels:
+                labels[slot] = site.labels[ai]
+            index.append((si, ai))
+            slot += 1
+
+    return PaddedBatch(
+        reads0=reads0, read_mask0=mask0, reads1=reads1, read_mask1=mask1,
+        site_ids=site_ids, allele_mask=allele_mask, ref_segments=ref_segments,
+        num_sites=S, sites=list(sites), allele_site_index=index,
+        labels=labels if has_labels else None,
+    )
+
+
+def group_sites_for_batching(sites: Sequence[SiteWork], max_alleles_per_batch: int = 128):
+    """Greedily group sites so each batch stays under an allele budget."""
+    group: List[SiteWork] = []
+    count = 0
+    for s in sites:
+        n = len(s.alleles)
+        if group and count + n > max_alleles_per_batch:
+            yield group
+            group, count = [], 0
+        group.append(s)
+        count += n
+    if group:
+        yield group
