@@ -1,0 +1,149 @@
+"""Whole-model numerical parity: reference torch MoEAttention (ragged batches)
+vs hello_tpu MoEAttention (padded batches), with parameters carried across by
+the checkpoint converter.
+
+These tests import the reference implementation read-only from
+/root/reference/python to build the torch golden model; they are skipped when
+the reference is not mounted.
+"""
+
+import sys
+
+import numpy as np
+import pytest
+
+from conftest import requires_reference, REFERENCE_DIR
+
+import jax
+
+from hello_tpu.nn import archs
+from hello_tpu.nn.convert import convert_state_dict
+from hello_tpu.nn.moe import MoEAttention
+from hello_tpu.pipeline.batching import SiteWork, pack_sites
+
+
+def _load_reference_model(config_name):
+    sys.path.insert(0, REFERENCE_DIR + "/python")
+    try:
+        import importlib
+        import MixtureOfExpertsAdvanced as MoERef
+        cfg_module = importlib.import_module(config_name)
+        model = MoERef.create_moe_attention_model(cfg_module.configDict)
+        model.eval()
+        return model
+    finally:
+        sys.path.pop(0)
+
+
+def _ragged_inputs(rng, num_sites, hybrid, channels=6):
+    """Generate ragged per-site/allele/read uint8 tensors."""
+    sites = []
+    for si in range(num_sites):
+        n_alleles = rng.randint(1, 4)
+        alleles = [f"al{si}_{a}" for a in range(n_alleles)]
+        t0 = [rng.randint(0, 255, size=(rng.randint(1, 7), 150, channels)).astype(np.uint8)
+              for _ in alleles]
+        t1 = None
+        if hybrid:
+            t1 = [rng.randint(0, 255, size=(rng.randint(1, 5), 150, channels)).astype(np.uint8)
+                  for _ in alleles]
+        seg = np.eye(5, dtype=np.float32)[rng.randint(0, 5, size=150)]
+        sites.append(SiteWork("chr20", 1000 + 100 * si, 1001 + 100 * si,
+                              alleles, t0, t1, seg))
+    return sites
+
+
+def _torch_forward(tmodel, sites, hybrid):
+    import torch
+
+    num_alleles_per_site = [len(s.alleles) for s in sites]
+    reads0, reads1, nr0, nr1 = [], [], [], []
+    for s in sites:
+        for t in s.tensors0:
+            reads0.append(t)
+            nr0.append(t.shape[0])
+    if hybrid:
+        for s in sites:
+            for t in s.tensors1:
+                reads1.append(t)
+                nr1.append(t.shape[0])
+    # torch layout: [sum_reads, C, L]
+    t0 = torch.from_numpy(
+        np.concatenate(reads0, axis=0).transpose(0, 2, 1).astype(np.float32))
+    t1 = None
+    if hybrid:
+        t1 = torch.from_numpy(
+            np.concatenate(reads1, axis=0).transpose(0, 2, 1).astype(np.float32))
+    segs = torch.from_numpy(np.stack([s.ref_segment for s in sites]))
+
+    with torch.no_grad():
+        out = tmodel((t0, t1), num_alleles_per_site, (nr0, nr1), segs)
+
+    if isinstance(out, tuple) and isinstance(out[0], list):
+        experts, meta = out
+        experts = np.stack([e.numpy()[:, 0] for e in experts], axis=1)  # [A, 3]
+        return experts, meta.numpy()
+    else:
+        return out.numpy(), None
+
+
+def _ours_forward(config, tmodel, sites, hybrid):
+    model = MoEAttention(config)
+    sd = {k: v.numpy() for k, v in tmodel.state_dict().items()}
+    params, state = convert_state_dict(sd, model)
+    batch = pack_sites(sites, hybrid=hybrid)
+    out, _ = model.apply(params, state, dict(batch.device_dict()))
+    experts = np.asarray(out["experts"])
+    n_real = len(batch.allele_site_index)
+    experts = experts[:n_real]
+    meta = None
+    if out["meta"] is not None:
+        meta = np.asarray(out["meta"])[:len(sites)]
+    return experts, meta
+
+
+def _assert_parity(t_experts, j_experts):
+    """Logit-level tolerance parity.
+
+    Sub-network outputs match torch to ~1e-5 on identical inputs (fp32
+    conv-algorithm differences only); the remaining drift at the logits is
+    error amplification through the ~15-layer stack on O(100) activations.
+    Genotype decisions depend on sigmoid probabilities, so those get the
+    tighter bound.
+    """
+    np.testing.assert_allclose(t_experts, j_experts, rtol=2e-2, atol=1e-2)
+    sig = lambda x: 1.0 / (1.0 + np.exp(-x))
+    np.testing.assert_allclose(sig(t_experts), sig(j_experts), atol=3e-3)
+
+
+@requires_reference
+def test_single_tech_parity(rng):
+    tmodel = _load_reference_model(
+        "moe_attention_config_single_tech_old_equivalent_weight_norm")
+    sites = _ragged_inputs(rng, num_sites=4, hybrid=False)
+    t_experts, t_meta = _torch_forward(tmodel, sites, hybrid=False)
+    j_experts, j_meta = _ours_forward(archs.config_single_tech(), tmodel, sites, hybrid=False)
+    assert t_meta is None and j_meta is None
+    _assert_parity(t_experts, j_experts)
+
+
+@requires_reference
+def test_hybrid_no_ensemble_parity(rng):
+    tmodel = _load_reference_model(
+        "moe_attention_config_full_hybrid_old_equivalent_weight_norm_no_ensemble")
+    sites = _ragged_inputs(rng, num_sites=3, hybrid=True)
+    t_experts, t_meta = _torch_forward(tmodel, sites, hybrid=True)
+    j_experts, j_meta = _ours_forward(archs.config_hybrid_no_ensemble(), tmodel, sites, hybrid=True)
+    assert t_meta is None and j_meta is None
+    _assert_parity(t_experts, j_experts)
+
+
+@requires_reference
+def test_hybrid_full_parity(rng):
+    tmodel = _load_reference_model(
+        "moe_attention_config_full_hybrid_old_equivalent_weight_norm")
+    sites = _ragged_inputs(rng, num_sites=3, hybrid=True)
+    t_experts, t_meta = _torch_forward(tmodel, sites, hybrid=True)
+    j_experts, j_meta = _ours_forward(archs.config_hybrid_full(), tmodel, sites, hybrid=True)
+    _assert_parity(t_experts, j_experts)
+    np.testing.assert_allclose(t_meta, j_meta, atol=3e-3)
