@@ -1,0 +1,171 @@
+"""VCF reading, writing, and record normalisation.
+
+Record normalisation follows the reference's createVcfRecord
+(reference python/vcfFromContigs.py:139-227): empty alleles are fixed by
+left-extension with a reference base, then right parsimony trimming, then left
+parsimony trimming; positions are emitted 1-based.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import gzip
+from typing import Dict, Iterable, List, Optional, Sequence, Tuple
+
+
+@dataclasses.dataclass
+class VcfRecord:
+    chromosome: str
+    position: int          # 0-based internal position
+    ref: str
+    alt: List[str]
+    gt: Tuple[int, int]
+    qual: float = 30.0
+    filter: str = "PASS"
+    info: str = "."
+
+    def key(self):
+        return (self.chromosome, self.position)
+
+
+def _fix_empty_alleles(chromosome, location, ref, alts, ref_lookup):
+    """If any allele is empty, left-extend all alleles with the reference base
+    (reference vcfFromContigs.fixEmptyAlleles:139-160)."""
+    alts = [a.replace("-", "") for a in alts]
+    if all(len(a) > 0 for a in [ref] + alts):
+        return False, location, ref, alts
+    location -= 1
+    prepend = ref_lookup(chromosome, location)
+    return True, location, prepend + ref, [prepend + a for a in alts]
+
+
+def normalize_site(chromosome: str, location: int, ref: str, alts: Sequence[str],
+                   ref_lookup) -> Tuple[int, str, List[str]]:
+    """Normalise (position, ref, alts): empty-allele fixing + right/left parsimony.
+
+    ref_lookup(chromosome, position) -> single reference base (0-based).
+    """
+    alts = list(alts)
+    _, location, ref, alts = _fix_empty_alleles(chromosome, location, ref, alts, ref_lookup)
+
+    if len(alts) == 0 or all(a == ref for a in alts):
+        return location, ref, alts
+
+    changed = True
+    while changed:
+        changed = False
+        right = {ref[-1]} | {a[-1] for a in alts}
+        if len(right) == 1:
+            ref = ref[:-1]
+            alts = [a[:-1] for a in alts]
+            changed = True
+        fixed, location, ref, alts = _fix_empty_alleles(chromosome, location, ref, alts, ref_lookup)
+        changed = changed or fixed
+
+    while len(ref) > 1 and min(len(a) for a in alts) > 1:
+        left = {ref[0]} | {a[0] for a in alts}
+        if len(left) != 1:
+            break
+        location += 1
+        ref = ref[1:]
+        alts = [a[1:] for a in alts]
+
+    return location, ref, alts
+
+
+def make_record(chromosome, position, ref_allele, alt_alleles, genotypes,
+                ref_lookup, qual=30.0, qualifier="PASS", info="."):
+    """Create a normalised VcfRecord, or None if there is nothing to emit."""
+    if len(alt_alleles) == 0:
+        return None
+    location, ref, alts = normalize_site(chromosome, position, ref_allele,
+                                         alt_alleles, ref_lookup)
+    if len(alts) == 0 or all(a == ref for a in alts):
+        return None
+    return VcfRecord(chromosome, location, ref, alts, tuple(genotypes),
+                     qual=qual, filter=qualifier, info=info)
+
+
+VCF_HEADER = """##fileformat=VCFv4.2
+##source=hello_tpu
+{contigs}##FILTER=<ID=PASS,Description="All filters passed">
+##FORMAT=<ID=GT,Number=1,Type=String,Description="Genotype">
+#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\tSAMPLE
+"""
+
+
+def format_record(r: VcfRecord) -> str:
+    return "%s\t%d\t.\t%s\t%s\t%f\t%s\t%s\tGT\t%s" % (
+        r.chromosome, r.position + 1, r.ref, ",".join(r.alt), r.qual,
+        r.filter, r.info, "/".join(str(g) for g in r.gt))
+
+
+def write_vcf(path: str, records: Iterable[VcfRecord],
+              contigs: Optional[Dict[str, int]] = None, sort: bool = True):
+    """Write records to a VCF file with a minimal header."""
+    records = list(records)
+    if sort:
+        records.sort(key=lambda r: (r.chromosome, r.position))
+    contig_lines = ""
+    if contigs:
+        contig_lines = "".join(
+            f"##contig=<ID={name},length={length}>\n" for name, length in contigs.items())
+    with open(path, "w") as fh:
+        fh.write(VCF_HEADER.format(contigs=contig_lines))
+        for r in records:
+            fh.write(format_record(r) + "\n")
+
+
+def _open_maybe_gz(path):
+    if path.endswith(".gz"):
+        return gzip.open(path, "rt")
+    return open(path, "r")
+
+
+def read_vcf(path: str) -> List[VcfRecord]:
+    """Parse a VCF into records (positions converted to 0-based).
+
+    GT is taken from the first sample column when present; '.' alleles and
+    phased separators are handled.
+    """
+    records = []
+    with _open_maybe_gz(path) as fh:
+        for line in fh:
+            if line.startswith("#"):
+                continue
+            fields = line.rstrip("\n").split("\t")
+            if len(fields) < 8:
+                continue
+            chrom, pos, _id, ref, alt = fields[0], int(fields[1]) - 1, fields[2], fields[3], fields[4]
+            try:
+                qual = float(fields[5])
+            except ValueError:
+                qual = 0.0
+            filt = fields[6]
+            gt = (0, 0)
+            if len(fields) >= 10:
+                fmt = fields[8].split(":")
+                sample = fields[9].split(":")
+                if "GT" in fmt:
+                    gtstr = sample[fmt.index("GT")]
+                    sep = "|" if "|" in gtstr else "/"
+                    parts = [p for p in gtstr.split(sep)]
+                    vals = []
+                    for p in parts:
+                        vals.append(0 if p == "." else int(p))
+                    if len(vals) == 1:
+                        vals = vals * 2
+                    gt = tuple(vals[:2])
+            alts = [] if alt in (".", "") else alt.split(",")
+            records.append(VcfRecord(chrom, pos, ref, alts, gt, qual=qual, filter=filt))
+    return records
+
+
+def merge_vcfs(paths: Sequence[str], out_path: str,
+               contigs: Optional[Dict[str, int]] = None):
+    """Merge per-shard VCFs into one sorted output (replaces the reference's
+    cat + vcf-sort step, reference prepareVcf.py:185-260)."""
+    all_records: List[VcfRecord] = []
+    for p in paths:
+        all_records.extend(read_vcf(p))
+    write_vcf(out_path, all_records, contigs=contigs, sort=True)

@@ -1,0 +1,125 @@
+"""Genotype decoding: allele-pair probabilities from expert outputs.
+
+Reproduces the semantics of the reference inference wrapper
+(MoEMergedWrapperAdvanced.forward, reference python/MixtureOfExpertsAdvanced.py:520-589):
+
+  * per-expert allele sigmoids ``e[a]``;
+  * for an unordered allele pair (i, j) the expert's pair probability is
+    ``prod_a (e_a if a in {i,j} else 1 - e_a)`` (with the reference's 1e-10
+    cushion inside the log);
+  * the site-level pair probability mixes experts with the meta weights
+    ``sum_k meta[k] * pair_prob_k``;
+  * single-platform models use meta = [1, 0, 0] and zeros for experts 1/2.
+
+The caller picks the argmax pair; its quality is ``-10*log10(1 - p)`` with p
+capped at ``1 - 1e-8`` (Q80), reference caller_calling.py:702-705.
+"""
+
+from __future__ import annotations
+
+import itertools
+import math
+from typing import Dict, List, Sequence, Tuple
+
+import numpy as np
+
+
+def expert_pair_probabilities(probs: np.ndarray, alleles: Sequence[str]):
+    """Pair probabilities for one expert at one site.
+
+    probs: [A] sigmoid outputs (float32). Returns dict {(allele_i, allele_j): p}
+    with unordered pairs deduplicated in reference order (itertools.product,
+    first occurrence kept).
+    """
+    probs = np.asarray(probs, dtype=np.float32)
+    out: Dict[Tuple[str, str], np.float32] = {}
+    n = len(alleles)
+    for i, j in itertools.product(range(n), range(n)):
+        pair = (alleles[i], alleles[j])
+        if pair in out or (pair[1], pair[0]) in out:
+            continue
+        target = np.zeros(n, dtype=np.float32)
+        target[i] = 1.0
+        target[j] = 1.0
+        p = np.exp(np.sum(np.log(probs * target + (1.0 - probs) * (1.0 - target)
+                                 + np.float32(1e-10)), dtype=np.float32))
+        out[pair] = np.float32(p)
+    return out
+
+
+def decode_site(expert_logits: np.ndarray, meta: np.ndarray | None,
+                alleles: Sequence[str]):
+    """Decode one site.
+
+    expert_logits: [A, E] raw logits (E=1 or 3); meta: [3] softmax weights or
+    None.  Returns (pair_probabilities, per_expert_pair_probs, meta_used).
+    """
+    expert_logits = np.asarray(expert_logits, dtype=np.float32)
+    A, E = expert_logits.shape
+    sig = 1.0 / (1.0 + np.exp(-expert_logits))
+
+    if E == 1:
+        experts = [sig[:, 0], np.zeros(A, np.float32), np.zeros(A, np.float32)]
+        meta_used = np.array([1.0, 0.0, 0.0], np.float32)
+    else:
+        experts = [sig[:, k] for k in range(E)]
+        assert meta is not None, "multi-expert decode requires meta weights"
+        meta_used = np.asarray(meta, dtype=np.float32)
+
+    per_expert = [expert_pair_probabilities(e, alleles) for e in experts]
+    combined: Dict[Tuple[str, str], float] = {}
+    for pair in per_expert[0]:
+        combined[pair] = float(sum(
+            meta_used[k] * per_expert[k][pair] for k in range(3)))
+    return combined, per_expert, meta_used
+
+
+def best_genotype(pair_probs: Dict[Tuple[str, str], float]):
+    """Pick the top-probability allele pair; ties broken by reverse-sorted pair
+    (matching the reference's ``sorted(..., reverse=True)[0]`` over
+    (probability, pair) tuples)."""
+    top = sorted(((v, k) for k, v in pair_probs.items()), reverse=True)[0]
+    return top[1], top[0]
+
+
+def phred_quality(p: float) -> float:
+    """Quality of a call: -10*log10(1-p), capped at Q80."""
+    p = min(float(p), 1.0 - 1e-8)
+    return -10.0 * math.log10(1.0 - p)
+
+
+def decode_batch(experts: np.ndarray, meta: np.ndarray | None,
+                 allele_site_index: List[Tuple[int, int]],
+                 sites) -> List[dict]:
+    """Decode a whole padded batch back into per-site calls.
+
+    experts: [A_padded, E]; meta: [S_padded, 3] or None; ``sites`` is the list
+    of SiteWork the batch was packed from.  Returns one dict per site with
+    keys: site, alleles, pair_probs, best_pair, quality, meta, expert_probs.
+    """
+    per_site_rows: Dict[int, List[int]] = {}
+    for slot, (si, ai) in enumerate(allele_site_index):
+        per_site_rows.setdefault(si, []).append(slot)
+
+    results = []
+    for si, site in enumerate(sites):
+        rows = per_site_rows.get(si, [])
+        if not rows:
+            results.append(None)
+            continue
+        site_logits = experts[rows]            # [A_s, E]
+        site_meta = None if meta is None else meta[si]
+        pair_probs, per_expert, meta_used = decode_site(
+            site_logits, site_meta, site.alleles)
+        best_pair, best_p = best_genotype(pair_probs)
+        results.append({
+            "site": site,
+            "alleles": list(site.alleles),
+            "pair_probs": pair_probs,
+            "expert_pair_probs": per_expert,
+            "meta": meta_used,
+            "best_pair": best_pair,
+            "probability": float(best_p),
+            "quality": phred_quality(best_p),
+        })
+    return results
