@@ -161,6 +161,32 @@ def read_vcf(path: str) -> List[VcfRecord]:
     return records
 
 
+def left_align_normalize(chromosome: str, position: int, ref: str, alt: str,
+                         ref_lookup) -> Tuple[int, str, str]:
+    """Canonical variant normalisation (left-align + parsimony, vt-style).
+
+    Used for representation-invariant comparison of call sets: two equivalent
+    representations of the same indel (e.g. the caller's parsimony form vs a
+    truth set's form) normalise to the same (position, ref, alt).
+    """
+    ref, alt = ref, alt
+    while True:
+        if ref and alt and ref[-1] == alt[-1] and (len(ref) > 1 or len(alt) > 1):
+            ref, alt = ref[:-1], alt[:-1]
+            if ref and alt:
+                continue
+        if not ref or not alt:
+            position -= 1
+            base = ref_lookup(chromosome, position)
+            ref, alt = base + ref, base + alt
+            continue
+        break
+    while len(ref) > 1 and len(alt) > 1 and ref[0] == alt[0]:
+        ref, alt = ref[1:], alt[1:]
+        position += 1
+    return position, ref, alt
+
+
 def merge_vcfs(paths: Sequence[str], out_path: str,
                contigs: Optional[Dict[str, int]] = None):
     """Merge per-shard VCFs into one sorted output (replaces the reference's

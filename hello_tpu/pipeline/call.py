@@ -1,0 +1,224 @@
+"""End-to-end variant calling driver.
+
+Equivalent of the reference user entry point (reference python/call.py +
+caller_calling.py): hotspot detection -> active regions -> candidate intervals
+-> site tensor generation -> batched TPU scoring -> genotype decode -> sorted
+VCF.  Designed host-side as a library; the CLI wraps `call_region` /
+`call_genome`.  Multi-host scale-out shards regions deterministically by
+process index (see hello_tpu.parallel).
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+import random
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from ..constants import FEATURE_LENGTH
+from ..io.fasta import FastaFile
+from ..io.vcf import VcfRecord, make_record, write_vcf
+from ..nn import archs
+from ..nn.genotype import decode_batch, phred_quality
+from ..nn.moe import MoEAttention, create_model
+from .batching import PaddedBatch, SiteWork, group_sites_for_batching, pack_sites
+from .candidates import generate_sites
+from .hotspots import (candidate_intervals, cluster_hotspots, detect_hotspots,
+                       make_read_sources)
+
+logger = logging.getLogger(__name__)
+
+
+class Scorer:
+    """Jitted batched model forward with shape-bucketed compilation caching."""
+
+    def __init__(self, model: MoEAttention, params, state, donate: bool = False):
+        import jax
+
+        self.model = model
+        self.params = params
+        self.state = state
+
+        def forward(params, state, num_sites, batch):
+            out, _ = model.apply(params, state, dict(batch, num_sites=num_sites),
+                                 train=False)
+            return out
+
+        # num_sites drives static shapes (one-hot segment sums), so it must be
+        # a compile-time constant; bucketed batch shapes keep recompiles rare
+        self._jitted = jax.jit(forward, static_argnames=("num_sites",))
+        self._jax = jax
+
+    def __call__(self, batch: PaddedBatch):
+        d = batch.device_dict()
+        num_sites = d.pop("num_sites")
+        out = self._jitted(self.params, self.state, num_sites, d)
+        experts = np.asarray(out["experts"])
+        meta = None if out["meta"] is None else np.asarray(out["meta"])
+        return experts, meta
+
+
+def vcf_record_from_call(call: dict, ref_lookup) -> Optional[VcfRecord]:
+    """Build a VCF record from one decoded site call
+    (reference caller_calling.vcfRecords:657-754 semantics)."""
+    if call is None:
+        return None
+    site: SiteWork = call["site"]
+    ref_allele = "".join(ref_lookup(site.chromosome, p)
+                         for p in range(site.start, site.stop))
+    top_alleles = call["best_pair"]
+    quality = call["quality"]
+    alt_alleles = list(set(top_alleles).difference({ref_allele}))
+
+    if len(alt_alleles) == 0:
+        genotypes = [0, 0]
+        alt_alleles = list(set(site.alleles).difference({ref_allele}))
+        if len(alt_alleles) == 0:
+            return None
+    else:
+        genotypes = []
+        for allele in top_alleles:
+            if allele == ref_allele:
+                genotypes.append(0)
+            else:
+                genotypes.append(alt_alleles.index(allele) + 1)
+
+    return make_record(site.chromosome, site.start, ref_allele, alt_alleles,
+                       genotypes, ref_lookup, qual=quality,
+                       info="MixtureOfExpertPrediction")
+
+
+def call_region(bam_paths: Sequence[str], ref: FastaFile, chromosome: str,
+                start: int, stop: int, scorer: Scorer,
+                pacbio: bool = False, include_hp: bool = False,
+                hybrid_hotspot: bool = False,
+                q_threshold: int = 10, min_mapq: int = 10,
+                reassembly_size: int = 10,
+                feature_length: int = FEATURE_LENGTH,
+                max_alleles_per_batch: int = 128,
+                seed: int = 13) -> List[VcfRecord]:
+    """Call variants in one region; returns normalised VCF records."""
+    hybrid = len(bam_paths) > 1
+    rng = random.Random(seed)
+
+    hotspot_sources = make_read_sources(bam_paths, pacbio, for_hotspots=True, rng=rng)
+    positions = detect_hotspots(
+        hotspot_sources, ref, chromosome, start, stop, pacbio=pacbio,
+        hybrid_hotspot=hybrid_hotspot, q_threshold=q_threshold, min_mapq=min_mapq)
+    logger.info("%s:%d-%d: %d hotspot positions", chromosome, start, stop, len(positions))
+    if not positions:
+        return []
+
+    active = cluster_hotspots(positions)
+    sources = make_read_sources(bam_paths, pacbio, rng=rng)
+    intervals, windows = candidate_intervals(
+        sources, ref, chromosome, active, pacbio=pacbio,
+        hybrid_hotspot=hybrid_hotspot, q_threshold=q_threshold,
+        min_mapq=min_mapq, include_hp=include_hp,
+        reassembly_size=reassembly_size, provide_windows=True)
+    logger.info("%s: %d candidate intervals", chromosome, len(intervals))
+
+    sites = [s for s in generate_sites(
+        sources, ref, chromosome, intervals, windows=windows, pacbio=pacbio,
+        include_hp=include_hp, hybrid_hotspot=hybrid_hotspot,
+        feature_length=feature_length, q_threshold=q_threshold,
+        min_mapq=min_mapq, reassembly_size=reassembly_size)
+        if s is not None and s.alleles]
+    logger.info("%s: %d scorable sites", chromosome, len(sites))
+
+    ref_lookup = lambda chrom, pos: ref.fetch(chrom, pos, pos + 1)
+    records: List[VcfRecord] = []
+    hybrid_model = scorer.model.hybrid
+    for group in group_sites_for_batching(sites, max_alleles_per_batch):
+        batch = pack_sites(group, hybrid=hybrid_model,
+                           feature_length=feature_length,
+                           channels0=7 if include_hp else 6,
+                           channels1=7 if include_hp else 6)
+        experts, meta = scorer(batch)
+        calls = decode_batch(experts, meta, batch.allele_site_index, group)
+        for call in calls:
+            rec = vcf_record_from_call(call, ref_lookup)
+            if rec is not None:
+                records.append(rec)
+    return records
+
+
+def call_genome(bam_paths: Sequence[str], ref_path: str, scorer: Scorer,
+                out_vcf: str, regions: Optional[Sequence[Tuple[str, int, int]]] = None,
+                **kwargs) -> str:
+    """Call variants across regions (default: every chromosome) into a VCF."""
+    ref = FastaFile(ref_path)
+    if regions is None:
+        regions = [(c, 0, ref.length(c)) for c in ref.chromosomes()]
+    records: List[VcfRecord] = []
+    for chrom, start, stop in regions:
+        records.extend(call_region(bam_paths, ref, chrom, start, stop, scorer, **kwargs))
+    contigs = {c: ref.length(c) for c in ref.chromosomes()}
+    write_vcf(out_vcf, records, contigs=contigs, sort=True)
+    return out_vcf
+
+
+def load_scorer(model_name: str, checkpoint: Optional[str] = None,
+                seed: int = 0) -> Scorer:
+    """Build a Scorer from a named config, optionally loading a converted
+    reference checkpoint (.wrapper.dnn) or a saved pytree checkpoint."""
+    import jax
+
+    model = create_model(model_name)
+    if checkpoint is None:
+        params, state = model.init(jax.random.PRNGKey(seed))
+    elif checkpoint.endswith((".dnn", ".pt", ".pth")):
+        from ..nn.convert import load_torch_checkpoint
+        params, state = load_torch_checkpoint(checkpoint, model)
+    else:
+        from ..train.checkpoint import load_checkpoint
+        params, state = load_checkpoint(checkpoint)
+    return Scorer(model, params, state)
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(description="hello_tpu variant caller")
+    parser.add_argument("--bam", required=True,
+                        help="comma-separated BAMs (illumina[,pacbio])")
+    parser.add_argument("--ref", required=True, help="reference FASTA")
+    parser.add_argument("--out", required=True, help="output VCF path")
+    parser.add_argument("--model", default="illumina",
+                        help="model config: illumina|pacbio|pacbio_hp|hybrid|hybrid_no_ensemble")
+    parser.add_argument("--checkpoint", default=None,
+                        help="checkpoint path (.dnn torch pickle or pytree dir)")
+    parser.add_argument("--region", default=None,
+                        help="chrom[,start,stop]; default: whole genome")
+    parser.add_argument("--pacbio", action="store_true")
+    parser.add_argument("--include_hp", action="store_true")
+    parser.add_argument("--hybrid_hotspot", action="store_true")
+    parser.add_argument("--q_threshold", type=int, default=10)
+    parser.add_argument("--mapq_threshold", type=int, default=10)
+    parser.add_argument("--reconcilement_size", type=int, default=10)
+    parser.add_argument("--log", default=None)
+    args = parser.parse_args(argv)
+
+    logging.basicConfig(level=logging.INFO, filename=args.log,
+                        format="%(asctime)s %(levelname)s %(message)s")
+
+    regions = None
+    if args.region:
+        parts = args.region.split(",")
+        if len(parts) == 1:
+            ref = FastaFile(args.ref)
+            regions = [(parts[0], 0, ref.length(parts[0]))]
+        else:
+            regions = [(parts[0], int(parts[1]), int(parts[2]))]
+
+    scorer = load_scorer(args.model, args.checkpoint)
+    call_genome(
+        args.bam.split(","), args.ref, scorer, args.out, regions=regions,
+        pacbio=args.pacbio, include_hp=args.include_hp,
+        hybrid_hotspot=args.hybrid_hotspot, q_threshold=args.q_threshold,
+        min_mapq=args.mapq_threshold, reassembly_size=args.reconcilement_size)
+    logger.info("Completed running the script")
+
+
+if __name__ == "__main__":
+    main()

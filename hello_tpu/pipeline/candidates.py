@@ -1,0 +1,219 @@
+"""Candidate-site generation: cluster candidate intervals, assemble, and emit
+per-site scoring work (tensors + alleles).
+
+Mirrors the reference site generator (reference python/trainDataTools.py:980-1103
+``data`` with ``clusterLocations``/``split_clusters``/``createTensors``) minus
+the torch glue: output is :class:`hello_tpu.pipeline.batching.SiteWork` units
+ready for padded-batch packing.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import random
+from typing import Dict, Iterator, List, Optional, Sequence, Tuple
+
+from ..constants import (
+    FEATURE_LENGTH, FLANKING_BASES, MAX_ALLELE_LENGTH, MIN_DISTANCE,
+)
+from ..io.fasta import ChromView, FastaFile
+from ..window import LocationOutOfBounds, Window
+from .batching import SiteWork, one_hot_ref_segment
+from .hotspots import ReadSource
+
+
+@dataclasses.dataclass
+class CandidateRecord:
+    """A candidate site: ref allele + supported alleles
+    (reference trainDataTools.createRecord:402-439)."""
+    chromosome: str
+    position: int
+    ref: str
+    alt: List[str]          # non-ref alleles
+    gt: List[int]           # indices into [ref] + alt; -1 -> labeling failed
+
+    @property
+    def stop(self) -> int:
+        return self.position + len(self.ref)
+
+    def alleles(self) -> List[str]:
+        return [self.ref] + self.alt
+
+
+def make_candidate_record(chromosome, position, ref_allele, alleles_at_site):
+    alleles_no_ref = [a for a in alleles_at_site if a != ref_allele]
+    if ref_allele in alleles_at_site:
+        gts = list(range(len(alleles_at_site)))
+    else:
+        gts = [i + 1 for i in range(len(alleles_at_site))]
+    return CandidateRecord(chromosome, position, ref_allele, alleles_no_ref, gts)
+
+
+def cluster_intervals(intervals: Sequence[Tuple[int, int]],
+                      distance: int = MIN_DISTANCE,
+                      max_allele_length: int = MAX_ALLELE_LENGTH,
+                      max_items: int = 1024) -> Iterator[List[Tuple[int, int]]]:
+    """Cluster candidate intervals (reference trainDataTools.clusterLocations:477-514)."""
+    cluster: List[Tuple[int, int]] = []
+    for loc in intervals:
+        if loc[1] - loc[0] > max_allele_length:
+            if cluster:
+                yield cluster
+                cluster = []
+                continue
+        if not cluster:
+            cluster.append(loc)
+        elif loc[0] - cluster[-1][1] < distance and len(cluster) < max_items:
+            cluster.append(loc)
+        else:
+            yield cluster
+            cluster = [loc]
+    if cluster:
+        yield cluster
+
+
+def split_clusters(cluster: List[Tuple[int, int]], ref_view,
+                   max_items: int = 1024):
+    """Split oversized clusters; yields (sub_cluster, segment, segment_start)
+    (reference trainDataTools.split_clusters:517-554)."""
+    if len(cluster) <= max_items:
+        start = cluster[0][0] - MIN_DISTANCE // 2
+        stop = cluster[-1][1] + MIN_DISTANCE // 2
+        yield cluster, ref_view[start:stop], start
+        return
+    indices = list(range(0, len(cluster), max_items))
+    last_chunk = None
+    for i, index in enumerate(indices):
+        chunk = cluster[index:index + max_items]
+        next_chunk = cluster[indices[i + 1]:indices[i + 1] + max_items] \
+            if i + 1 < len(indices) else None
+        start = chunk[0][0] - MIN_DISTANCE // 2
+        if last_chunk:
+            start = max(start, last_chunk[-1][1])
+        stop = chunk[-1][1] + MIN_DISTANCE // 2
+        if next_chunk:
+            stop = min(stop, next_chunk[0][0])
+        yield chunk, ref_view[start:stop], start
+        last_chunk = chunk
+
+
+def generate_sites(read_sources: Sequence[ReadSource], ref: FastaFile,
+                   chromosome: str, intervals: Sequence[Tuple[int, int]],
+                   windows: Optional[Dict] = None,
+                   pacbio: bool = False,
+                   include_hp: bool = False,
+                   hybrid_hotspot: bool = False,
+                   feature_length: int = FEATURE_LENGTH,
+                   max_allele_length: int = MAX_ALLELE_LENGTH,
+                   max_items_per_group: int = 1024,
+                   q_threshold: int = 10, min_mapq: int = 10,
+                   reassembly_size: int = 10,
+                   labeler=None) -> Iterator[SiteWork]:
+    """Yield SiteWork per candidate site.
+
+    ``windows``: optional reuse of Window objects built during candidate
+    detection, keyed by active region (matching the reference's
+    ``reuseSearchers`` path).  ``labeler``: optional callable
+    (chromosome, window, cluster, segment, start) -> list[CandidateRecord]
+    used in training mode to attach ground-truth genotypes.
+    """
+    hybrid = len(read_sources) > 1
+    ref_view = ChromView(ref, chromosome)
+    channels = 7 if include_hp else 6
+
+    for cluster in cluster_intervals(sorted(intervals),
+                                     max_items=max_items_per_group):
+        start = cluster[0][0] - MIN_DISTANCE // 2
+        stop = cluster[-1][1] + MIN_DISTANCE // 2 - 1
+
+        window = None
+        if windows:
+            for (a, b), w in windows.items():
+                if a <= start < stop <= b:
+                    window = w
+                    break
+        if window is None:
+            try:
+                wins = [src(chromosome, max(0, start - FLANKING_BASES),
+                            stop + FLANKING_BASES) for src in read_sources]
+                reads = [r for w in wins for r in w.reads]
+                window = Window(reads, start, stop, ref_view, chromosome,
+                                hybrid=hybrid, pacbio=pacbio,
+                                hybrid_hotspot=hybrid_hotspot,
+                                include_hp=include_hp,
+                                q_threshold=q_threshold, min_mapq=min_mapq,
+                                reassembly_size=reassembly_size)
+            except LocationOutOfBounds:
+                continue
+
+        window.assemble_region()
+        site_cluster = window.cluster
+        if not site_cluster:
+            continue
+
+        for sub_cluster, segment, seg_start in split_clusters(
+                site_cluster, ref_view, max_items_per_group):
+            records: List[CandidateRecord] = []
+            for spot in sub_cluster:
+                ref_allele = segment[spot[0] - seg_start: spot[1] - seg_start]
+                if not ref_allele:
+                    continue
+                alleles = sorted(set(window.determine_alleles_in_region(*spot)))
+                records.append(make_candidate_record(
+                    chromosome, spot[0], ref_allele, alleles))
+            if not records:
+                continue
+            records.sort(key=lambda r: r.position)
+
+            if labeler is not None:
+                records = labeler(chromosome, window, sub_cluster, segment,
+                                  seg_start, records)
+                if records is None:
+                    yield SiteWork(chromosome, start, stop, [], [], None, None,
+                                   labels=None, site_label=None)
+                    continue
+
+            for record in records:
+                yield _site_tensors(window, record, hybrid, include_hp,
+                                    feature_length, max_allele_length,
+                                    ref_view, channels)
+
+
+def _site_tensors(window: Window, record: CandidateRecord, hybrid: bool,
+                  include_hp: bool, feature_length: int,
+                  max_allele_length: int, ref_view, channels: int
+                  ) -> Optional[SiteWork]:
+    """Tensors for one candidate record (reference trainDataTools.createTensors:880-977)."""
+    start, stop = record.position, record.stop
+    window.assemble(start, stop)
+
+    truth_alleles = set(record.alleles()[g] for g in record.gt if g >= 0)
+
+    alleles, tensors0, tensors1, labels = [], [], [], []
+    for allele in record.alleles():
+        supports = window.num_reads_supporting_allele(allele, False)
+        if hybrid:
+            supports += window.num_reads_supporting_allele(allele, True)
+        if supports == 0:
+            continue
+        if len(allele) > max_allele_length:
+            continue
+        alleles.append(allele)
+        labels.append(1 if allele in truth_alleles else 0)
+        tensors0.append(window.compute_features(allele, 0))
+        if hybrid:
+            tensors1.append(window.compute_features(allele, 1))
+
+    if not alleles:
+        return None
+
+    mid = (start + stop) // 2
+    left = mid - feature_length // 2
+    seg = one_hot_ref_segment(ref_view[left:left + feature_length])
+
+    site_label = 0 if sum(labels) <= 1 else 1
+    return SiteWork(
+        chromosome=record.chromosome, start=start, stop=stop,
+        alleles=alleles, tensors0=tensors0,
+        tensors1=tensors1 if hybrid else None,
+        ref_segment=seg, labels=labels, site_label=site_label)

@@ -1,0 +1,165 @@
+"""Hotspot detection over genomic regions.
+
+Mirrors the reference driver flow (reference python/HotspotDetectorDVFiltered.py
++ python/PileupDataTools.py): chunk a region (400bp Illumina / 10kbp PacBio),
+run the window engine per chunk with non-strict region clustering, emit sorted
+hotspot positions; then cluster positions into active regions and re-run the
+engine per active region to get precise candidate intervals.
+"""
+
+from __future__ import annotations
+
+import random
+from typing import Dict, List, Optional, Sequence, Tuple
+
+from ..constants import (
+    CHUNK_SIZE_ILLUMINA, CHUNK_SIZE_PACBIO, FLANKING_BASES,
+    MAX_NUM_READS_ILLUMINA, MAX_NUM_READS_PACBIO, MIN_DISTANCE,
+    READ_RATE_ILLUMINA, READ_RATE_PACBIO,
+)
+from ..io.bam import BamReader
+from ..io.fasta import ChromView, FastaFile
+from ..reads import ReadWindow
+from ..window import LocationOutOfBounds, Window
+
+
+class ReadSource:
+    """Region read fetcher with caps/prorating
+    (reference PileupDataTools.ReadSampler:129-158)."""
+
+    def __init__(self, bam: BamReader, read_rate, pacbio: bool,
+                 prorate: bool = True, rng: Optional[random.Random] = None):
+        self.bam = bam
+        self.read_rate = read_rate
+        self.pacbio = pacbio
+        self.prorate = prorate
+        self.rng = rng or random.Random(13)
+
+    def __call__(self, chromosome: str, start: int, stop: int) -> ReadWindow:
+        if self.prorate:
+            cap, per = self.read_rate
+            if stop - start > per:
+                max_reads = int(cap / per * (stop - start))
+            else:
+                max_reads = cap
+        else:
+            max_reads = self.read_rate if isinstance(self.read_rate, int) \
+                else self.read_rate[0]
+        reads = list(self.bam.fetch(chromosome, start, stop))
+        for r in reads:
+            r.pacbio = self.pacbio
+        return ReadWindow(reads, chromosome, start, stop - start,
+                          max_reads=max_reads, rng=self.rng)
+
+
+def make_read_sources(bam_paths: Sequence[str], pacbio: bool,
+                      for_hotspots: bool = False,
+                      rng: Optional[random.Random] = None) -> List[ReadSource]:
+    """Open BAMs as read sources; hybrid mode = [illumina, pacbio]."""
+    sources = []
+    hybrid = len(bam_paths) > 1
+    for i, path in enumerate(bam_paths):
+        is_pb = (i > 0) if hybrid else pacbio
+        reader = BamReader(path, pacbio=is_pb)
+        if for_hotspots:
+            rate = MAX_NUM_READS_PACBIO if is_pb else MAX_NUM_READS_ILLUMINA
+            sources.append(ReadSource(reader, rate, is_pb, prorate=False, rng=rng))
+        else:
+            rate = READ_RATE_PACBIO if is_pb else READ_RATE_ILLUMINA
+            sources.append(ReadSource(reader, rate, is_pb, prorate=True, rng=rng))
+    return sources
+
+
+def detect_hotspots(read_sources: Sequence[ReadSource], ref: FastaFile,
+                    chromosome: str, start: int, stop: int,
+                    pacbio: bool = False, hybrid_hotspot: bool = False,
+                    q_threshold: int = 10, min_mapq: int = 10) -> List[int]:
+    """Hotspot positions in [start, stop) (reference HotspotDetectorDVFiltered
+    doOneChunk/hotspotGenerator*)."""
+    hybrid = len(read_sources) > 1
+    chunk_size = CHUNK_SIZE_PACBIO if (pacbio or hybrid) else CHUNK_SIZE_ILLUMINA
+    ref_view = ChromView(ref, chromosome)
+    positions: Dict[int, None] = {}
+    pos = start
+    while pos < stop:
+        end = min(pos + chunk_size, stop)
+        windows = [src(chromosome, pos, end) for src in read_sources]
+        reads = [r for w in windows for r in w.reads]
+        if reads:
+            try:
+                window = Window(
+                    reads, pos, end, ref_view, chromosome,
+                    hybrid=hybrid, pacbio=pacbio,
+                    hybrid_hotspot=hybrid_hotspot,
+                    q_threshold=q_threshold, min_mapq=min_mapq)
+                for left, right in window.differing_regions(strict=False):
+                    for j in range(left, right):
+                        positions[j] = None
+            except LocationOutOfBounds:
+                pass
+        pos = end
+    return sorted(positions)
+
+
+def cluster_hotspots(positions: Sequence[int], distance: int = MIN_DISTANCE
+                     ) -> List[Tuple[int, int]]:
+    """Group hotspot positions into active regions
+    [first - d//2, last + d//2) (reference PileupDataTools.hotspotsReader)."""
+    regions = []
+    cluster: List[int] = []
+    for p in positions:
+        if cluster and p - cluster[-1] > distance:
+            regions.append((cluster[0] - distance // 2, cluster[-1] + distance // 2))
+            cluster = []
+        cluster.append(p)
+    if cluster:
+        regions.append((cluster[0] - distance // 2, cluster[-1] + distance // 2))
+    return regions
+
+
+def merge_intervals(intervals: Sequence[Tuple[int, int]]) -> List[Tuple[int, int]]:
+    """Merge overlapping [start, stop) intervals."""
+    out: List[Tuple[int, int]] = []
+    for a, b in sorted(intervals):
+        if out and a <= out[-1][1]:
+            out[-1] = (out[-1][0], max(out[-1][1], b))
+        else:
+            out.append((a, b))
+    return out
+
+
+def candidate_intervals(read_sources: Sequence[ReadSource], ref: FastaFile,
+                        chromosome: str, active_regions: Sequence[Tuple[int, int]],
+                        pacbio: bool = False, hybrid_hotspot: bool = False,
+                        q_threshold: int = 10, min_mapq: int = 10,
+                        include_hp: bool = False,
+                        reassembly_size: int = 10,
+                        provide_windows: bool = False):
+    """Precise candidate intervals per active region
+    (reference PileupDataTools.candidateReader:302-385).
+
+    Returns (intervals, windows) where windows maps an active region to its
+    constructed Window for reuse during tensor generation.
+    """
+    hybrid = len(read_sources) > 1
+    ref_view = ChromView(ref, chromosome)
+    intervals: List[Tuple[int, int]] = []
+    windows = {}
+    for start, stop in active_regions:
+        try:
+            wins = [src(chromosome, max(0, start - FLANKING_BASES),
+                        stop + FLANKING_BASES) for src in read_sources]
+            reads = [r for w in wins for r in w.reads]
+            window = Window(reads, start, stop, ref_view, chromosome,
+                            hybrid=hybrid, pacbio=pacbio,
+                            hybrid_hotspot=hybrid_hotspot,
+                            q_threshold=q_threshold, min_mapq=min_mapq,
+                            include_hp=include_hp,
+                            reassembly_size=reassembly_size)
+        except LocationOutOfBounds:
+            continue
+        regions = window.differing_regions(strict=True)
+        intervals.extend(regions)
+        if provide_windows:
+            windows[(start, stop)] = window
+    return merge_intervals(intervals), windows

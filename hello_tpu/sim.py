@@ -1,0 +1,198 @@
+"""Synthetic diploid read simulation for tests, demos, and benchmarks.
+
+Generates a random reference, plants phased variants (SNVs, insertions,
+deletions) on two haplotypes, samples error-free reads with exact CIGARs, and
+writes FASTA / BAM / truth-VCF artifacts.  The reference repository has no
+simulator; end-to-end validation here runs entirely on simulated data, where
+the truth set is known by construction.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import random
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from .io.bam import write_bam
+from .io.fasta import write_fasta
+from .io.vcf import VcfRecord, write_vcf
+from .reads import AlignedRead, FLAG_PROPER_PAIR, FLAG_PAIRED, FLAG_REVERSE
+from .constants import BAM_CDEL, BAM_CINS, BAM_CMATCH
+
+
+@dataclasses.dataclass
+class Variant:
+    position: int       # 0-based
+    ref: str
+    alt: str
+    genotype: Tuple[int, int]  # per-haplotype: 0 = ref, 1 = alt
+
+
+def random_reference(length: int, rng: random.Random) -> str:
+    return "".join(rng.choice("ACGT") for _ in range(length))
+
+
+def plant_variants(ref: str, num: int, rng: random.Random,
+                   min_gap: int = 120, start: int = 300) -> List[Variant]:
+    """Plant well-separated variants of mixed types and genotypes."""
+    variants = []
+    pos = start
+    while len(variants) < num and pos < len(ref) - 300:
+        pos += rng.randint(min_gap, min_gap * 2)
+        if pos >= len(ref) - 300:
+            break
+        kind = rng.choice(["snv", "snv", "ins", "del"])
+        gt = rng.choice([(0, 1), (1, 0), (1, 1)])
+        base = ref[pos]
+        if kind == "snv":
+            alt = rng.choice([b for b in "ACGT" if b != base])
+            variants.append(Variant(pos, base, alt, gt))
+        elif kind == "ins":
+            ins = "".join(rng.choice("ACGT") for _ in range(rng.randint(1, 4)))
+            variants.append(Variant(pos, base, base + ins, gt))
+        else:
+            dlen = rng.randint(1, 4)
+            variants.append(Variant(pos, ref[pos:pos + dlen + 1], base, gt))
+    return variants
+
+
+def _haplotype_columns(ref: str, variants: Sequence[Variant], hap: int):
+    """Expand a haplotype into (ref_pos|None, base) columns.
+
+    Insertion bases carry ref_pos None; deleted reference positions are
+    skipped, which reads detect as jumps between adjacent M columns.
+    """
+    columns: List[Tuple[Optional[int], str]] = []
+    rpos = 0
+    for v in sorted(variants, key=lambda x: x.position):
+        if not v.genotype[hap]:
+            continue
+        while rpos < v.position:
+            columns.append((rpos, ref[rpos]))
+            rpos += 1
+        if len(v.ref) == 1 and len(v.alt) == 1:          # SNV
+            columns.append((rpos, v.alt))
+            rpos += 1
+        elif len(v.alt) > len(v.ref):                     # insertion
+            columns.append((rpos, v.alt[0]))
+            for b in v.alt[1:]:
+                columns.append((None, b))
+            rpos += 1
+        else:                                             # deletion
+            columns.append((rpos, v.alt))
+            rpos += len(v.ref)
+    while rpos < len(ref):
+        columns.append((rpos, ref[rpos]))
+        rpos += 1
+    return columns
+
+
+def _read_from_columns(columns, start_col: int, length: int, name: str,
+                       chromosome: str, qual: int, mapq: int, reverse: bool,
+                       pacbio: bool, hp: int) -> Optional[AlignedRead]:
+    cols = columns[start_col:start_col + length]
+    if len(cols) < length:
+        return None
+    # trim leading/trailing insertion columns so alignments start/end on M
+    while cols and cols[0][0] is None:
+        cols = cols[1:]
+    while cols and cols[-1][0] is None:
+        cols = cols[:-1]
+    if not cols:
+        return None
+    seq = "".join(b for _p, b in cols)
+    cigars: List[Tuple[int, int]] = []
+    prev_ref = None
+    for p, _b in cols:
+        if p is None:
+            op = BAM_CINS
+            advance = 0
+        else:
+            if prev_ref is not None and p > prev_ref + 1:
+                gap = p - prev_ref - 1
+                cigars.append((BAM_CDEL, gap))
+            op = BAM_CMATCH
+            advance = 1
+        if cigars and cigars[-1][0] == op:
+            cigars[-1] = (op, cigars[-1][1] + 1)
+        else:
+            cigars.append((op, 1))
+        if p is not None:
+            prev_ref = p
+    flag = FLAG_REVERSE if reverse else 0
+    return AlignedRead(
+        name=name, flag=flag, chromosome=chromosome,
+        reference_start=cols[0][0], mapq=mapq, cigartuples=cigars,
+        sequence=seq, qualities=[qual] * len(seq), hp=hp, pacbio=pacbio)
+
+
+def simulate_reads(ref: str, variants: Sequence[Variant], chromosome: str,
+                   coverage: float, read_length: int, rng: random.Random,
+                   qual: int = 30, mapq: int = 60, pacbio: bool = False,
+                   hp_tags: bool = False, name_prefix: str = "read") -> List[AlignedRead]:
+    columns = [_haplotype_columns(ref, variants, h) for h in (0, 1)]
+    num_reads = int(coverage * len(ref) / read_length)
+    reads = []
+    for i in range(num_reads):
+        hap = rng.randint(0, 1)
+        start = rng.randint(0, max(0, len(columns[hap]) - read_length))
+        read = _read_from_columns(
+            columns[hap], start, read_length, f"{name_prefix}{i}", chromosome,
+            qual, mapq, reverse=bool(i % 2), pacbio=pacbio,
+            hp=(hap + 1) if hp_tags else 0)
+        if read is not None:
+            reads.append(read)
+    reads.sort(key=lambda r: r.reference_start)
+    return reads
+
+
+@dataclasses.dataclass
+class SimulatedDataset:
+    fasta: str
+    bams: Dict[str, str]          # platform name -> path
+    truth_vcf: str
+    chromosome: str
+    reference: str
+    variants: List[Variant]
+
+
+def make_dataset(outdir: str, ref_length: int = 8000, num_variants: int = 20,
+                 coverage: float = 30.0, read_length: int = 120,
+                 seed: int = 13, chromosome: str = "chrS",
+                 platforms: Sequence[str] = ("illumina",),
+                 pacbio_read_length: int = 1500,
+                 hp_tags: bool = False) -> SimulatedDataset:
+    """Write a complete simulated dataset into ``outdir``."""
+    import os
+    os.makedirs(outdir, exist_ok=True)
+    rng = random.Random(seed)
+    ref = random_reference(ref_length, rng)
+    variants = plant_variants(ref, num_variants, rng)
+
+    fasta_path = os.path.join(outdir, "ref.fa")
+    write_fasta(fasta_path, {chromosome: ref})
+
+    bams = {}
+    for platform in platforms:
+        pacbio = platform == "pacbio"
+        rlen = pacbio_read_length if pacbio else read_length
+        reads = simulate_reads(
+            ref, variants, chromosome, coverage, min(rlen, ref_length // 2),
+            rng, pacbio=pacbio, hp_tags=hp_tags and pacbio,
+            name_prefix=f"{platform}_")
+        path = os.path.join(outdir, f"{platform}.bam")
+        write_bam(path, [(chromosome, len(ref))], reads)
+        bams[platform] = path
+
+    truth_path = os.path.join(outdir, "truth.vcf")
+    records = []
+    for v in variants:
+        gt = (0, v.genotype.count(1)) if v.genotype != (1, 1) else (1, 1)
+        records.append(VcfRecord(chromosome, v.position, v.ref, [v.alt],
+                                 (v.genotype[0], v.genotype[1]), qual=50.0))
+    write_vcf(truth_path, records, contigs={chromosome: len(ref)})
+
+    return SimulatedDataset(fasta_path, bams, truth_path, chromosome, ref,
+                            list(variants))

@@ -1,0 +1,129 @@
+"""I/O tests: BAM roundtrip, FASTA indexing, VCF normalisation, simulator sanity."""
+
+import os
+
+import numpy as np
+import pytest
+
+from hello_tpu import sim
+from hello_tpu.constants import BAM_CDEL, BAM_CINS, BAM_CMATCH
+from hello_tpu.io.bam import BamReader, write_bam
+from hello_tpu.io.fasta import FastaFile, write_fasta, ChromView
+from hello_tpu.io.vcf import (VcfRecord, make_record, normalize_site, read_vcf,
+                              write_vcf)
+from hello_tpu.reads import AlignedRead
+
+
+def test_bam_roundtrip(tmp_path):
+    reads = [
+        AlignedRead("r1", 16, "chr1", 100, 60,
+                    [(BAM_CMATCH, 10), (BAM_CDEL, 2), (BAM_CMATCH, 5)],
+                    "ACGTACGTACGTACG", list(range(15)), hp=2),
+        AlignedRead("r2", 0, "chr1", 200, 33,
+                    [(BAM_CMATCH, 8), (BAM_CINS, 3), (BAM_CMATCH, 4)],
+                    "TTTTGGGGCCCAAGG"[:15], [40] * 15, hp=0),
+        AlignedRead("r3", 0, "chr2", 50, 10, [(BAM_CMATCH, 6)],
+                    "ACGTAC", [20] * 6),
+    ]
+    path = str(tmp_path / "test.bam")
+    write_bam(path, [("chr1", 1000), ("chr2", 500)], reads)
+
+    reader = BamReader(path)
+    assert reader.references == [("chr1", 1000), ("chr2", 500)]
+    got = list(reader)
+    assert len(got) == 3
+    for orig, rt in zip(reads, got):
+        assert rt.name == orig.name
+        assert rt.flag == orig.flag
+        assert rt.chromosome == orig.chromosome
+        assert rt.reference_start == orig.reference_start
+        assert rt.mapq == orig.mapq
+        assert rt.cigartuples == orig.cigartuples
+        assert rt.sequence == orig.sequence
+        assert rt.qualities == orig.qualities
+        assert rt.hp == orig.hp
+
+    # region fetch overlap semantics
+    assert [r.name for r in reader.fetch("chr1", 0, 101)] == ["r1"]
+    assert [r.name for r in reader.fetch("chr1", 110, 120)] == ["r1"]
+    assert [r.name for r in reader.fetch("chr1", 117, 300)] == ["r2"]
+    assert [r.name for r in reader.fetch("chr2", 0, 500)] == ["r3"]
+    assert [r.name for r in reader.fetch("chr3", 0, 10)] == []
+
+
+def test_fasta_roundtrip(tmp_path):
+    seqs = {"chr1": "ACGTACGTACGTACGTACGT" * 7, "chr2": "TTTTACGGA"}
+    path = str(tmp_path / "ref.fa")
+    write_fasta(path, seqs, line_width=13)
+    f = FastaFile(path)
+    assert f.chromosomes() == ["chr1", "chr2"]
+    assert f.length("chr1") == 140
+    assert f.fetch("chr1", 0, 140) == seqs["chr1"]
+    assert f.fetch("chr1", 25, 40) == seqs["chr1"][25:40]
+    assert f.fetch("chr2", 3, 9) == seqs["chr2"][3:9]
+    view = ChromView(f, "chr1")
+    assert view[10:23] == seqs["chr1"][10:23]
+    assert len(view) == 140
+
+
+def test_vcf_normalization():
+    ref_seq = "ACGTACGTAC"
+    ref_lookup = lambda chrom, pos: ref_seq[pos]
+    # deletion 'TAC' -> 'T' stays put
+    pos, ref, alts = normalize_site("c", 3, "TAC", ["T"], ref_lookup)
+    assert (pos, ref, alts) == (3, "TAC", ["T"])
+    # trailing shared base trimmed: TACG/TG -> TAC/T
+    pos, ref, alts = normalize_site("c", 3, "TACG", ["TG"], ref_lookup)
+    assert (pos, ref, alts) == (3, "TAC", ["T"])
+    # empty alt gets left extension: pos 4 'AC'->'' becomes pos 3 'TAC'->'T'
+    pos, ref, alts = normalize_site("c", 4, "AC", [""], ref_lookup)
+    assert (pos, ref, alts) == (3, "TAC", ["T"])
+    # left parsimony: AAC->AAT trims to C->T
+    pos, ref, alts = normalize_site("c", 3, "TAC", ["TAT"], ref_lookup)
+    assert (pos, ref, alts) == (5, "C", ["T"])
+
+
+def test_vcf_roundtrip(tmp_path):
+    records = [
+        VcfRecord("chr2", 99, "A", ["T"], (0, 1), qual=50.0),
+        VcfRecord("chr1", 9, "AC", ["A"], (1, 1), qual=30.0),
+    ]
+    path = str(tmp_path / "out.vcf")
+    write_vcf(path, records, contigs={"chr1": 1000, "chr2": 1000})
+    got = read_vcf(path)
+    # sorted on write
+    assert [r.chromosome for r in got] == ["chr1", "chr2"]
+    assert got[0].position == 9 and got[0].ref == "AC" and got[0].alt == ["A"]
+    assert got[0].gt == (1, 1)
+    assert got[1].gt == (0, 1)
+
+
+def test_simulator_consistency(tmp_path):
+    """Simulated reads must re-align perfectly: walking each read's cigar
+    against the reference reproduces its sequence outside variant sites."""
+    ds = sim.make_dataset(str(tmp_path), ref_length=4000, num_variants=8,
+                          coverage=20, read_length=100, seed=7)
+    reader = BamReader(ds.bams["illumina"])
+    reads = list(reader)
+    assert len(reads) > 100
+    var_positions = set()
+    for v in ds.variants:
+        var_positions.update(range(v.position, v.position + len(v.ref)))
+    checked = 0
+    for read in reads[:200]:
+        rf, rd = read.reference_start, 0
+        for op, length in read.cigartuples:
+            if op == BAM_CMATCH:
+                for j in range(length):
+                    if (rf + j) not in var_positions:
+                        assert read.sequence[rd + j] == ds.reference[rf + j]
+                        checked += 1
+                rf += length
+                rd += length
+            elif op == BAM_CDEL:
+                rf += length
+            elif op == BAM_CINS:
+                rd += length
+    assert checked > 1000
+    truth = read_vcf(ds.truth_vcf)
+    assert len(truth) == len(ds.variants)
