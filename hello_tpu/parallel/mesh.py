@@ -1,0 +1,46 @@
+"""Device mesh and sharding utilities.
+
+The model is small (~10M params), so the parallelism story is pure data
+parallel (matching the reference's DDP over NCCL,
+reference MixtureOfExpertsDNNFastDistributed.py:928-930): weights replicated,
+batches sharded over a 1-axis ``data`` mesh, gradients psum-reduced over ICI.
+Genome-scale inference additionally shards *regions* across hosts
+(deterministic assignment by process index) — that part needs no collectives
+until the final VCF merge.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence, Tuple
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def data_mesh(num_devices: Optional[int] = None) -> Mesh:
+    """1-axis data-parallel mesh over the first ``num_devices`` devices."""
+    devices = jax.devices()
+    if num_devices is not None:
+        devices = devices[:num_devices]
+    return Mesh(np.array(devices), axis_names=("data",))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def batch_sharded(mesh: Mesh) -> NamedSharding:
+    """Shard the leading (device) axis of stacked batches over 'data'."""
+    return NamedSharding(mesh, P("data"))
+
+
+def shard_regions(regions: Sequence[Tuple[str, int, int]], process_index: int,
+                  process_count: int) -> list:
+    """Deterministic round-robin region assignment for multi-host inference.
+
+    Every host computes the same global ordering and takes its slice — no
+    coordination needed (the reference shards analogously by handing
+    different shard files to different worker processes)."""
+    ordered = sorted(regions)
+    return [r for i, r in enumerate(ordered) if i % process_count == process_index]

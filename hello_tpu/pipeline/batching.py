@@ -70,7 +70,6 @@ class PaddedBatch:
             "site_ids": self.site_ids,
             "allele_mask": self.allele_mask,
             "ref_segments": self.ref_segments,
-            "num_sites": self.num_sites,
         }
         if self.reads1 is not None:
             d["reads1"] = self.reads1
@@ -160,6 +159,21 @@ def pack_sites(
         num_sites=S, sites=list(sites), allele_site_index=index,
         labels=labels if has_labels else None,
     )
+
+
+def stack_device_batches(batches: Sequence[dict]) -> dict:
+    """Stack per-device batch dicts (identical shapes) along a new leading
+    device axis for sharded training steps."""
+    keys = batches[0].keys()
+    return {k: np.stack([b[k] for b in batches], axis=0) for k in keys}
+
+
+def training_dict(batch: PaddedBatch) -> dict:
+    """Device dict + labels for training."""
+    d = batch.device_dict()
+    assert batch.labels is not None, "training batches need labels"
+    d["labels"] = batch.labels
+    return d
 
 
 def group_sites_for_batching(sites: Sequence[SiteWork], max_alleles_per_batch: int = 128):

@@ -41,20 +41,18 @@ class Scorer:
         self.params = params
         self.state = state
 
-        def forward(params, state, num_sites, batch):
-            out, _ = model.apply(params, state, dict(batch, num_sites=num_sites),
-                                 train=False)
+        def forward(params, state, batch):
+            out, _ = model.apply(params, state, batch, train=False)
             return out
 
-        # num_sites drives static shapes (one-hot segment sums), so it must be
-        # a compile-time constant; bucketed batch shapes keep recompiles rare
-        self._jitted = jax.jit(forward, static_argnames=("num_sites",))
+        # the number of padded sites is carried by ref_segments' static shape;
+        # bucketed batch shapes keep recompiles rare
+        self._jitted = jax.jit(forward)
         self._jax = jax
 
     def __call__(self, batch: PaddedBatch):
         d = batch.device_dict()
-        num_sites = d.pop("num_sites")
-        out = self._jitted(self.params, self.state, num_sites, d)
+        out = self._jitted(self.params, self.state, d)
         experts = np.asarray(out["experts"])
         meta = None if out["meta"] is None else np.asarray(out["meta"])
         return experts, meta
