@@ -105,6 +105,10 @@ def pack_sites(
     num_alleles = sum(len(s.alleles) for s in sites)
     A = _bucket(max(num_alleles, 1), allele_buckets)
     S = _bucket(max(len(sites), 1), site_buckets)
+    if len(sites) > S or num_alleles > A:
+        raise ValueError(
+            f"group of {len(sites)} sites / {num_alleles} alleles exceeds "
+            f"buckets (S={S}, A={A}); lower the grouping budgets")
 
     max_r0 = 1
     max_r1 = 1
@@ -176,13 +180,15 @@ def training_dict(batch: PaddedBatch) -> dict:
     return d
 
 
-def group_sites_for_batching(sites: Sequence[SiteWork], max_alleles_per_batch: int = 128):
-    """Greedily group sites so each batch stays under an allele budget."""
+def group_sites_for_batching(sites: Sequence[SiteWork], max_alleles_per_batch: int = 128,
+                             max_sites_per_batch: Optional[int] = None):
+    """Greedily group sites so each batch stays under allele/site budgets."""
     group: List[SiteWork] = []
     count = 0
     for s in sites:
         n = len(s.alleles)
-        if group and count + n > max_alleles_per_batch:
+        if group and (count + n > max_alleles_per_batch or
+                      (max_sites_per_batch and len(group) >= max_sites_per_batch)):
             yield group
             group, count = [], 0
         group.append(s)

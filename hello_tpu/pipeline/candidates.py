@@ -108,7 +108,8 @@ def generate_sites(read_sources: Sequence[ReadSource], ref: FastaFile,
                    max_items_per_group: int = 1024,
                    q_threshold: int = 10, min_mapq: int = 10,
                    reassembly_size: int = 10,
-                   labeler=None) -> Iterator[SiteWork]:
+                   labeler=None, stats: Optional[Dict[str, int]] = None
+                   ) -> Iterator[SiteWork]:
     """Yield SiteWork per candidate site.
 
     ``windows``: optional reuse of Window objects built during candidate
@@ -169,8 +170,16 @@ def generate_sites(read_sources: Sequence[ReadSource], ref: FastaFile,
                 records = labeler(chromosome, window, sub_cluster, segment,
                                   seg_start, records)
                 if records is None:
-                    yield SiteWork(chromosome, start, stop, [], [], None, None,
-                                   labels=None, site_label=None)
+                    # labeling region too long (reference yields TOO_LONG)
+                    if stats is not None:
+                        stats["too_long"] = stats.get("too_long", 0) + 1
+                    continue
+                if records and -1 in records[0].gt:
+                    # truth haplotypes unmatched (reference yields MISSED)
+                    if stats is not None:
+                        stats["missed"] = stats.get("missed", 0) + 1
+                    continue
+                if not records:
                     continue
 
             for record in records:

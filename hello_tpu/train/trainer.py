@@ -47,6 +47,7 @@ class TrainConfig:
     aux_weight: float = 0.0
     class_weights: Tuple[float, float] = (1.0, 1.0)
     binary: bool = False             # BCE loss for no-ensemble models
+    grad_clip_norm: float = 10.0     # 0 disables global-norm clipping
 
 
 def make_optimizer(config: TrainConfig):
@@ -65,6 +66,8 @@ def make_optimizer(config: TrainConfig):
             optax.add_decayed_weights(config.weight_decay),
             optax.sgd(schedule, momentum=config.momentum),
         )
+    if config.grad_clip_norm and config.grad_clip_norm > 0:
+        tx = optax.chain(optax.clip_by_global_norm(config.grad_clip_norm), tx)
     return tx
 
 

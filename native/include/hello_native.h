@@ -1,0 +1,127 @@
+/* hello_native — C API for the TPU-native variant-calling host engine.
+ *
+ * Native implementation of the host-side candidate search: per-position
+ * allele counting, hotspot detection, allele assembly, support maps, and
+ * colored pileup featurization, plus a BGZF/BAM loader.  The pure-Python
+ * engine in hello_tpu/{counts,assembly,featurize}.py is the semantic
+ * reference; this library implements the same contract for production
+ * throughput and is validated against it by fuzz tests.
+ *
+ * All buffers cross the boundary as flat arrays (ctypes/numpy friendly).
+ * Coordinates are 0-based half-open.
+ */
+
+#ifndef HELLO_NATIVE_H
+#define HELLO_NATIVE_H
+
+#include <stdint.h>
+#include <stddef.h>
+
+#ifdef __cplusplus
+extern "C" {
+#endif
+
+/* ---- window engine ---- */
+
+typedef struct htpu_window htpu_window;
+
+typedef struct {
+    double snv_threshold;     /* default 0.12 */
+    double indel_threshold;   /* default 0.12 */
+    int min_count;            /* default 2 */
+    int min_mapq;             /* default 10 */
+    int q_threshold;          /* default 10 */
+    int max_allele_size;      /* default 100 */
+    int band_margin;          /* default 6 */
+    int max_reassembly_region_size; /* default 10 */
+} htpu_params;
+
+void htpu_default_params(htpu_params* out);
+
+/* Create a window over reads.  seq/qual are concatenated per-read buffers
+ * with offsets[n+1]; cigars are packed (length<<4 | op) uint32 with their own
+ * offsets; orientation is +1/-1; pacbio/hp flags per read. */
+htpu_window* htpu_window_create(
+    const char* reference, int64_t ref_len, int64_t window_start,
+    int64_t region_start, int64_t region_stop,
+    int32_t num_reads,
+    const char* seqs, const int64_t* seq_offsets,
+    const uint8_t* quals,
+    const uint32_t* cigars, const int64_t* cigar_offsets,
+    const int64_t* ref_starts,
+    const int32_t* mapq,
+    const int8_t* orientation,
+    const uint8_t* pacbio,
+    const int8_t* hp,
+    const htpu_params* params);
+
+void htpu_window_destroy(htpu_window* w);
+
+/* Differing regions: writes up to max_out (start, stop) pairs; returns count
+ * (which may exceed max_out — call again with a larger buffer). */
+int32_t htpu_differing_regions(htpu_window* w, int strict, int hybrid_hotspot,
+                               int64_t* out_pairs, int32_t max_out);
+
+/* Assemble alleles from reads across the given regions. */
+void htpu_assemble_region(htpu_window* w, const int64_t* region_pairs,
+                          int32_t num_regions, int reassemble);
+
+/* Alleles observed in a region (post-assembly): alleles are written
+ * NUL-separated into buf; returns the number of alleles (or -needed if the
+ * buffer is too small). */
+int32_t htpu_alleles_at(htpu_window* w, int64_t start, int64_t stop,
+                        char* buf, int64_t buf_len);
+
+/* Supported alleles at a site with read ids.  Returns number of alleles;
+ * allele strings NUL-separated in buf; counts[i] gives the number of
+ * supporting reads of allele i; read ids concatenated in read_ids. */
+int32_t htpu_supports_at(htpu_window* w, int64_t start, int64_t stop,
+                         char* buf, int64_t buf_len,
+                         int32_t* counts, int32_t max_alleles,
+                         int32_t* read_ids, int64_t max_ids);
+
+/* Number of reads of one platform supporting an allele at the assembled site. */
+int32_t htpu_num_supports(htpu_window* w, int64_t start, int64_t stop,
+                          const char* allele, int pacbio);
+
+/* Feature map for one allele at the assembled site: out must hold
+ * max_rows * feature_length * channels uint8.  Returns the number of rows
+ * written (>= 1; a single zero row when no support). */
+int32_t htpu_features(htpu_window* w, int64_t start, int64_t stop,
+                      const char* allele, int32_t feature_length,
+                      int pacbio, int include_hp,
+                      uint8_t* out, int32_t max_rows);
+
+/* ---- BAM loader ---- */
+
+typedef struct htpu_bam htpu_bam;
+
+/* Load and decode a whole BAM file into flat arrays. Returns NULL on error. */
+htpu_bam* htpu_bam_open(const char* path);
+void htpu_bam_close(htpu_bam* b);
+
+int32_t htpu_bam_num_refs(htpu_bam* b);
+const char* htpu_bam_ref_name(htpu_bam* b, int32_t i);
+int64_t htpu_bam_ref_len(htpu_bam* b, int32_t i);
+
+int64_t htpu_bam_num_reads(htpu_bam* b);
+/* Flat array accessors (valid until htpu_bam_close). */
+const char* htpu_bam_seqs(htpu_bam* b);
+const int64_t* htpu_bam_seq_offsets(htpu_bam* b);
+const uint8_t* htpu_bam_quals(htpu_bam* b);
+const uint32_t* htpu_bam_cigars(htpu_bam* b);
+const int64_t* htpu_bam_cigar_offsets(htpu_bam* b);
+const int64_t* htpu_bam_ref_starts(htpu_bam* b);
+const int64_t* htpu_bam_ref_ends(htpu_bam* b);
+const int32_t* htpu_bam_ref_ids(htpu_bam* b);
+const int32_t* htpu_bam_mapqs(htpu_bam* b);
+const uint16_t* htpu_bam_flags(htpu_bam* b);
+const int8_t* htpu_bam_hps(htpu_bam* b);
+const char* htpu_bam_names(htpu_bam* b);
+const int64_t* htpu_bam_name_offsets(htpu_bam* b);
+
+#ifdef __cplusplus
+}
+#endif
+
+#endif /* HELLO_NATIVE_H */

@@ -1,0 +1,834 @@
+// Window engine: allele counting, hotspot detection, assembly, featurization.
+//
+// Native mirror of hello_tpu/{counts,assembly,featurize,window}.py (which in
+// turn reproduce the semantics of the original HELLO native engine:
+// reference c++/src/AlleleSearcherLiteFiltered.cpp, Read.cpp).  Validated
+// against the Python engine by fuzz tests (tests/test_native.py).
+
+#include "hello_native.h"
+
+#include <algorithm>
+#include <cassert>
+#include <cstring>
+#include <map>
+#include <memory>
+#include <set>
+#include <string>
+#include <unordered_map>
+#include <unordered_set>
+#include <vector>
+
+namespace {
+
+// BAM cigar ops
+enum { OP_M = 0, OP_I = 1, OP_D = 2, OP_N = 3, OP_S = 4, OP_H = 5, OP_P = 6,
+       OP_EQ = 7, OP_X = 8 };
+
+using AlleleKey = std::pair<std::string, std::string>;
+
+struct AlleleCounts {
+    int64_t pos = 0;
+    int32_t ref_count = 0;
+    int32_t total = 0;
+    std::map<AlleleKey, int32_t> alt;
+    std::map<AlleleKey, int32_t> left_partial;
+    std::map<AlleleKey, int32_t> right_partial;
+
+    void resolve_partials() {
+        for (int side = 0; side < 2; side++) {
+            bool from_left = (side == 0);
+            auto& partials = from_left ? left_partial : right_partial;
+            // collect matches first (alt must not change while matching)
+            std::vector<std::pair<AlleleKey, std::vector<AlleleKey>>> matches;
+            for (auto& kv : partials) {
+                const std::string& alt_allele = kv.first.second;
+                std::vector<AlleleKey> matched;
+                for (auto& full : alt) {
+                    const std::string& full_alt = full.first.second;
+                    if (full_alt.size() < alt_allele.size()) continue;
+                    std::string piece = from_left
+                        ? full_alt.substr(full_alt.size() - alt_allele.size())
+                        : full_alt.substr(0, alt_allele.size());
+                    if (piece == alt_allele) matched.push_back(full.first);
+                }
+                matches.emplace_back(kv.first, std::move(matched));
+            }
+            for (auto& m : matches) {
+                if (m.second.size() == 1) {
+                    alt[m.second[0]] += partials[m.first];
+                } else if (m.second.empty()) {
+                    alt[m.first] += partials[m.first];
+                }
+            }
+            partials.clear();
+        }
+    }
+};
+
+struct ReadView {
+    const char* seq;
+    const uint8_t* qual;
+    int64_t seq_len;
+    const uint32_t* cigars;
+    int64_t n_cigars;
+    int64_t ref_start;
+    int32_t mapq;
+    int8_t orientation;
+    bool pacbio;
+    int8_t hp;
+};
+
+struct AllelicRecord {
+    std::string allele;
+    int64_t start, stop;
+    int32_t min_q;
+};
+
+struct SiteRec {
+    std::vector<std::string> alleles;
+    int64_t start, stop;
+};
+
+// Per-read aligned-pairs expansion (mirror of assembly.ReadAlignment).
+struct ReadAlignment {
+    int32_t read_id;
+    const ReadView* rv;
+    // aligned pairs over a dense window-relative array for speed:
+    // pos -> string (insertions appended to the left anchor), quality map
+    std::unordered_map<int64_t, std::string> pairs;
+    std::unordered_map<int64_t, int32_t> quals;
+    int64_t last_position = -1;
+    bool partial_start = false, partial_stop = false;
+    std::vector<AllelicRecord> alleles;
+    AllelicRecord left_partial, right_partial;
+    bool has_left = false, has_right = false;
+    bool extracted = false;
+
+    void expand() {
+        int64_t ref_ptr = rv->ref_start;
+        int64_t rd_ptr = 0;
+        for (int64_t ci = 0; ci < rv->n_cigars; ci++) {
+            uint32_t c = rv->cigars[ci];
+            int op = c & 0xF;
+            int64_t len = c >> 4;
+            switch (op) {
+                case OP_M: case OP_EQ: case OP_X:
+                    for (int64_t i = 0; i < len; i++) {
+                        pairs[ref_ptr + i] = std::string(1, rv->seq[rd_ptr + i]);
+                        quals[ref_ptr + i] = rv->qual[rd_ptr + i];
+                        last_position = ref_ptr + i;
+                    }
+                    rd_ptr += len; ref_ptr += len;
+                    break;
+                case OP_D:
+                    for (int64_t i = 0; i < len; i++) {
+                        pairs[ref_ptr + i] = "";
+                        quals[ref_ptr + i] = 60;
+                        last_position = ref_ptr + i;
+                    }
+                    ref_ptr += len;
+                    break;
+                case OP_N:
+                    ref_ptr += len;
+                    break;
+                case OP_I: {
+                    std::string ins(rv->seq + rd_ptr, (size_t)len);
+                    int64_t anchor = ref_ptr - 1;
+                    auto it = pairs.find(anchor);
+                    if (it == pairs.end()) {
+                        pairs[anchor] = ins;
+                        partial_start = true;
+                    } else {
+                        it->second += ins;
+                        if (ci == rv->n_cigars - 1) partial_stop = true;
+                    }
+                    int32_t mq = 255;
+                    for (int64_t i = 0; i < len; i++)
+                        mq = std::min(mq, (int32_t)rv->qual[rd_ptr + i]);
+                    auto qit = quals.find(anchor);
+                    if (qit == quals.end()) quals[anchor] = mq;
+                    else qit->second = std::min(qit->second, mq);
+                    rd_ptr += len;
+                    break;
+                }
+                case OP_S:
+                    rd_ptr += len;
+                    break;
+                default:
+                    break; // H, P: no movement
+            }
+        }
+    }
+
+    // status: 0 success, 1 left partial, 2 right partial, 3 fail
+    int get_aligned_bases(int64_t start, int64_t stop, std::string& bases,
+                          int32_t& min_q) const {
+        min_q = 10000;
+        bases.clear();
+        if (!(start <= last_position && rv->ref_start < stop) || last_position == -1)
+            return 3;
+        int status;
+        bool has_start = pairs.count(start);
+        if (!has_start) status = 1;
+        else if (!pairs.count(start - 1)) status = partial_start ? 1 : 0;
+        else if (!pairs.count(stop - 1)) status = 2;
+        else if (!pairs.count(stop)) status = partial_stop ? 2 : 0;
+        else status = 0;
+        {
+            auto it = pairs.find(start);
+            if (it != pairs.end() && it->second.empty()) status = 3;
+            it = pairs.find(stop - 1);
+            if (it != pairs.end() && it->second.empty()) status = 3;
+        }
+        for (int64_t i = start; i < stop; i++) {
+            auto it = pairs.find(i);
+            if (it != pairs.end()) bases += it->second;
+            auto qit = quals.find(i);
+            if (qit != quals.end()) min_q = std::min(min_q, qit->second);
+        }
+        return status;
+    }
+
+    void extract_alleles(const std::vector<std::pair<int64_t, int64_t>>& locs) {
+        if (extracted) return;
+        for (auto& loc : locs) {
+            std::string bases;
+            int32_t min_q;
+            int status = get_aligned_bases(loc.first, loc.second, bases, min_q);
+            AllelicRecord rec{bases, loc.first, loc.second, min_q};
+            if (status == 0) alleles.push_back(std::move(rec));
+            else if (status == 1) { left_partial = rec; has_left = true; }
+            else if (status == 2) { right_partial = rec; has_right = true; }
+        }
+        extracted = true;
+    }
+};
+
+struct Window {
+    std::string reference;
+    int64_t window_start;
+    int64_t region_start, region_stop;
+    htpu_params params;
+
+    std::vector<ReadView> reads;
+    std::vector<std::string> seq_store;       // owned copies
+    std::vector<std::vector<uint8_t>> qual_store;
+    std::vector<std::vector<uint32_t>> cigar_store;
+
+    std::vector<AlleleCounts> counts_i, counts_p;
+    std::vector<std::unique_ptr<ReadAlignment>> alignments;
+    std::map<std::pair<int64_t, int64_t>, std::set<std::string>> alleles_in_regions;
+    std::map<std::pair<int64_t, int64_t>,
+             std::map<std::string, std::set<int32_t>>> supports_in_region;
+
+    char ref_at(int64_t pos) const { return reference[pos - window_start]; }
+    std::string ref_sub(int64_t start, int64_t stop) const {
+        return reference.substr(start - window_start, stop - start);
+    }
+
+    // ---- counting (mirror of counts.CountsEngine) ----
+
+    void add_to_count(AlleleCounts& c, const std::string& ref_allele,
+                      const std::string& read_allele, const uint8_t* qual,
+                      int64_t rdcounter, int64_t rdlength, bool partial,
+                      bool left, int inc) {
+        if (ref_allele.find('N') != std::string::npos ||
+            read_allele.find('N') != std::string::npos) return;
+        if (rdcounter >= 0) {
+            int32_t mq = 255;
+            for (int64_t i = 0; i < rdlength; i++)
+                mq = std::min(mq, (int32_t)qual[rdcounter + i]);
+            if (mq < params.q_threshold) return;
+        }
+        auto& table = partial ? (left ? c.left_partial : c.right_partial) : c.alt;
+        table[{ref_allele, read_allele}] += inc;
+    }
+
+    void count_reads() {
+        counts_i.resize(reference.size());
+        counts_p.resize(reference.size());
+        for (size_t i = 0; i < reference.size(); i++) {
+            counts_i[i].pos = (int64_t)i + window_start;
+            counts_p[i].pos = (int64_t)i + window_start;
+        }
+        for (auto& rv : reads) {
+            if (rv.mapq < params.min_mapq) continue;
+            auto& counts = rv.pacbio ? counts_p : counts_i;
+            int inc = rv.pacbio ? 1 : 2;
+            int64_t rf = rv.ref_start - window_start;
+            int64_t rd = 0;
+            for (int64_t ci = 0; ci < rv.n_cigars; ci++) {
+                uint32_t c = rv.cigars[ci];
+                int op = c & 0xF;
+                int64_t len = c >> 4;
+                switch (op) {
+                    case OP_M: case OP_EQ: case OP_X:
+                        for (int64_t j = 0; j < len; j++) {
+                            AlleleCounts& cnt = counts[rf + j];
+                            if (rv.seq[rd + j] != reference[rf + j]) {
+                                add_to_count(cnt, std::string(1, reference[rf + j]),
+                                             std::string(1, rv.seq[rd + j]),
+                                             rv.qual, rd + j, 1, false, false, 1);
+                            } else {
+                                cnt.ref_count++;
+                            }
+                            cnt.total++;
+                        }
+                        rd += len; rf += len;
+                        break;
+                    case OP_D: {
+                        AlleleCounts& cnt = counts[rf - 1];
+                        std::string ref_allele = reference.substr(rf - 1, len + 1);
+                        std::string read_allele = rd > 0
+                            ? std::string(1, rv.seq[rd - 1])
+                            : std::string(1, reference[rf - 1]);
+                        add_to_count(cnt, ref_allele, read_allele, rv.qual,
+                                     rd - 1, 1, false, false, inc);
+                        rf += len;
+                        break;
+                    }
+                    case OP_N:
+                        rf += len;
+                        break;
+                    case OP_I: {
+                        AlleleCounts& cnt = counts[rf - 1];
+                        std::string ref_allele(1, reference[rf - 1]);
+                        if (ci == 0) {
+                            add_to_count(cnt, ref_allele,
+                                         std::string(rv.seq + rd, (size_t)len),
+                                         rv.qual, rd, len, true, true, inc);
+                            cnt.total++;
+                        } else if (ci == rv.n_cigars - 1 && rd > 0) {
+                            add_to_count(cnt, ref_allele,
+                                         std::string(rv.seq + rd - 1, (size_t)len + 1),
+                                         rv.qual, rd - 1, len + 1, true, false, inc);
+                        } else if (rd > 0) {
+                            add_to_count(cnt, ref_allele,
+                                         std::string(rv.seq + rd - 1, (size_t)len + 1),
+                                         rv.qual, rd - 1, len + 1, false, false, inc);
+                        } else {
+                            add_to_count(cnt, ref_allele,
+                                         ref_allele + std::string(rv.seq + rd, (size_t)len),
+                                         rv.qual, rd, len, false, false, inc);
+                        }
+                        rd += len;
+                        break;
+                    }
+                    case OP_S:
+                        rd += len;
+                        break;
+                    default:
+                        break;
+                }
+            }
+        }
+        for (auto& c : counts_i) c.resolve_partials();
+        for (auto& c : counts_p) c.resolve_partials();
+    }
+
+    // ---- hotspot detection ----
+
+    void differing_locations(const std::vector<AlleleCounts>& counts,
+                             int min_snv, int min_indel,
+                             std::set<int64_t>& out) const {
+        for (auto& item : counts) {
+            if (item.total == 0) continue;
+            for (auto& kv : item.alt) {
+                const std::string& rb = kv.first.first;
+                const std::string& ab = kv.first.second;
+                double value = kv.second;
+                if (rb.size() == 1 && ab.size() == 1) {
+                    if (value / item.total >= params.snv_threshold &&
+                        value >= min_snv)
+                        out.insert(item.pos);
+                } else {
+                    if ((int64_t)std::max(rb.size(), ab.size()) >
+                        params.max_allele_size) continue;
+                    if (value / item.total >= params.indel_threshold &&
+                        value >= min_indel)
+                        for (int64_t i = item.pos;
+                             i < item.pos + (int64_t)rb.size() + 1; i++)
+                            out.insert(i);
+                }
+            }
+        }
+    }
+
+    void differing_locations_hybrid(std::set<int64_t>& out) const {
+        for (size_t idx = 0; idx < counts_i.size(); idx++) {
+            const auto& ci = counts_i[idx];
+            const auto& cp = counts_p[idx];
+            double total = ci.total + cp.total;
+            if (total == 0) continue;
+            // intentionally only Illumina allele keys (reference quirk)
+            for (auto& kv : ci.alt) {
+                const std::string& rb = kv.first.first;
+                const std::string& ab = kv.first.second;
+                double vi = kv.second;
+                double vp = 0;
+                auto it = cp.alt.find(kv.first);
+                if (it != cp.alt.end()) vp = it->second;
+                if (rb.size() == 1 && ab.size() == 1) {
+                    if ((vi + vp) / total >= params.snv_threshold &&
+                        (vi + vp) >= params.min_count)
+                        out.insert(ci.pos);
+                } else {
+                    double alt_count = vi / 2 + vp;
+                    if ((vi + vp) / total >= params.indel_threshold &&
+                        alt_count >= params.min_count)
+                        for (int64_t i = ci.pos; i < ci.pos + (int64_t)rb.size(); i++)
+                            out.insert(i);
+                }
+            }
+        }
+    }
+
+    std::vector<std::pair<int64_t, int64_t>> differing_regions(
+            bool strict, bool hybrid_hotspot) const {
+        std::set<int64_t> locations;
+        if (hybrid_hotspot) {
+            differing_locations_hybrid(locations);
+        } else {
+            differing_locations(counts_i, params.min_count,
+                                2 * params.min_count, locations);
+            differing_locations(counts_p, params.min_count,
+                                params.min_count, locations);
+        }
+        std::vector<std::pair<int64_t, int64_t>> regions;
+        std::vector<int64_t> cluster;
+        auto push = [&]() {
+            if (cluster.empty()) return;
+            std::pair<int64_t, int64_t> region(cluster.front(),
+                                               cluster.back() + 1);
+            cluster.clear();
+            if (strict && (region.first < region_start ||
+                           region.second > region_stop)) return;
+            regions.push_back(region);
+        };
+        for (int64_t loc : locations) {
+            if (!cluster.empty() && cluster.back() != loc - 1) push();
+            cluster.push_back(loc);
+        }
+        push();
+        return regions;
+    }
+
+    // ---- assembly (mirror of assembly.AssemblyEngine) ----
+
+    void prep_alignments() {
+        if (!alignments.empty()) return;
+        for (size_t i = 0; i < reads.size(); i++) {
+            auto ra = std::make_unique<ReadAlignment>();
+            ra->read_id = (int32_t)i;
+            ra->rv = &reads[i];
+            ra->expand();
+            alignments.push_back(std::move(ra));
+        }
+    }
+
+    void collect_alleles(bool illumina_only,
+                         std::map<std::pair<int64_t, int64_t>,
+                                  std::set<std::string>>& out) const {
+        for (auto& ra : alignments) {
+            if (illumina_only && ra->rv->pacbio) continue;
+            for (auto& rec : ra->alleles) {
+                if (rec.min_q >= params.q_threshold &&
+                    ra->rv->mapq >= params.min_mapq &&
+                    rec.allele.find('N') == std::string::npos)
+                    out[{rec.start, rec.stop}].insert(rec.allele);
+            }
+        }
+    }
+
+    void enumerate_haplotypes(
+            std::vector<SiteRec>& sites, int64_t start, int64_t stop,
+            std::unordered_map<std::string, std::vector<AllelicRecord>>& result,
+            int level = 0) {
+        if (sites.empty()) {
+            result[""] = {AllelicRecord{"", -1, start, 60}};
+            return;
+        }
+        SiteRec last = sites.back();
+        sites.pop_back();
+        enumerate_haplotypes(sites, start, stop, result, level + 1);
+        std::unordered_map<std::string, std::vector<AllelicRecord>> partial;
+        for (auto& allele : last.alleles) {
+            AllelicRecord rec{allele, last.start, last.stop, 60};
+            for (auto& kv : result) {
+                int64_t previous = kv.second.empty() ? start
+                                                     : kv.second.back().stop;
+                std::string hap = kv.first + ref_sub(previous, rec.start)
+                                  + rec.allele;
+                if (level == 0) hap += ref_sub(rec.stop, stop);
+                auto records = kv.second;
+                records.push_back(rec);
+                partial[hap] = std::move(records);
+            }
+        }
+        result = std::move(partial);
+    }
+
+    std::string haplotype_string(const ReadAlignment& ra, int64_t start,
+                                 int64_t stop) const {
+        if (ra.alleles.empty()) return ref_sub(start, stop);
+        std::string hap;
+        const auto& first = ra.alleles.front();
+        if (first.start > start) {
+            hap += ref_sub(start, first.start);
+            hap += first.allele;
+        }
+        for (size_t i = 1; i < ra.alleles.size(); i++) {
+            hap += ref_sub(ra.alleles[i - 1].stop, ra.alleles[i].start);
+            hap += ra.alleles[i].allele;
+        }
+        if (ra.alleles.back().stop < stop)
+            hap += ref_sub(ra.alleles.back().stop, stop);
+        return hap;
+    }
+
+    void assemble_region(const std::vector<std::pair<int64_t, int64_t>>& regions,
+                         bool reassemble) {
+        if (regions.empty()) return;
+        prep_alignments();
+        int64_t start = regions.front().first - params.band_margin;
+        int64_t stop = regions.back().second + params.band_margin;
+
+        for (auto& ra : alignments) ra->extract_alleles(regions);
+
+        if (reassemble &&
+            (int64_t)regions.size() < params.max_reassembly_region_size) {
+            std::map<std::pair<int64_t, int64_t>, std::set<std::string>> i_alleles;
+            collect_alleles(true, i_alleles);
+            std::vector<SiteRec> sites;
+            for (auto& kv : i_alleles) {
+                SiteRec s;
+                s.alleles.assign(kv.second.begin(), kv.second.end());
+                s.start = kv.first.first;
+                s.stop = kv.first.second;
+                sites.push_back(std::move(s));
+            }
+            std::unordered_map<std::string, std::vector<AllelicRecord>> haps;
+            enumerate_haplotypes(sites, start, stop, haps);
+            for (auto& ra : alignments) {
+                if (!ra->rv->pacbio) continue;
+                if (start > ra->rv->ref_start) continue;
+                if (ra->last_position < stop) continue;
+                std::string hap = haplotype_string(*ra, start, stop);
+                auto it = haps.find(hap);
+                if (it != haps.end()) {
+                    std::vector<AllelicRecord> recs;
+                    for (auto& r : it->second)
+                        if (r.start != -1) recs.push_back(r);
+                    ra->alleles = std::move(recs);
+                }
+            }
+        }
+
+        alleles_in_regions.clear();
+        collect_alleles(false, alleles_in_regions);
+
+        supports_in_region.clear();
+        for (auto& ra : alignments) {
+            for (auto& rec : ra->alleles) {
+                if (ra->rv->mapq >= params.min_mapq &&
+                    rec.min_q >= params.q_threshold)
+                    supports_in_region[{rec.start, rec.stop}][rec.allele]
+                        .insert(ra->read_id);
+            }
+        }
+
+        // partial-support resolution
+        for (auto& ra : alignments) {
+            const AllelicRecord* rec = nullptr;
+            bool from_left = false;
+            if (ra->has_left) { rec = &ra->left_partial; from_left = true; }
+            else if (ra->has_right) { rec = &ra->right_partial; }
+            else continue;
+            auto key = std::make_pair(rec->start, rec->stop);
+            auto sit = supports_in_region.find(key);
+            if (sit == supports_in_region.end()) continue;
+            std::vector<const std::string*> matches;
+            for (auto& kv : sit->second) {
+                const std::string& full = kv.first;
+                if (full.size() < rec->allele.size()) continue;
+                std::string piece = from_left
+                    ? full.substr(full.size() - rec->allele.size())
+                    : full.substr(0, rec->allele.size());
+                if (piece == rec->allele) matches.push_back(&kv.first);
+            }
+            if (matches.size() == 1)
+                sit->second[*matches[0]].insert(ra->read_id);
+        }
+    }
+
+    // ---- featurization (mirror of featurize.render_read_row) ----
+
+    static int base_color(char b) {
+        switch (b) {
+            case 'A': return 250;
+            case 'G': return 180;
+            case 'T': return 100;
+            case 'C': return 30;
+            default: return 0;
+        }
+    }
+    static int qual_color(int q, int cap) {
+        return (int)(254.0f * (float)std::min(q, cap) / cap);
+    }
+
+    int32_t features(int64_t a_start, int64_t a_stop, const std::string& allele,
+                     int32_t feature_length, bool pacbio, bool include_hp,
+                     uint8_t* out, int32_t max_rows) {
+        int channels = include_hp ? 7 : 6;
+        auto sit = supports_in_region.find({a_start, a_stop});
+        std::vector<int32_t> ids;
+        if (sit != supports_in_region.end()) {
+            auto ait = sit->second.find(allele);
+            if (ait != sit->second.end())
+                ids.assign(ait->second.begin(), ait->second.end());
+        }
+        std::sort(ids.begin(), ids.end());
+        int64_t mid = (a_start + a_stop) / 2;
+        int64_t fstart = mid - feature_length / 2;
+        int64_t fend = fstart + feature_length;
+        int32_t row = 0;
+        size_t row_bytes = (size_t)feature_length * channels;
+        for (int32_t rid : ids) {
+            const ReadView& rv = reads[rid];
+            if (rv.pacbio != pacbio) continue;
+            if (row >= max_rows) break;
+            uint8_t* arr = out + (size_t)row * row_bytes;
+            std::memset(arr, 0, row_bytes);
+            int mapq_color = qual_color(rv.mapq, 60);
+            int strand_color = rv.orientation > 0 ? 70 : 240;
+            int hp_color = rv.hp == 1 ? 120 : (rv.hp == 2 ? 240 : 0);
+            auto pos_color = [&](int64_t p) {
+                return (a_start <= p && p < a_stop) ? 240 : 70;
+            };
+            auto cell = [&](int64_t fi, int track) -> uint8_t& {
+                return arr[(size_t)fi * channels + track];
+            };
+            int64_t rf = rv.ref_start, rd = 0;
+            for (int64_t ci = 0; ci < rv.n_cigars; ci++) {
+                uint32_t c = rv.cigars[ci];
+                int op = c & 0xF;
+                int64_t len = c >> 4;
+                switch (op) {
+                    case OP_M: case OP_EQ: case OP_X:
+                        for (int64_t j = 0; j < len; j++) {
+                            int64_t p = rf + j;
+                            if (fstart <= p && p < fend) {
+                                int64_t fi = p - fstart;
+                                cell(fi, 0) = base_color(rv.seq[rd + j]);
+                                cell(fi, 1) = base_color(ref_at(p));
+                                cell(fi, 2) = qual_color(rv.qual[rd + j], 40);
+                                cell(fi, 3) = mapq_color;
+                                cell(fi, 4) = strand_color;
+                                cell(fi, 5) = pos_color(p);
+                                if (include_hp) cell(fi, 6) = hp_color;
+                            }
+                        }
+                        rf += len; rd += len;
+                        break;
+                    case OP_D:
+                        if (fstart <= rf - 1 && rf - 1 < fend) {
+                            for (int64_t p = rf - 1; p < rf + len; p++) {
+                                if (!(fstart <= p && p < fend)) continue;
+                                int64_t fi = p - fstart;
+                                cell(fi, 1) = base_color(ref_at(p));
+                                cell(fi, 3) = mapq_color;
+                                cell(fi, 4) = strand_color;
+                                cell(fi, 5) = pos_color(p);
+                                if (include_hp) cell(fi, 6) = hp_color;
+                            }
+                            int64_t fi = rf - 1 - fstart;
+                            cell(fi, 0) = 0;  // gap color
+                            cell(fi, 2) = rd > 0 ? qual_color(rv.qual[rd - 1], 40)
+                                                 : 0;
+                        }
+                        rf += len;
+                        break;
+                    case OP_N:
+                        rf += len;
+                        break;
+                    case OP_I:
+                        if (fstart <= rf - 1 && rf - 1 < fend) {
+                            int64_t lo = rd > 0 ? rd - 1 : rd;
+                            int mq = 255;
+                            for (int64_t i = lo; i < rd + len; i++)
+                                mq = std::min(mq, (int32_t)rv.qual[i]);
+                            int64_t fi = rf - 1 - fstart;
+                            cell(fi, 0) = 0;  // gap color
+                            cell(fi, 1) = base_color(ref_at(rf - 1));
+                            cell(fi, 2) = qual_color(mq, 40);
+                            cell(fi, 3) = mapq_color;
+                            cell(fi, 4) = strand_color;
+                            cell(fi, 5) = pos_color(rf - 1);
+                            if (include_hp) cell(fi, 6) = hp_color;
+                        }
+                        rd += len;
+                        break;
+                    case OP_S:
+                        rd += len;
+                        break;
+                    default:
+                        break;
+                }
+            }
+            row++;
+        }
+        if (row == 0 && max_rows >= 1) {
+            std::memset(out, 0, row_bytes);
+            row = 1;
+        }
+        return row;
+    }
+};
+
+}  // namespace
+
+struct htpu_window {
+    Window w;
+};
+
+extern "C" {
+
+void htpu_default_params(htpu_params* out) {
+    out->snv_threshold = 0.12;
+    out->indel_threshold = 0.12;
+    out->min_count = 2;
+    out->min_mapq = 10;
+    out->q_threshold = 10;
+    out->max_allele_size = 100;
+    out->band_margin = 6;
+    out->max_reassembly_region_size = 10;
+}
+
+htpu_window* htpu_window_create(
+        const char* reference, int64_t ref_len, int64_t window_start,
+        int64_t region_start, int64_t region_stop,
+        int32_t num_reads,
+        const char* seqs, const int64_t* seq_offsets,
+        const uint8_t* quals,
+        const uint32_t* cigars, const int64_t* cigar_offsets,
+        const int64_t* ref_starts,
+        const int32_t* mapq,
+        const int8_t* orientation,
+        const uint8_t* pacbio,
+        const int8_t* hp,
+        const htpu_params* params) {
+    auto* h = new htpu_window();
+    Window& w = h->w;
+    w.reference.assign(reference, (size_t)ref_len);
+    w.window_start = window_start;
+    w.region_start = region_start;
+    w.region_stop = region_stop;
+    if (params) w.params = *params;
+    else htpu_default_params(&w.params);
+
+    w.seq_store.reserve(num_reads);
+    w.qual_store.reserve(num_reads);
+    w.cigar_store.reserve(num_reads);
+    for (int32_t i = 0; i < num_reads; i++) {
+        int64_t s0 = seq_offsets[i], s1 = seq_offsets[i + 1];
+        int64_t c0 = cigar_offsets[i], c1 = cigar_offsets[i + 1];
+        w.seq_store.emplace_back(seqs + s0, (size_t)(s1 - s0));
+        w.qual_store.emplace_back(quals + s0, quals + s1);
+        w.cigar_store.emplace_back(cigars + c0, cigars + c1);
+        ReadView rv;
+        rv.seq = w.seq_store.back().c_str();
+        rv.qual = w.qual_store.back().data();
+        rv.seq_len = s1 - s0;
+        rv.cigars = w.cigar_store.back().data();
+        rv.n_cigars = c1 - c0;
+        rv.ref_start = ref_starts[i];
+        rv.mapq = mapq[i];
+        rv.orientation = orientation[i];
+        rv.pacbio = pacbio[i] != 0;
+        rv.hp = hp[i];
+        w.reads.push_back(rv);
+    }
+    w.count_reads();
+    return h;
+}
+
+void htpu_window_destroy(htpu_window* w) { delete w; }
+
+int32_t htpu_differing_regions(htpu_window* h, int strict, int hybrid_hotspot,
+                               int64_t* out_pairs, int32_t max_out) {
+    auto regions = h->w.differing_regions(strict != 0, hybrid_hotspot != 0);
+    int32_t n = (int32_t)regions.size();
+    for (int32_t i = 0; i < n && i < max_out; i++) {
+        out_pairs[2 * i] = regions[i].first;
+        out_pairs[2 * i + 1] = regions[i].second;
+    }
+    return n;
+}
+
+void htpu_assemble_region(htpu_window* h, const int64_t* region_pairs,
+                          int32_t num_regions, int reassemble) {
+    std::vector<std::pair<int64_t, int64_t>> regions;
+    for (int32_t i = 0; i < num_regions; i++)
+        regions.emplace_back(region_pairs[2 * i], region_pairs[2 * i + 1]);
+    h->w.assemble_region(regions, reassemble != 0);
+}
+
+int32_t htpu_alleles_at(htpu_window* h, int64_t start, int64_t stop,
+                        char* buf, int64_t buf_len) {
+    auto it = h->w.alleles_in_regions.find({start, stop});
+    if (it == h->w.alleles_in_regions.end()) return 0;
+    int64_t used = 0;
+    int32_t n = 0;
+    for (auto& a : it->second) {
+        if (used + (int64_t)a.size() + 1 > buf_len) return -(int32_t)it->second.size();
+        std::memcpy(buf + used, a.c_str(), a.size() + 1);
+        used += a.size() + 1;
+        n++;
+    }
+    return n;
+}
+
+int32_t htpu_supports_at(htpu_window* h, int64_t start, int64_t stop,
+                         char* buf, int64_t buf_len,
+                         int32_t* counts, int32_t max_alleles,
+                         int32_t* read_ids, int64_t max_ids) {
+    auto it = h->w.supports_in_region.find({start, stop});
+    if (it == h->w.supports_in_region.end()) return 0;
+    int64_t used = 0, id_used = 0;
+    int32_t n = 0;
+    for (auto& kv : it->second) {
+        if (n >= max_alleles) break;
+        if (used + (int64_t)kv.first.size() + 1 > buf_len) break;
+        if (id_used + (int64_t)kv.second.size() > max_ids) break;
+        std::memcpy(buf + used, kv.first.c_str(), kv.first.size() + 1);
+        used += kv.first.size() + 1;
+        std::vector<int32_t> ids(kv.second.begin(), kv.second.end());
+        std::sort(ids.begin(), ids.end());
+        for (int32_t id : ids) read_ids[id_used++] = id;
+        counts[n] = (int32_t)ids.size();
+        n++;
+    }
+    return n;
+}
+
+int32_t htpu_num_supports(htpu_window* h, int64_t start, int64_t stop,
+                          const char* allele, int pacbio) {
+    auto it = h->w.supports_in_region.find({start, stop});
+    if (it == h->w.supports_in_region.end()) return 0;
+    auto ait = it->second.find(allele);
+    if (ait == it->second.end()) return 0;
+    int32_t n = 0;
+    for (int32_t id : ait->second)
+        if (h->w.reads[id].pacbio == (pacbio != 0)) n++;
+    return n;
+}
+
+int32_t htpu_features(htpu_window* h, int64_t start, int64_t stop,
+                      const char* allele, int32_t feature_length,
+                      int pacbio, int include_hp,
+                      uint8_t* out, int32_t max_rows) {
+    return h->w.features(start, stop, allele, feature_length, pacbio != 0,
+                         include_hp != 0, out, max_rows);
+}
+
+}  // extern "C"
