@@ -1,0 +1,374 @@
+"""ctypes bindings for the native (C++) host engine.
+
+Loads ``native/libhello_native.so`` (building it on demand when a toolchain is
+available) and exposes:
+
+  * :class:`NativeBam` — whole-file BAM decode into numpy arrays;
+  * :class:`NativeWindow` — the C++ window engine with the same interface as
+    the pure-Python :class:`hello_tpu.window.Window`.
+
+The Python engine remains the semantic reference; fuzz tests assert
+equivalence (tests/test_native.py).  Set ``HELLO_TPU_NATIVE=0`` to disable.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+from typing import List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from .reads import AlignedRead
+
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+_NATIVE_DIR = os.path.join(_REPO, "native")
+_LIB_PATH = os.path.join(_NATIVE_DIR, "libhello_native.so")
+
+_lib = None
+
+
+class _Params(ctypes.Structure):
+    _fields_ = [
+        ("snv_threshold", ctypes.c_double),
+        ("indel_threshold", ctypes.c_double),
+        ("min_count", ctypes.c_int),
+        ("min_mapq", ctypes.c_int),
+        ("q_threshold", ctypes.c_int),
+        ("max_allele_size", ctypes.c_int),
+        ("band_margin", ctypes.c_int),
+        ("max_reassembly_region_size", ctypes.c_int),
+    ]
+
+
+def _try_build() -> bool:
+    makefile = os.path.join(_NATIVE_DIR, "Makefile")
+    if not os.path.exists(makefile):
+        return False
+    try:
+        subprocess.run(["make", "-C", _NATIVE_DIR], check=True,
+                       capture_output=True, timeout=300)
+        return os.path.exists(_LIB_PATH)
+    except Exception:
+        return False
+
+
+def load_library():
+    """Load (building if needed) the native library; None if unavailable."""
+    global _lib
+    if _lib is not None:
+        return _lib
+    if os.environ.get("HELLO_TPU_NATIVE", "1") == "0":
+        return None
+    if not os.path.exists(_LIB_PATH) and not _try_build():
+        return None
+    lib = ctypes.CDLL(_LIB_PATH)
+
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    i32p = ctypes.POINTER(ctypes.c_int32)
+
+    lib.htpu_default_params.argtypes = [ctypes.POINTER(_Params)]
+    lib.htpu_window_create.restype = ctypes.c_void_p
+    lib.htpu_window_create.argtypes = [
+        ctypes.c_char_p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+        ctypes.c_int64, ctypes.c_int32,
+        ctypes.c_char_p, i64p,
+        ctypes.POINTER(ctypes.c_uint8),
+        ctypes.POINTER(ctypes.c_uint32), i64p,
+        i64p, i32p,
+        ctypes.POINTER(ctypes.c_int8),
+        ctypes.POINTER(ctypes.c_uint8),
+        ctypes.POINTER(ctypes.c_int8),
+        ctypes.POINTER(_Params),
+    ]
+    lib.htpu_window_destroy.argtypes = [ctypes.c_void_p]
+    lib.htpu_differing_regions.restype = ctypes.c_int32
+    lib.htpu_differing_regions.argtypes = [
+        ctypes.c_void_p, ctypes.c_int, ctypes.c_int, i64p, ctypes.c_int32]
+    lib.htpu_assemble_region.argtypes = [
+        ctypes.c_void_p, i64p, ctypes.c_int32, ctypes.c_int]
+    lib.htpu_alleles_at.restype = ctypes.c_int32
+    lib.htpu_alleles_at.argtypes = [
+        ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64, ctypes.c_char_p,
+        ctypes.c_int64]
+    lib.htpu_supports_at.restype = ctypes.c_int32
+    lib.htpu_supports_at.argtypes = [
+        ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64, ctypes.c_char_p,
+        ctypes.c_int64, i32p, ctypes.c_int32, i32p, ctypes.c_int64]
+    lib.htpu_num_supports.restype = ctypes.c_int32
+    lib.htpu_num_supports.argtypes = [
+        ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64, ctypes.c_char_p,
+        ctypes.c_int]
+    lib.htpu_features.restype = ctypes.c_int32
+    lib.htpu_features.argtypes = [
+        ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64, ctypes.c_char_p,
+        ctypes.c_int32, ctypes.c_int, ctypes.c_int,
+        ctypes.POINTER(ctypes.c_uint8), ctypes.c_int32]
+
+    lib.htpu_bam_open.restype = ctypes.c_void_p
+    lib.htpu_bam_open.argtypes = [ctypes.c_char_p]
+    lib.htpu_bam_close.argtypes = [ctypes.c_void_p]
+    lib.htpu_bam_num_refs.restype = ctypes.c_int32
+    lib.htpu_bam_num_refs.argtypes = [ctypes.c_void_p]
+    lib.htpu_bam_ref_name.restype = ctypes.c_char_p
+    lib.htpu_bam_ref_name.argtypes = [ctypes.c_void_p, ctypes.c_int32]
+    lib.htpu_bam_ref_len.restype = ctypes.c_int64
+    lib.htpu_bam_ref_len.argtypes = [ctypes.c_void_p, ctypes.c_int32]
+    lib.htpu_bam_num_reads.restype = ctypes.c_int64
+    lib.htpu_bam_num_reads.argtypes = [ctypes.c_void_p]
+    for name, restype in [
+        ("htpu_bam_seqs", ctypes.POINTER(ctypes.c_char)),
+        ("htpu_bam_seq_offsets", i64p),
+        ("htpu_bam_quals", ctypes.POINTER(ctypes.c_uint8)),
+        ("htpu_bam_cigars", ctypes.POINTER(ctypes.c_uint32)),
+        ("htpu_bam_cigar_offsets", i64p),
+        ("htpu_bam_ref_starts", i64p),
+        ("htpu_bam_ref_ends", i64p),
+        ("htpu_bam_ref_ids", i32p),
+        ("htpu_bam_mapqs", i32p),
+        ("htpu_bam_flags", ctypes.POINTER(ctypes.c_uint16)),
+        ("htpu_bam_hps", ctypes.POINTER(ctypes.c_int8)),
+        ("htpu_bam_names", ctypes.POINTER(ctypes.c_char)),
+        ("htpu_bam_name_offsets", i64p),
+    ]:
+        fn = getattr(lib, name)
+        fn.restype = restype
+        fn.argtypes = [ctypes.c_void_p]
+
+    _lib = lib
+    return lib
+
+
+def available() -> bool:
+    return load_library() is not None
+
+
+def _as_array(ptr, count, dtype):
+    if count == 0:
+        return np.zeros(0, dtype)
+    return np.ctypeslib.as_array(ptr, shape=(count,)).astype(dtype, copy=False)
+
+
+class NativeBam:
+    """Whole-BAM decode into numpy arrays (zero copies beyond decode)."""
+
+    def __init__(self, path: str, pacbio: bool = False):
+        lib = load_library()
+        assert lib is not None, "native library unavailable"
+        self._lib = lib
+        self.pacbio = pacbio
+        self._h = lib.htpu_bam_open(path.encode())
+        if not self._h:
+            raise IOError(f"failed to open BAM: {path}")
+        n_refs = lib.htpu_bam_num_refs(self._h)
+        self.references = [
+            (lib.htpu_bam_ref_name(self._h, i).decode(),
+             lib.htpu_bam_ref_len(self._h, i)) for i in range(n_refs)]
+        n = lib.htpu_bam_num_reads(self._h)
+        self.num_reads = n
+        self.seq_offsets = _as_array(lib.htpu_bam_seq_offsets(self._h), n + 1, np.int64)
+        self.cigar_offsets = _as_array(lib.htpu_bam_cigar_offsets(self._h), n + 1, np.int64)
+        self.name_offsets = _as_array(lib.htpu_bam_name_offsets(self._h), n + 1, np.int64)
+        self.ref_starts = _as_array(lib.htpu_bam_ref_starts(self._h), n, np.int64)
+        self.ref_ends = _as_array(lib.htpu_bam_ref_ends(self._h), n, np.int64)
+        self.ref_ids = _as_array(lib.htpu_bam_ref_ids(self._h), n, np.int32)
+        self.mapqs = _as_array(lib.htpu_bam_mapqs(self._h), n, np.int32)
+        self.flags = _as_array(lib.htpu_bam_flags(self._h), n, np.uint16)
+        self.hps = _as_array(lib.htpu_bam_hps(self._h), n, np.int8)
+        total_seq = int(self.seq_offsets[-1]) if n else 0
+        total_cig = int(self.cigar_offsets[-1]) if n else 0
+        total_nam = int(self.name_offsets[-1]) if n else 0
+        self.seqs = ctypes.string_at(lib.htpu_bam_seqs(self._h), total_seq)
+        self.quals = _as_array(lib.htpu_bam_quals(self._h), total_seq, np.uint8)
+        self.cigars = _as_array(lib.htpu_bam_cigars(self._h), total_cig, np.uint32)
+        self.names = ctypes.string_at(lib.htpu_bam_names(self._h), total_nam)
+
+    def close(self):
+        if self._h:
+            self._lib.htpu_bam_close(self._h)
+            self._h = None
+
+    def __del__(self):
+        try:
+            self.close()
+        except Exception:
+            pass
+
+    def read(self, i: int) -> AlignedRead:
+        """Materialise one read as an AlignedRead (for compatibility paths)."""
+        s0, s1 = int(self.seq_offsets[i]), int(self.seq_offsets[i + 1])
+        c0, c1 = int(self.cigar_offsets[i]), int(self.cigar_offsets[i + 1])
+        n0, n1 = int(self.name_offsets[i]), int(self.name_offsets[i + 1])
+        cig = self.cigars[c0:c1]
+        return AlignedRead(
+            name=self.names[n0:n1 - 1].decode(),
+            flag=int(self.flags[i]),
+            chromosome=self.references[int(self.ref_ids[i])][0]
+            if 0 <= int(self.ref_ids[i]) < len(self.references) else "*",
+            reference_start=int(self.ref_starts[i]),
+            mapq=int(self.mapqs[i]),
+            cigartuples=[(int(v) & 0xF, int(v) >> 4) for v in cig],
+            sequence=self.seqs[s0:s1].decode(),
+            qualities=self.quals[s0:s1].tolist(),
+            hp=int(self.hps[i]),
+            pacbio=self.pacbio,
+        )
+
+    def fetch(self, chromosome: str, start: int, stop: int):
+        """Iterate AlignedReads overlapping a region."""
+        rid = None
+        for i, (name, _l) in enumerate(self.references):
+            if name == chromosome:
+                rid = i
+                break
+        if rid is None:
+            return
+        sel = np.nonzero((self.ref_ids == rid) & (self.ref_starts < stop)
+                         & (self.ref_ends > start))[0]
+        for i in sel:
+            yield self.read(int(i))
+
+
+class NativeWindow:
+    """C++ window engine with the hello_tpu.window.Window query interface."""
+
+    def __init__(self, reads: Sequence[AlignedRead], start: int, stop: int,
+                 reference: str, window_start: int,
+                 min_mapq: int = 10, q_threshold: int = 10,
+                 snv_threshold: Optional[float] = None,
+                 indel_threshold: Optional[float] = None,
+                 min_count: Optional[int] = None,
+                 reassembly_size: int = 10):
+        lib = load_library()
+        assert lib is not None, "native library unavailable"
+        self._lib = lib
+        self.reads = list(reads)
+        n = len(self.reads)
+
+        seqs = "".join(r.sequence for r in self.reads).encode()
+        seq_offsets = np.zeros(n + 1, np.int64)
+        quals = np.zeros(len(seqs), np.uint8)
+        cigar_list = []
+        cigar_offsets = np.zeros(n + 1, np.int64)
+        pos = 0
+        for i, r in enumerate(self.reads):
+            L = len(r.sequence)
+            quals[pos:pos + L] = r.qualities
+            pos += L
+            seq_offsets[i + 1] = pos
+            for op, length in r.cigartuples:
+                cigar_list.append((length << 4) | op)
+            cigar_offsets[i + 1] = len(cigar_list)
+        cigars = np.asarray(cigar_list, np.uint32)
+        ref_starts = np.asarray([r.reference_start for r in self.reads], np.int64)
+        mapqs = np.asarray([r.mapq for r in self.reads], np.int32)
+        orientation = np.asarray([r.orientation for r in self.reads], np.int8)
+        pacbio = np.asarray([1 if r.pacbio else 0 for r in self.reads], np.uint8)
+        hp = np.asarray([r.hp for r in self.reads], np.int8)
+
+        params = _Params()
+        lib.htpu_default_params(ctypes.byref(params))
+        params.min_mapq = min_mapq
+        params.q_threshold = q_threshold
+        if snv_threshold is not None:
+            params.snv_threshold = snv_threshold
+        if indel_threshold is not None:
+            params.indel_threshold = indel_threshold
+        if min_count is not None:
+            params.min_count = min_count
+        params.max_reassembly_region_size = reassembly_size
+
+        def ptr(arr, typ):
+            if arr.size == 0:
+                return ctypes.cast(None, ctypes.POINTER(typ))
+            return arr.ctypes.data_as(ctypes.POINTER(typ))
+
+        self._h = lib.htpu_window_create(
+            reference.encode(), len(reference), window_start, start, stop, n,
+            seqs, ptr(seq_offsets, ctypes.c_int64),
+            ptr(quals, ctypes.c_uint8),
+            ptr(cigars, ctypes.c_uint32), ptr(cigar_offsets, ctypes.c_int64),
+            ptr(ref_starts, ctypes.c_int64), ptr(mapqs, ctypes.c_int32),
+            ptr(orientation, ctypes.c_int8), ptr(pacbio, ctypes.c_uint8),
+            ptr(hp, ctypes.c_int8), ctypes.byref(params))
+        assert self._h, "native window creation failed"
+
+    def __del__(self):
+        try:
+            if self._h:
+                self._lib.htpu_window_destroy(self._h)
+                self._h = None
+        except Exception:
+            pass
+
+    def differing_regions(self, strict: bool = True,
+                          hybrid_hotspot: bool = False) -> List[Tuple[int, int]]:
+        buf = np.zeros(2 * 4096, np.int64)
+        n = self._lib.htpu_differing_regions(
+            self._h, int(strict), int(hybrid_hotspot),
+            buf.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)), 4096)
+        if n > 4096:
+            buf = np.zeros(2 * n, np.int64)
+            n = self._lib.htpu_differing_regions(
+                self._h, int(strict), int(hybrid_hotspot),
+                buf.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)), n)
+        return [(int(buf[2 * i]), int(buf[2 * i + 1])) for i in range(n)]
+
+    def assemble_region(self, regions: Sequence[Tuple[int, int]],
+                        reassemble: bool):
+        flat = np.asarray([x for r in regions for x in r], np.int64)
+        self._lib.htpu_assemble_region(
+            self._h,
+            flat.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            len(regions), int(reassemble))
+
+    def alleles_at(self, start: int, stop: int) -> List[str]:
+        buf = ctypes.create_string_buffer(1 << 20)
+        n = self._lib.htpu_alleles_at(self._h, start, stop, buf, len(buf))
+        return _split_strings(buf.raw, n)
+
+    def supports_at(self, start: int, stop: int):
+        buf = ctypes.create_string_buffer(1 << 20)
+        counts = np.zeros(4096, np.int32)
+        ids = np.zeros(1 << 20, np.int32)
+        n = self._lib.htpu_supports_at(
+            self._h, start, stop, buf, len(buf),
+            counts.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), 4096,
+            ids.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), ids.size)
+        alleles = _split_strings(buf.raw, n)
+        out = {}
+        pos = 0
+        for i, a in enumerate(alleles):
+            out[a] = ids[pos:pos + counts[i]].tolist()
+            pos += counts[i]
+        return out
+
+    def num_supports(self, start: int, stop: int, allele: str,
+                     pacbio: bool) -> int:
+        return self._lib.htpu_num_supports(self._h, start, stop,
+                                           allele.encode(), int(pacbio))
+
+    def features(self, start: int, stop: int, allele: str,
+                 feature_length: int, pacbio: bool,
+                 include_hp: bool, max_rows: Optional[int] = None) -> np.ndarray:
+        channels = 7 if include_hp else 6
+        if max_rows is None:
+            # supports can never exceed the window's read count
+            max_rows = len(self.reads) + 1
+        out = np.zeros((max_rows, feature_length, channels), np.uint8)
+        n = self._lib.htpu_features(
+            self._h, start, stop, allele.encode(), feature_length,
+            int(pacbio), int(include_hp),
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), max_rows)
+        return out[:max(n, 1)].copy()
+
+
+def _split_strings(raw: bytes, n: int) -> List[str]:
+    out = []
+    pos = 0
+    for _ in range(max(n, 0)):
+        end = raw.index(b"\x00", pos)
+        out.append(raw[pos:end].decode())
+        pos = end + 1
+    return out

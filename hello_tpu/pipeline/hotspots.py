@@ -52,6 +52,17 @@ class ReadSource:
                           max_reads=max_reads, rng=self.rng)
 
 
+def _open_bam(path: str, pacbio: bool):
+    """Prefer the native BAM loader when built; fall back to the Python codec."""
+    try:
+        from .. import native
+        if native.available():
+            return native.NativeBam(path, pacbio=pacbio)
+    except Exception:
+        pass
+    return BamReader(path, pacbio=pacbio)
+
+
 def make_read_sources(bam_paths: Sequence[str], pacbio: bool,
                       for_hotspots: bool = False,
                       rng: Optional[random.Random] = None) -> List[ReadSource]:
@@ -60,7 +71,7 @@ def make_read_sources(bam_paths: Sequence[str], pacbio: bool,
     hybrid = len(bam_paths) > 1
     for i, path in enumerate(bam_paths):
         is_pb = (i > 0) if hybrid else pacbio
-        reader = BamReader(path, pacbio=is_pb)
+        reader = _open_bam(path, is_pb)
         if for_hotspots:
             rate = MAX_NUM_READS_PACBIO if is_pb else MAX_NUM_READS_ILLUMINA
             sources.append(ReadSource(reader, rate, is_pb, prorate=False, rng=rng))

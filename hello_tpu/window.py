@@ -3,12 +3,19 @@
 The host-side equivalent of the reference's AlleleSearcherLite (python wrapper
 reference python/AlleleSearcherLite.py:27-338 + the C++ engine behind it):
 counting, hotspot detection, assembly, support queries, and feature tensors
-for one genomic window.  Prefers the C++ native engine when built; this module
-is also the pure-Python semantic reference for it.
+for one genomic window.
+
+Two interchangeable backends implement the heavy lifting:
+  * the native C++ engine (native/libhello_native.so) — production path;
+  * the pure-Python engine (counts.py / assembly.py / featurize.py) — the
+    semantic reference, also used when the library isn't built.
+Fuzz tests assert their equivalence; select explicitly with
+``HELLO_TPU_NATIVE=0/1`` or the ``backend`` argument.
 """
 
 from __future__ import annotations
 
+import os
 from typing import List, Optional, Sequence, Tuple
 
 import numpy as np
@@ -22,6 +29,104 @@ from .reads import AlignedRead
 
 class LocationOutOfBounds(Exception):
     pass
+
+
+class _PythonBackend:
+    """Reference backend over the pure-Python engines."""
+
+    def __init__(self, reads, reference, window_start, min_mapq, q_threshold,
+                 snv_threshold, indel_threshold, min_count, reassembly_size):
+        self.reads = reads
+        self.reference = reference
+        self.window_start = window_start
+        extra = {}
+        if snv_threshold is not None:
+            extra["snv_threshold"] = snv_threshold
+        if indel_threshold is not None:
+            extra["indel_threshold"] = indel_threshold
+        if min_count is not None:
+            extra["min_count"] = min_count
+        self.counts = CountsEngine(reference, window_start, min_mapq=min_mapq,
+                                   q_threshold=q_threshold, **extra)
+        self.counts.add_reads(reads)
+        self.assembler = AssemblyEngine(
+            reads, reference, window_start, min_mapq=min_mapq,
+            q_threshold=q_threshold,
+            max_reassembly_region_size=reassembly_size)
+
+    def differing_regions(self, region_start, region_stop, strict, hybrid_hotspot):
+        return self.counts.differing_regions(
+            region_start, region_stop, strict=strict,
+            hybrid_hotspot=hybrid_hotspot)
+
+    def assemble_region(self, regions, reassemble):
+        self.assembler.assemble_alleles_from_reads(regions, reassemble)
+
+    def alleles_at(self, start, stop):
+        return self.assembler.alleles_at(start, stop)
+
+    def supports_at(self, start, stop):
+        return self.assembler.supports_at(start, stop)
+
+    def num_supports(self, start, stop, allele, pacbio):
+        ids = self.assembler.supports_at(start, stop).get(allele, [])
+        return sum(1 for rid in ids if self.reads[rid].pacbio == pacbio)
+
+    def features(self, start, stop, allele, feature_length, pacbio, include_hp):
+        ids = self.assembler.supports_at(start, stop).get(allele, [])
+        return compute_features(self.reads, ids, self.reference,
+                                self.window_start, start, stop, pacbio,
+                                feature_length, include_hp)
+
+
+class _NativeBackend:
+    """C++ backend (see hello_tpu.native)."""
+
+    def __init__(self, reads, reference, window_start, min_mapq, q_threshold,
+                 snv_threshold, indel_threshold, min_count, reassembly_size):
+        from .native import NativeWindow
+        self._w = None  # placate __del__ on constructor failure
+        self._w = NativeWindow(
+            reads, 0, 0, reference, window_start,
+            min_mapq=min_mapq, q_threshold=q_threshold,
+            snv_threshold=snv_threshold, indel_threshold=indel_threshold,
+            min_count=min_count, reassembly_size=reassembly_size)
+
+    def differing_regions(self, region_start, region_stop, strict, hybrid_hotspot):
+        # native clusters globally; apply the strict window filter here so the
+        # region bounds need not cross the ctypes boundary
+        regions = self._w.differing_regions(strict=False,
+                                            hybrid_hotspot=hybrid_hotspot)
+        if strict:
+            regions = [r for r in regions
+                       if region_start <= r[0] and r[1] <= region_stop]
+        return regions
+
+    def assemble_region(self, regions, reassemble):
+        self._w.assemble_region(regions, reassemble)
+
+    def alleles_at(self, start, stop):
+        return self._w.alleles_at(start, stop)
+
+    def supports_at(self, start, stop):
+        return self._w.supports_at(start, stop)
+
+    def num_supports(self, start, stop, allele, pacbio):
+        return self._w.num_supports(start, stop, allele, pacbio)
+
+    def features(self, start, stop, allele, feature_length, pacbio, include_hp):
+        return self._w.features(start, stop, allele, feature_length, pacbio,
+                                include_hp)
+
+
+def _native_available() -> bool:
+    if os.environ.get("HELLO_TPU_NATIVE", "1") == "0":
+        return False
+    try:
+        from . import native
+        return native.available()
+    except Exception:
+        return False
 
 
 class Window:
@@ -44,7 +149,8 @@ class Window:
                  include_hp: bool = False,
                  snv_threshold: float = None,
                  indel_threshold: float = None,
-                 min_count: int = None):
+                 min_count: int = None,
+                 backend: Optional[str] = None):
         self.reads = list(reads)
         self.start = start
         self.stop = stop
@@ -60,7 +166,6 @@ class Window:
         self.assembly_start: Optional[int] = None
         self.assembly_stop: Optional[int] = None
         self._regions: Optional[List[Tuple[int, int]]] = None
-        self._assembled = False
 
         ref_starts = [r.reference_start for r in self.reads]
         window_start = min(ref_starts + [start]) - 10
@@ -77,21 +182,13 @@ class Window:
         self.window_start = window_start
         self.reference = ref_view[window_start:window_end]
 
-        extra = {}
-        if snv_threshold is not None:
-            extra["snv_threshold"] = snv_threshold
-        if indel_threshold is not None:
-            extra["indel_threshold"] = indel_threshold
-        if min_count is not None:
-            extra["min_count"] = min_count
-        self.counts = CountsEngine(self.reference, window_start,
-                                   min_mapq=min_mapq, q_threshold=q_threshold,
-                                   **extra)
-        self.counts.add_reads(self.reads)
-        self._assembler = AssemblyEngine(
-            self.reads, self.reference, window_start,
-            min_mapq=min_mapq, q_threshold=q_threshold,
-            max_reassembly_region_size=reassembly_size)
+        if backend is None:
+            backend = "native" if _native_available() else "python"
+        cls = _NativeBackend if backend == "native" else _PythonBackend
+        self.backend_name = backend
+        self._backend = cls(self.reads, self.reference, window_start,
+                            min_mapq, q_threshold, snv_threshold,
+                            indel_threshold, min_count, reassembly_size)
 
     # -- hotspot detection --------------------------------------------------
 
@@ -99,9 +196,8 @@ class Window:
         """Candidate regions clipped to [start, stop]
         (reference AlleleSearcherLite.py:191-206)."""
         if self._regions is None:
-            raw = self.counts.differing_regions(
-                self.start, self.stop, strict=strict,
-                hybrid_hotspot=self.hybrid_hotspot)
+            raw = self._backend.differing_regions(
+                self.start, self.stop, strict, self.hybrid_hotspot)
             self._regions = [
                 (max(self.start, a), min(self.stop, b)) for a, b in raw]
         return self._regions
@@ -120,9 +216,7 @@ class Window:
         """
         if reassemble is None:
             reassemble = self.hybrid and self._illumina_coverage() > 14
-        self._assembler.assemble_alleles_from_reads(
-            self.differing_regions(), reassemble)
-        self._assembled = True
+        self._backend.assemble_region(self.differing_regions(), reassemble)
 
     def _illumina_coverage(self) -> float:
         if self.stop <= self.start:
@@ -139,18 +233,19 @@ class Window:
         """Select the assembly site for subsequent support/feature queries."""
         self.assembly_start = self.start if start is None else start
         self.assembly_stop = self.stop if stop is None else stop
-        self._supports = self._assembler.supports_at(self.assembly_start, self.assembly_stop)
+        self._supports = self._backend.supports_at(self.assembly_start,
+                                                   self.assembly_stop)
 
     @property
     def alleles_at_site(self) -> List[str]:
         return list(self._supports.keys())
 
     def determine_alleles_in_region(self, start: int, stop: int) -> List[str]:
-        return self._assembler.alleles_at(start, stop)
+        return self._backend.alleles_at(start, stop)
 
     def num_reads_supporting_allele(self, allele: str, pacbio: bool) -> int:
-        ids = self._supports.get(allele, [])
-        return sum(1 for rid in ids if self.reads[rid].pacbio == pacbio)
+        return self._backend.num_supports(self.assembly_start,
+                                          self.assembly_stop, allele, pacbio)
 
     # -- featurization ------------------------------------------------------
 
@@ -158,8 +253,6 @@ class Window:
         """Feature tensor for one allele: index 0 = Illumina (or the single
         platform), 1 = PacBio in hybrid mode."""
         pacbio = (index == 1) if self.hybrid else self.pacbio
-        ids = self._supports.get(allele, [])
-        return compute_features(
-            self.reads, ids, self.reference, self.window_start,
-            self.assembly_start, self.assembly_stop, pacbio,
-            self.feature_length, self.include_hp)
+        return self._backend.features(
+            self.assembly_start, self.assembly_stop, allele,
+            self.feature_length, pacbio, self.include_hp)

@@ -1,0 +1,139 @@
+"""Native (C++) engine equivalence tests: fuzz the native backend against the
+pure-Python semantic reference on simulated windows, and the native BAM
+loader against the Python codec."""
+
+import random
+
+import numpy as np
+import pytest
+
+from hello_tpu import native, sim
+from hello_tpu.reads import AlignedRead
+from hello_tpu.window import Window
+
+pytestmark = pytest.mark.skipif(not native.available(),
+                                reason="native library not built")
+
+
+class RefView:
+    def __init__(self, seq):
+        self.seq = seq
+
+    def __len__(self):
+        return len(self.seq)
+
+    def __getitem__(self, index):
+        if isinstance(index, slice):
+            return self.seq[max(0, index.start):index.stop]
+        return self.seq[index]
+
+
+def random_window(seed, hybrid=False):
+    """Simulated reads over a random reference with planted variants.
+
+    The reference is padded at the front so windows never go below zero."""
+    rng = random.Random(seed)
+    pad = 50
+    ref = sim.random_reference(1500, rng)
+    variants = sim.plant_variants(ref, 5, rng, min_gap=100, start=300)
+    reads = sim.simulate_reads(ref, variants, "chrF", 25, 150, rng,
+                               name_prefix="i_")
+    if hybrid:
+        pb = sim.simulate_reads(ref, variants, "chrF", 12, 400, rng,
+                                pacbio=True, hp_tags=True, name_prefix="p_")
+        reads = reads + pb
+    for r in reads:
+        r.reference_start += pad
+    return "A" * pad + ref, reads
+
+
+def build_windows(ref, reads, hybrid, **kw):
+    view = RefView(ref)
+    wp = Window(reads, 250, 1350, view, "chrF", hybrid=hybrid,
+                backend="python", **kw)
+    wn = Window(reads, 250, 1350, view, "chrF", hybrid=hybrid,
+                backend="native", **kw)
+    return wp, wn
+
+
+@pytest.mark.parametrize("seed", [1, 2, 3, 4, 5])
+@pytest.mark.parametrize("hybrid", [False, True])
+def test_fuzz_native_vs_python(seed, hybrid):
+    ref, reads = random_window(seed, hybrid)
+    wp, wn = build_windows(ref, reads, hybrid)
+
+    rp = wp.differing_regions()
+    rn = wn.differing_regions()
+    assert rp == rn, f"regions differ: {rp} vs {rn}"
+    if not rp:
+        return
+
+    wp.assemble_region(reassemble=hybrid)
+    wn.assemble_region(reassemble=hybrid)
+
+    for region in rp:
+        assert wp.determine_alleles_in_region(*region) == \
+            wn.determine_alleles_in_region(*region)
+        wp.assemble(*region)
+        wn.assemble(*region)
+        ap = sorted(wp.alleles_at_site)
+        an = sorted(wn.alleles_at_site)
+        assert ap == an, f"alleles differ at {region}: {ap} vs {an}"
+        for allele in ap:
+            for pacbio in ([False, True] if hybrid else [False]):
+                assert wp.num_reads_supporting_allele(allele, pacbio) == \
+                    wn.num_reads_supporting_allele(allele, pacbio)
+            for index in ([0, 1] if hybrid else [0]):
+                fp = wp.compute_features(allele, index)
+                fn = wn.compute_features(allele, index)
+                np.testing.assert_array_equal(fp, fn)
+
+
+def test_native_bam_matches_python(tmp_path):
+    from hello_tpu.io.bam import BamReader
+
+    ds = sim.make_dataset(str(tmp_path), ref_length=4000, num_variants=8,
+                          coverage=20, read_length=120, seed=17)
+    path = ds.bams["illumina"]
+
+    py = BamReader(path)
+    nb = native.NativeBam(path)
+    assert nb.references == py.references
+    py_reads = list(py)
+    assert nb.num_reads == len(py_reads)
+    for i in [0, 1, len(py_reads) // 2, len(py_reads) - 1]:
+        a, b = py_reads[i], nb.read(i)
+        assert a.name == b.name
+        assert a.flag == b.flag
+        assert a.reference_start == b.reference_start
+        assert a.mapq == b.mapq
+        assert a.cigartuples == b.cigartuples
+        assert a.sequence == b.sequence
+        assert a.qualities == b.qualities
+        assert a.hp == b.hp
+
+    # region fetch parity
+    for start, stop in [(0, 500), (1000, 1300), (3900, 4000)]:
+        got_py = sorted(r.name for r in py.fetch("chrS", start, stop))
+        got_nb = sorted(r.name for r in nb.fetch("chrS", start, stop))
+        assert got_py == got_nb
+
+
+def test_native_hp_features(tmp_path):
+    """HP channel propagates through the native path."""
+    ref, reads = random_window(42, hybrid=True)
+    wp, wn = build_windows(ref, reads, True, include_hp=True)
+    regions = wp.differing_regions()
+    assert regions == wn.differing_regions()
+    if not regions:
+        pytest.skip("no regions in this seed")
+    wp.assemble_region(reassemble=False)
+    wn.assemble_region(reassemble=False)
+    region = regions[0]
+    wp.assemble(*region)
+    wn.assemble(*region)
+    for allele in sorted(wp.alleles_at_site):
+        fp = wp.compute_features(allele, 1)
+        fn = wn.compute_features(allele, 1)
+        assert fp.shape[2] == 7
+        np.testing.assert_array_equal(fp, fn)
