@@ -17,6 +17,7 @@ from typing import Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
 
+from .. import telemetry
 from ..constants import FEATURE_LENGTH
 from ..io.fasta import FastaFile
 from ..io.vcf import VcfRecord, make_record, write_vcf
@@ -101,45 +102,51 @@ def call_region(bam_paths: Sequence[str], ref: FastaFile, chromosome: str,
     hybrid = len(bam_paths) > 1
     rng = random.Random(seed)
 
-    hotspot_sources = make_read_sources(bam_paths, pacbio, for_hotspots=True, rng=rng)
-    positions = detect_hotspots(
-        hotspot_sources, ref, chromosome, start, stop, pacbio=pacbio,
-        hybrid_hotspot=hybrid_hotspot, q_threshold=q_threshold, min_mapq=min_mapq)
+    with telemetry.stage("hotspot_detection"):
+        hotspot_sources = make_read_sources(bam_paths, pacbio, for_hotspots=True, rng=rng)
+        positions = detect_hotspots(
+            hotspot_sources, ref, chromosome, start, stop, pacbio=pacbio,
+            hybrid_hotspot=hybrid_hotspot, q_threshold=q_threshold, min_mapq=min_mapq)
     logger.info("%s:%d-%d: %d hotspot positions", chromosome, start, stop, len(positions))
     if not positions:
         return []
 
-    active = cluster_hotspots(positions)
-    sources = make_read_sources(bam_paths, pacbio, rng=rng)
-    intervals, windows = candidate_intervals(
-        sources, ref, chromosome, active, pacbio=pacbio,
-        hybrid_hotspot=hybrid_hotspot, q_threshold=q_threshold,
-        min_mapq=min_mapq, include_hp=include_hp,
-        reassembly_size=reassembly_size, provide_windows=True)
+    with telemetry.stage("candidate_intervals"):
+        active = cluster_hotspots(positions)
+        sources = make_read_sources(bam_paths, pacbio, rng=rng)
+        intervals, windows = candidate_intervals(
+            sources, ref, chromosome, active, pacbio=pacbio,
+            hybrid_hotspot=hybrid_hotspot, q_threshold=q_threshold,
+            min_mapq=min_mapq, include_hp=include_hp,
+            reassembly_size=reassembly_size, provide_windows=True)
     logger.info("%s: %d candidate intervals", chromosome, len(intervals))
 
-    sites = [s for s in generate_sites(
+    with telemetry.stage("site_generation"):
+        sites = [s for s in generate_sites(
         sources, ref, chromosome, intervals, windows=windows, pacbio=pacbio,
         include_hp=include_hp, hybrid_hotspot=hybrid_hotspot,
         feature_length=feature_length, q_threshold=q_threshold,
-        min_mapq=min_mapq, reassembly_size=reassembly_size)
-        if s is not None and s.alleles]
+            min_mapq=min_mapq, reassembly_size=reassembly_size)
+            if s is not None and s.alleles]
     logger.info("%s: %d scorable sites", chromosome, len(sites))
 
     ref_lookup = lambda chrom, pos: ref.fetch(chrom, pos, pos + 1)
     records: List[VcfRecord] = []
     hybrid_model = scorer.model.hybrid
     for group in group_sites_for_batching(sites, max_alleles_per_batch):
-        batch = pack_sites(group, hybrid=hybrid_model,
-                           feature_length=feature_length,
-                           channels0=7 if include_hp else 6,
-                           channels1=7 if include_hp else 6)
-        experts, meta = scorer(batch)
-        calls = decode_batch(experts, meta, batch.allele_site_index, group)
-        for call in calls:
-            rec = vcf_record_from_call(call, ref_lookup)
-            if rec is not None:
-                records.append(rec)
+        with telemetry.stage("batch_packing"):
+            batch = pack_sites(group, hybrid=hybrid_model,
+                               feature_length=feature_length,
+                               channels0=7 if include_hp else 6,
+                               channels1=7 if include_hp else 6)
+        with telemetry.stage("device_scoring"):
+            experts, meta = scorer(batch)
+        with telemetry.stage("genotype_decode"):
+            calls = decode_batch(experts, meta, batch.allele_site_index, group)
+            for call in calls:
+                rec = vcf_record_from_call(call, ref_lookup)
+                if rec is not None:
+                    records.append(rec)
     return records
 
 
@@ -194,6 +201,13 @@ def main(argv=None):
     parser.add_argument("--q_threshold", type=int, default=10)
     parser.add_argument("--mapq_threshold", type=int, default=10)
     parser.add_argument("--reconcilement_size", type=int, default=10)
+    parser.add_argument("--num_workers", type=int, default=0,
+                        help="host-side worker processes (0 = in-process)")
+    parser.add_argument("--chunk_size", type=int, default=200_000)
+    parser.add_argument("--process_index", type=int, default=0,
+                        help="this host's index for multi-host region sharding")
+    parser.add_argument("--process_count", type=int, default=1,
+                        help="total hosts sharing the work")
     parser.add_argument("--log", default=None)
     args = parser.parse_args(argv)
 
@@ -210,11 +224,32 @@ def main(argv=None):
             regions = [(parts[0], int(parts[1]), int(parts[2]))]
 
     scorer = load_scorer(args.model, args.checkpoint)
-    call_genome(
-        args.bam.split(","), args.ref, scorer, args.out, regions=regions,
-        pacbio=args.pacbio, include_hp=args.include_hp,
-        hybrid_hotspot=args.hybrid_hotspot, q_threshold=args.q_threshold,
-        min_mapq=args.mapq_threshold, reassembly_size=args.reconcilement_size)
+
+    if args.process_count > 1:
+        from ..parallel.mesh import shard_regions
+        ref = FastaFile(args.ref)
+        if regions is None:
+            regions = [(c, 0, ref.length(c)) for c in ref.chromosomes()]
+        regions = shard_regions(regions, args.process_index, args.process_count)
+        logger.info("host %d/%d handles %d regions", args.process_index,
+                    args.process_count, len(regions))
+
+    if args.num_workers > 0:
+        from .parallel_call import call_parallel
+        call_parallel(
+            args.bam.split(","), args.ref, scorer, args.out, regions=regions,
+            num_workers=args.num_workers, chunk_size=args.chunk_size,
+            pacbio=args.pacbio, include_hp=args.include_hp,
+            hybrid_hotspot=args.hybrid_hotspot, q_threshold=args.q_threshold,
+            min_mapq=args.mapq_threshold,
+            reassembly_size=args.reconcilement_size)
+    else:
+        call_genome(
+            args.bam.split(","), args.ref, scorer, args.out, regions=regions,
+            pacbio=args.pacbio, include_hp=args.include_hp,
+            hybrid_hotspot=args.hybrid_hotspot, q_threshold=args.q_threshold,
+            min_mapq=args.mapq_threshold, reassembly_size=args.reconcilement_size)
+    telemetry.log_report()
     logger.info("Completed running the script")
 
 

@@ -1,0 +1,181 @@
+"""Process-parallel calling: host-side candidate generation in a worker pool
+feeding device-side scoring in the main process.
+
+The reference parallelises by running the whole caller in N processes with
+torch pinned to one thread each (reference python/call.py:111-220).  On TPU
+the accelerator is a shared resource, so the decomposition differs: worker
+processes run the *host* stages (BAM fetch -> hotspots -> candidates ->
+featurization) for genome chunks and stream SiteWork payloads back; the main
+process packs padded batches and drives the chip, overlapping host production
+with device scoring.  Multi-host scale-out assigns region shards per process
+index (hello_tpu.parallel.mesh.shard_regions) with a final VCF merge.
+"""
+
+from __future__ import annotations
+
+import logging
+import multiprocessing as mp
+import os
+import queue as queue_mod
+from typing import Iterator, List, Optional, Sequence, Tuple
+
+from ..constants import FEATURE_LENGTH
+from ..io.fasta import FastaFile
+from ..io.vcf import VcfRecord, write_vcf
+from ..nn.genotype import decode_batch
+from .batching import group_sites_for_batching, pack_sites
+from .call import Scorer, vcf_record_from_call
+from .candidates import generate_sites
+from .hotspots import (candidate_intervals, cluster_hotspots, detect_hotspots,
+                       make_read_sources)
+
+logger = logging.getLogger(__name__)
+
+_SENTINEL = "__done__"
+
+
+def host_sites_for_chunk(bam_paths, ref_path, chromosome, start, stop,
+                         options) -> List:
+    """Host-side stages for one genome chunk; returns SiteWork list."""
+    import random
+
+    ref = FastaFile(ref_path)
+    rng = random.Random(options.get("seed", 13))
+    pacbio = options.get("pacbio", False)
+    kwargs = dict(
+        pacbio=pacbio,
+        hybrid_hotspot=options.get("hybrid_hotspot", False),
+        q_threshold=options.get("q_threshold", 10),
+        min_mapq=options.get("min_mapq", 10),
+    )
+    hotspot_sources = make_read_sources(bam_paths, pacbio, for_hotspots=True,
+                                        rng=rng)
+    positions = detect_hotspots(hotspot_sources, ref, chromosome, start, stop,
+                                **kwargs)
+    if not positions:
+        return []
+    active = cluster_hotspots(positions)
+    sources = make_read_sources(bam_paths, pacbio, rng=rng)
+    intervals, windows = candidate_intervals(
+        sources, ref, chromosome, active,
+        include_hp=options.get("include_hp", False),
+        reassembly_size=options.get("reassembly_size", 10),
+        provide_windows=True, **kwargs)
+    sites = [s for s in generate_sites(
+        sources, ref, chromosome, intervals, windows=windows,
+        include_hp=options.get("include_hp", False),
+        feature_length=options.get("feature_length", FEATURE_LENGTH),
+        reassembly_size=options.get("reassembly_size", 10),
+        pacbio=pacbio,
+        hybrid_hotspot=options.get("hybrid_hotspot", False),
+        q_threshold=options.get("q_threshold", 10),
+        min_mapq=options.get("min_mapq", 10))
+        if s is not None and s.alleles]
+    return sites
+
+
+def _worker(job_queue, result_queue, bam_paths, ref_path, options):
+    """Worker loop: consume (chromosome, start, stop) jobs, emit site lists."""
+    # workers never touch the accelerator
+    os.environ.setdefault("JAX_PLATFORMS", "cpu")
+    while True:
+        job = job_queue.get()
+        if job == _SENTINEL:
+            result_queue.put(_SENTINEL)
+            return
+        chromosome, start, stop = job
+        try:
+            sites = host_sites_for_chunk(bam_paths, ref_path, chromosome,
+                                         start, stop, options)
+            result_queue.put(("ok", job, sites))
+        except Exception as exc:  # report and continue: recovery = rerun shard
+            result_queue.put(("error", job, repr(exc)))
+
+
+def make_chunks(regions: Sequence[Tuple[str, int, int]],
+                chunk_size: int = 200_000):
+    """Split regions into worker-sized genome chunks."""
+    for chrom, start, stop in regions:
+        pos = start
+        while pos < stop:
+            end = min(pos + chunk_size, stop)
+            yield (chrom, pos, end)
+            pos = end
+
+
+def call_parallel(bam_paths: Sequence[str], ref_path: str, scorer: Scorer,
+                  out_vcf: str,
+                  regions: Optional[Sequence[Tuple[str, int, int]]] = None,
+                  num_workers: int = 4,
+                  chunk_size: int = 200_000,
+                  max_alleles_per_batch: int = 128,
+                  include_hp: bool = False,
+                  **options) -> str:
+    """Parallel genome calling into a sorted VCF.
+
+    Worker processes produce SiteWork; the main process scores batches on the
+    device as results stream in (device compute overlaps host production).
+    """
+    ref = FastaFile(ref_path)
+    if regions is None:
+        regions = [(c, 0, ref.length(c)) for c in ref.chromosomes()]
+    options = dict(options)
+    options.setdefault("include_hp", include_hp)
+
+    jobs = list(make_chunks(regions, chunk_size))
+    ctx = mp.get_context("spawn")
+    job_queue = ctx.Queue()
+    result_queue = ctx.Queue()
+    for job in jobs:
+        job_queue.put(job)
+    for _ in range(num_workers):
+        job_queue.put(_SENTINEL)
+    workers = [
+        ctx.Process(target=_worker, args=(job_queue, result_queue, list(bam_paths),
+                                          ref_path, options), daemon=True)
+        for _ in range(num_workers)]
+    for w in workers:
+        w.start()
+
+    ref_lookup = lambda chrom, pos: ref.fetch(chrom, pos, pos + 1)
+    hybrid_model = scorer.model.hybrid
+    records: List[VcfRecord] = []
+    failures = []
+    finished_workers = 0
+    completed = 0
+    while finished_workers < num_workers:
+        msg = result_queue.get()
+        if msg == _SENTINEL:
+            finished_workers += 1
+            continue
+        status, job, payload = msg
+        if status == "error":
+            failures.append((job, payload))
+            logger.error("chunk %s failed: %s", job, payload)
+            continue
+        completed += 1
+        sites = payload
+        for group in group_sites_for_batching(sites, max_alleles_per_batch):
+            batch = pack_sites(group, hybrid=hybrid_model,
+                               channels0=7 if include_hp else 6,
+                               channels1=7 if include_hp else 6)
+            experts, meta = scorer(batch)
+            calls = decode_batch(experts, meta, batch.allele_site_index, group)
+            for call in calls:
+                rec = vcf_record_from_call(call, ref_lookup)
+                if rec is not None:
+                    records.append(rec)
+        if completed % 20 == 0:
+            logger.info("completed %d/%d chunks (%d records)",
+                        completed, len(jobs), len(records))
+
+    for w in workers:
+        w.join(timeout=30)
+
+    if failures:
+        raise RuntimeError(f"{len(failures)} chunks failed: {failures[:3]}")
+
+    contigs = {c: ref.length(c) for c in ref.chromosomes()}
+    write_vcf(out_vcf, records, contigs=contigs, sort=True)
+    logger.info("wrote %d records to %s", len(records), out_vcf)
+    return out_vcf

@@ -1,0 +1,66 @@
+"""Stage timing and profiling utilities.
+
+Replaces the reference's scattered accumulating timers
+(PileupContainerLite.execTime, PileupDataTools.CANDIDATE_READER_TIME,
+trainDataTools DATAGEN_TIME/TENSOR_TIME — reference python/*.py) with one
+registry, plus a helper to capture JAX device profiles.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import logging
+import threading
+import time
+from collections import defaultdict
+from typing import Dict, Optional
+
+logger = logging.getLogger(__name__)
+
+_lock = threading.Lock()
+_totals: Dict[str, float] = defaultdict(float)
+_counts: Dict[str, int] = defaultdict(int)
+
+
+@contextlib.contextmanager
+def stage(name: str):
+    """Accumulate wall time for a named pipeline stage."""
+    start = time.perf_counter()
+    try:
+        yield
+    finally:
+        elapsed = time.perf_counter() - start
+        with _lock:
+            _totals[name] += elapsed
+            _counts[name] += 1
+
+
+def report() -> Dict[str, dict]:
+    with _lock:
+        return {name: {"seconds": round(_totals[name], 4),
+                       "calls": _counts[name]}
+                for name in sorted(_totals)}
+
+
+def reset():
+    with _lock:
+        _totals.clear()
+        _counts.clear()
+
+
+def log_report(level=logging.INFO):
+    for name, info in report().items():
+        logger.log(level, "stage %-24s %8.3fs over %d calls",
+                   name, info["seconds"], info["calls"])
+
+
+@contextlib.contextmanager
+def device_trace(log_dir: str):
+    """Capture a JAX profiler trace (viewable in TensorBoard/XProf)."""
+    import jax
+
+    jax.profiler.start_trace(log_dir)
+    try:
+        yield
+    finally:
+        jax.profiler.stop_trace()

@@ -41,7 +41,7 @@ def train_from_shards(
     t0: int = 10, t_mult: int = 2, min_lr: float = 0.0, warmup: bool = False,
     entropy_regularizer: float = 0.1, entropy_decay: float = 0.5,
     smoothing: float = 0.0, aux_weight: float = 0.0, weight_decay: float = 1e-4,
-    seed: int = 13, channels: int = 6,
+    seed: int = 13, channels: int = 6, resume: str = None,
 ):
     model = create_model(model_name)
     mesh = data_mesh(num_devices)
@@ -53,6 +53,9 @@ def train_from_shards(
         entropy_regularizer=entropy_regularizer, entropy_decay=entropy_decay,
         smoothing=smoothing, aux_weight=aux_weight, binary=binary)
     trainer = Trainer(model, config, mesh=mesh, seed=seed)
+    if resume:
+        trainer.restore(resume)
+        logger.info("resumed from %s at step %d", resume, trainer.step)
 
     n_val = max(1, int(len(files) * val_fraction)) if len(files) > 1 else 0
     val_files = files[:n_val]
@@ -118,6 +121,8 @@ def main(argv=None):
     parser.add_argument("--minLr", type=float, default=0.0)
     parser.add_argument("--include_hp", action="store_true")
     parser.add_argument("--seed", type=int, default=13)
+    parser.add_argument("--resume", default=None,
+                        help="checkpoint to resume full training state from")
     args = parser.parse_args(argv)
 
     logging.basicConfig(level=logging.INFO,
@@ -135,7 +140,8 @@ def main(argv=None):
         entropy_regularizer=args.entropy_regularizer,
         entropy_decay=args.entropy_decay, smoothing=args.smoothing,
         aux_weight=args.aux_loss, weight_decay=args.weight_decay,
-        seed=args.seed, channels=7 if args.include_hp else 6)
+        seed=args.seed, channels=7 if args.include_hp else 6,
+        resume=args.resume)
     logger.info("Completed running the script")
 
 

@@ -177,3 +177,16 @@ class Trainer:
     def save(self, path: str, extra=None):
         save_checkpoint(path, self.params, self.state, self.opt_state,
                         self.step, extra)
+
+    def restore(self, path: str):
+        """Resume full training state (params, batch-norm state, optimizer
+        moments, step counter) from a checkpoint."""
+        from .checkpoint import load_full_checkpoint
+
+        payload = load_full_checkpoint(path)
+        self.params = payload["params"]
+        self.state = payload["state"] or {}
+        if payload.get("opt_state") is not None:
+            self.opt_state = payload["opt_state"]
+        self.step = int(payload.get("step", 0))
+        return self

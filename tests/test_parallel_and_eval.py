@@ -1,0 +1,87 @@
+"""Tests for the process-parallel caller and the evaluation tooling."""
+
+import numpy as np
+import pytest
+
+from hello_tpu import sim
+from hello_tpu.io.fasta import FastaFile
+from hello_tpu.io.vcf import read_vcf, write_vcf
+from hello_tpu.pipeline.call import call_region
+from hello_tpu.pipeline.evaluate import evaluate
+from hello_tpu.pipeline.parallel_call import host_sites_for_chunk, make_chunks
+
+from test_pipeline_e2e import OracleScorer, canonical_map, normalize_gt
+
+
+def test_host_sites_for_chunk_matches_inline(tmp_path):
+    """The worker-side host stage must produce the same sites as the inline
+    path (same count, positions, alleles)."""
+    ds = sim.make_dataset(str(tmp_path), ref_length=20000, num_variants=30,
+                          coverage=30, read_length=120, seed=41)
+    sites = host_sites_for_chunk([ds.bams["illumina"]], ds.fasta,
+                                 ds.chromosome, 0, 20000, {})
+    truth_positions = {v.position for v in ds.variants}
+    got_spans = [(s.start, s.stop) for s in sites]
+    # every truth variant is inside some generated site span
+    for p in truth_positions:
+        assert any(a <= p < b for a, b in got_spans), p
+
+
+def test_make_chunks():
+    regions = [("chr1", 0, 450_000), ("chr2", 100, 200)]
+    chunks = list(make_chunks(regions, 200_000))
+    assert chunks == [("chr1", 0, 200_000), ("chr1", 200_000, 400_000),
+                      ("chr1", 400_000, 450_000), ("chr2", 100, 200)]
+
+
+def test_evaluate_oracle_calls_are_perfect(tmp_path):
+    ds = sim.make_dataset(str(tmp_path), ref_length=6000, num_variants=12,
+                          coverage=30, read_length=120, seed=7)
+    ref = FastaFile(ds.fasta)
+    records = call_region([ds.bams["illumina"]], ref, ds.chromosome, 0,
+                          ref.length(ds.chromosome), OracleScorer())
+    calls_vcf = str(tmp_path / "calls.vcf")
+    write_vcf(calls_vcf, records, contigs={ds.chromosome: 6000})
+
+    metrics = evaluate(calls_vcf, ds.truth_vcf, ds.fasta)
+    assert metrics["all"]["precision"] == 1.0
+    assert metrics["all"]["recall"] == 1.0
+    assert metrics["all"]["gt_mismatch"] == 0
+
+
+def test_evaluate_detects_errors(tmp_path):
+    """Dropping a truth variant from the calls must show up as FN; adding a
+    fake one as FP."""
+    ds = sim.make_dataset(str(tmp_path), ref_length=6000, num_variants=10,
+                          coverage=30, read_length=120, seed=3)
+    ref = FastaFile(ds.fasta)
+    records = call_region([ds.bams["illumina"]], ref, ds.chromosome, 0,
+                          ref.length(ds.chromosome), OracleScorer())
+    # drop one, fabricate one
+    dropped = records[:-1]
+    from hello_tpu.io.vcf import VcfRecord
+    fake_pos = 5500
+    fake = VcfRecord(ds.chromosome, fake_pos, ref.fetch(ds.chromosome, fake_pos, fake_pos + 1),
+                     ["T" if ref.fetch(ds.chromosome, fake_pos, fake_pos + 1) != "T" else "A"],
+                     (0, 1), qual=50.0)
+    calls_vcf = str(tmp_path / "calls.vcf")
+    write_vcf(calls_vcf, dropped + [fake], contigs={ds.chromosome: 6000})
+    metrics = evaluate(calls_vcf, ds.truth_vcf, ds.fasta)
+    assert metrics["all"]["fn"] >= 1
+    assert metrics["all"]["fp"] >= 1
+
+
+def test_max_q_from_labels(tmp_path):
+    from hello_tpu.pipeline.dump import dump_region
+    from hello_tpu.pipeline.evaluate import max_q_from_labels
+
+    ds = sim.make_dataset(str(tmp_path), ref_length=6000, num_variants=10,
+                          coverage=30, read_length=120, seed=5)
+    bed = str(tmp_path / "conf.bed")
+    with open(bed, "w") as fh:
+        fh.write(f"{ds.chromosome}\t0\t6000\n")
+    ref = FastaFile(ds.fasta)
+    shards = dump_region([ds.bams["illumina"]], ref, ds.chromosome, 0, 6000,
+                         ds.truth_vcf, bed, str(tmp_path / "d"))
+    q = max_q_from_labels(shards)
+    assert q > 0
