@@ -118,10 +118,13 @@ def bench_torch_baseline(sites, iters=2):
 
 def main():
     parser = argparse.ArgumentParser()
-    parser.add_argument("--sites", type=int, default=48)
+    parser.add_argument("--sites", type=int, default=512,
+                        help="sites per device batch (512 ~ saturates a v5e chip)")
     parser.add_argument("--alleles", type=int, default=2)
     parser.add_argument("--reads0", type=int, default=50)
     parser.add_argument("--reads1", type=int, default=30)
+    parser.add_argument("--baseline_sites", type=int, default=16,
+                        help="baseline torch workload size (scaled per-site)")
     parser.add_argument("--iters", type=int, default=20)
     parser.add_argument("--precision", default=os.environ.get(
         "HELLO_TPU_PRECISION", "highest"))
@@ -136,7 +139,11 @@ def main():
     baseline_rate = None
     if not args.skip_baseline:
         try:
-            baseline_rate = bench_torch_baseline(sites)
+            # the reference CPU path is ~5 orders of magnitude slower, so the
+            # baseline is measured on a smaller workload and compared per-site
+            small = build_workload(np.random.RandomState(1), args.baseline_sites,
+                                   args.alleles, args.reads0, args.reads1)
+            baseline_rate = bench_torch_baseline(small)
         except Exception:
             baseline_rate = None
 

@@ -96,7 +96,7 @@ def call_region(bam_paths: Sequence[str], ref: FastaFile, chromosome: str,
                 q_threshold: int = 10, min_mapq: int = 10,
                 reassembly_size: int = 10,
                 feature_length: int = FEATURE_LENGTH,
-                max_alleles_per_batch: int = 128,
+                max_alleles_per_batch: int = 512,
                 seed: int = 13) -> List[VcfRecord]:
     """Call variants in one region; returns normalised VCF records."""
     hybrid = len(bam_paths) > 1

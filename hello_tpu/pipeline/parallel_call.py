@@ -108,7 +108,7 @@ def call_parallel(bam_paths: Sequence[str], ref_path: str, scorer: Scorer,
                   regions: Optional[Sequence[Tuple[str, int, int]]] = None,
                   num_workers: int = 4,
                   chunk_size: int = 200_000,
-                  max_alleles_per_batch: int = 128,
+                  max_alleles_per_batch: int = 512,
                   include_hp: bool = False,
                   **options) -> str:
     """Parallel genome calling into a sorted VCF.
