@@ -129,7 +129,10 @@ class CountsEngine:
         qual = read.qualities
         rf = read.reference_start - self.window_start
         rd = 0
-        assert rf > 0, "window must start before every read"
+        if rf <= 0:
+            # indels anchor on the position left of the read start; a read at
+            # the window edge cannot be counted safely (reference asserts here)
+            return
         inc = 1 if read.pacbio else 2
         cigars = read.cigartuples
         for ci, (op, length) in enumerate(cigars):

@@ -89,7 +89,7 @@ def render_read_row(read: AlignedRead, reference: str, window_start: int,
             rf += length
             rd += length
         elif op == BAM_CDEL:
-            if fstart <= rf - 1 < fend:
+            if fstart <= rf - 1 < fend and rf - 1 >= window_start:
                 for p in range(rf - 1, rf + length):
                     if not (fstart <= p < fend):
                         continue
@@ -108,7 +108,7 @@ def render_read_row(read: AlignedRead, reference: str, window_start: int,
         elif op == BAM_CREF_SKIP:
             rf += length
         elif op == BAM_CINS:
-            if fstart <= rf - 1 < fend:
+            if fstart <= rf - 1 < fend and rf - 1 >= window_start:
                 fi = rf - 1 - fstart
                 lo = rd - 1 if rd > 0 else rd
                 qual_color = base_quality_color(min(qual[lo:rd + length]))

@@ -199,8 +199,11 @@ def _site_tensors(window: Window, record: CandidateRecord, hybrid: bool,
     truth_alleles = set(record.alleles()[g] for g in record.gt if g >= 0)
 
     alleles, tensors0, tensors1, labels = [], [], [], []
+    # platform of "index 0": the single platform's flag outside hybrid mode
+    # (reference AlleleSearcherLite.py:311 index mapping)
+    primary_pacbio = window.pacbio
     for allele in record.alleles():
-        supports = window.num_reads_supporting_allele(allele, False)
+        supports = window.num_reads_supporting_allele(allele, primary_pacbio)
         if hybrid:
             supports += window.num_reads_supporting_allele(allele, True)
         if supports == 0:

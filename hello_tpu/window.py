@@ -168,9 +168,10 @@ class Window:
         self._regions: Optional[List[Tuple[int, int]]] = None
 
         ref_starts = [r.reference_start for r in self.reads]
-        window_start = min(ref_starts + [start]) - 10
-        if window_start < 0:
-            raise LocationOutOfBounds(f"window start {window_start} < 0")
+        # clamp at the chromosome start: the reference engine raises here and
+        # silently drops whole chunks whose reads reach position 0
+        # (AlleleSearcherLite.py:142-143); clamping keeps those chunks callable
+        window_start = max(0, min(ref_starts + [start]) - 10)
         if self.reads:
             window_end = max(r.reference_end for r in self.reads)
         else:

@@ -257,6 +257,7 @@ struct Window {
             int inc = rv.pacbio ? 1 : 2;
             int64_t rf = rv.ref_start - window_start;
             int64_t rd = 0;
+            if (rf <= 0) continue;  // unanchorable at the window edge
             for (int64_t ci = 0; ci < rv.n_cigars; ci++) {
                 uint32_t c = rv.cigars[ci];
                 int op = c & 0xF;
@@ -631,7 +632,8 @@ struct Window {
                         rf += len; rd += len;
                         break;
                     case OP_D:
-                        if (fstart <= rf - 1 && rf - 1 < fend) {
+                        if (fstart <= rf - 1 && rf - 1 < fend &&
+                            rf - 1 >= window_start) {
                             for (int64_t p = rf - 1; p < rf + len; p++) {
                                 if (!(fstart <= p && p < fend)) continue;
                                 int64_t fi = p - fstart;
@@ -652,7 +654,8 @@ struct Window {
                         rf += len;
                         break;
                     case OP_I:
-                        if (fstart <= rf - 1 && rf - 1 < fend) {
+                        if (fstart <= rf - 1 && rf - 1 < fend &&
+                            rf - 1 >= window_start) {
                             int64_t lo = rd > 0 ? rd - 1 : rd;
                             int mq = 255;
                             for (int64_t i = lo; i < rd + len; i++)
