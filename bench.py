@@ -40,7 +40,16 @@ def build_workload(rng, num_sites, alleles_per_site, reads0, reads1, L=150, C=6)
     return sites
 
 
-def bench_tpu(sites, iters, precision):
+def bench_tpu(sites, iters, precision, num_rotations=2):
+    """Median per-batch latency with per-iteration sync.
+
+    Rotates between distinct device-resident batches and blocks after every
+    dispatch: remote-execution layers (e.g. TPU tunnels) can otherwise
+    memoize identical dispatches or report completion early, producing
+    unphysical throughput numbers.
+    """
+    import statistics
+
     import jax
     from hello_tpu.nn import layers
     from hello_tpu.nn.moe import create_model
@@ -49,26 +58,31 @@ def bench_tpu(sites, iters, precision):
     layers.set_precision(precision)
     model = create_model("hybrid")
     params, state = model.init(jax.random.PRNGKey(0))
-    batch = pack_sites(sites, hybrid=True)
-    d = batch.device_dict()
+    rng2 = np.random.RandomState(99)
+    batches = []
+    for k in range(num_rotations):
+        rotated = sites if k == 0 else build_workload(
+            rng2, len(sites), len(sites[0].alleles),
+            sites[0].tensors0[0].shape[0], sites[0].tensors1[0].shape[0])
+        batches.append(jax.device_put(pack_sites(rotated, hybrid=True).device_dict()))
+    params = jax.device_put(params)
 
     @jax.jit
     def forward(params, state, batch):
         out, _ = model.apply(params, state, batch, train=False)
         return out["experts"], out["meta"]
 
-    # move data once; realistic pipelines overlap H2D with compute
-    d = jax.device_put(d)
-    params = jax.device_put(params)
-
-    out = forward(params, state, d)
-    jax.block_until_ready(out)
-    start = time.perf_counter()
-    for _ in range(iters):
-        out = forward(params, state, d)
-    jax.block_until_ready(out)
-    elapsed = time.perf_counter() - start
-    return len(sites) * iters / elapsed
+    for b in batches:
+        np.asarray(forward(params, state, b)[0])
+    times = []
+    for i in range(iters):
+        t0 = time.perf_counter()
+        out = forward(params, state, batches[i % num_rotations])
+        # force true completion with a host readback of the (small) result:
+        # block_until_ready alone can return early through remote-TPU tunnels
+        np.asarray(out[0])
+        times.append(time.perf_counter() - t0)
+    return len(sites) / statistics.median(times)
 
 
 def bench_torch_baseline(sites, iters=2):
