@@ -1,0 +1,319 @@
+"""Pallas TPU kernel: fused read-convolver + masked per-allele reduction.
+
+The read convolver is the hot op of the scoring path: every read row
+``[150, C]`` runs through a 15-conv ResNet and the per-read features are then
+summed per allele.  The XLA path materialises the per-read feature maps
+``[A*R, 36, 64]`` in HBM and runs each small-channel conv as a separate op
+with poor MXU lane utilisation (channels 6..64 vs 128 lanes).
+
+This kernel processes one allele slot x one read chunk per grid step, keeping
+every intermediate in VMEM and expressing each conv as one im2col matmul
+``W[Co, K*Ci] @ X[K*Ci, L*R]`` — the column dimension packs positions x reads,
+so MXU lanes stay full regardless of channel width.  The masked sum over reads
+happens in-register before anything returns to HBM: per grid step only the
+``[64, 36]`` per-allele accumulator is written (revisited-output accumulation
+over read chunks; the TPU grid is sequential).
+
+Weight-normalised parameters are folded into effective weights on the host
+(`extract_read_conv_weights`).  Numerical parity with the layers path is
+asserted in tests (interpret mode ~1e-5; on hardware the Mosaic MXU runs
+matmuls in bf16 passes, giving XLA-default-precision-class accuracy).
+
+STATUS (measured on one v5e chip, A=512 x R=128 batch): 64.6 ms vs XLA
+fp32-highest 75.4 ms (1.17x), but XLA at default (bf16) precision runs the
+same op in 53.6 ms — XLA currently wins at matched precision, so this kernel
+is NOT wired into the default forward.  The gap is MXU K-underutilisation
+(K=3*C_in as low as 18 vs the 128 MXU tile) plus im2col concat relayouts;
+packing multiple positions into the K dimension is the planned fix.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import List, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..nn import layers as L
+
+# architecture constants (read_convolver for feature_length=150)
+L_IN = 150
+L_POOL = 71    # after 3 valid convs (->144) + maxpool k3 s2
+L_OUT = 36     # after the stride-2 residual block
+C_MID = 32
+C_OUT = 64
+
+
+def _conv2d_mat(w, b):
+    """[K, Ci, Co] HIO -> (W2d [Co, K*Ci], b [Co]) matching im2col row order."""
+    K, Ci, Co = w.shape
+    w2 = jnp.transpose(w, (2, 0, 1)).reshape(Co, K * Ci)
+    return w2, b
+
+
+def _effective_conv(layer, p):
+    if isinstance(layer, L.WeightNormedConv1d):
+        v = p["v"]
+        norm = jnp.sqrt(jnp.sum(v * v, axis=(0, 1), keepdims=True))
+        w = p["g"] * v / norm
+    else:
+        w = p["w"]
+    return _conv2d_mat(w, p["b"])
+
+
+def extract_read_conv_weights(seq: L.Sequential, params) -> List[jnp.ndarray]:
+    """Flatten the read-convolver parameters into the kernel's argument order.
+
+    Order: stem conv1..3; 3x RB_FT(32) (2 convs each); RB_Conv (conv1, conv2,
+    shortcut); 3x RB_FT(64).  Returns [w1, b1, w2, b2, ...] as 2-D/1-D arrays.
+    """
+    out: List[jnp.ndarray] = []
+
+    def add(layer, p):
+        w, b = _effective_conv(layer, p)
+        out.extend([w, b])
+
+    li = 0
+    convs_seen = 0
+    for i, layer in enumerate(seq.layers):
+        p = params.get(str(i), {})
+        if isinstance(layer, (L.Conv1d,)):  # includes WeightNormedConv1d
+            add(layer, p)
+            convs_seen += 1
+        elif isinstance(layer, L.ResidualBlock):
+            for j, sub in enumerate(layer.ff.layers):
+                if isinstance(sub, L.Conv1d):
+                    add(sub, p["ff"][str(j)])
+            for j, sub in enumerate(layer.sh.layers):
+                if isinstance(sub, L.Conv1d):
+                    add(sub, p["sh"][str(j)])
+    return out
+
+
+def _im2col_valid(x, k):
+    """[C, L, R] -> [k*C, (L-k+1)*R] for a valid (pad 0, stride 1) k-conv."""
+    C, Lx, R = x.shape
+    Lo = Lx - k + 1
+    rows = [x[:, i:i + Lo, :].reshape(C, Lo * R) for i in range(k)]
+    return jnp.concatenate(rows, axis=0)
+
+
+def _conv_valid(x, w, b, k=3):
+    C, Lx, R = x.shape
+    Lo = Lx - k + 1
+    X = _im2col_valid(x, k)
+    y = jnp.dot(w, X, preferred_element_type=jnp.float32) + b[:, None]
+    return jax.nn.relu(y).astype(x.dtype).reshape(w.shape[0], Lo, R)
+
+
+def _pad_l(x, left=1, right=1):
+    C, Lx, R = x.shape
+    parts = []
+    if left:
+        parts.append(jnp.zeros((C, left, R), x.dtype))
+    parts.append(x)
+    if right:
+        parts.append(jnp.zeros((C, right, R), x.dtype))
+    return jnp.concatenate(parts, axis=1)
+
+
+def _every2(x, start, count):
+    """x[:, start:start+2*count:2, :] without strided slicing (Mosaic lowers
+    3-D strided slices to unsupported gathers): slice, reshape pairs, take
+    the even member."""
+    C, Lx, R = x.shape
+    sl = x[:, start:start + 2 * count, :]
+    return sl.reshape(C, count, 2, R)[:, :, 0, :]
+
+
+def _conv_same(x, w, b, relu=True):
+    """k3 pad1 stride1 conv."""
+    C, Lx, R = x.shape
+    xp = _pad_l(x)
+    X = _im2col_valid(xp, 3)
+    y = jnp.dot(w, X, preferred_element_type=jnp.float32) + b[:, None]
+    if relu:
+        y = jax.nn.relu(y)
+    return y.astype(x.dtype).reshape(w.shape[0], Lx, R)
+
+
+def _conv_stride2(x, w, b):
+    """k3 pad1 stride2 conv: L -> (L+2-3)//2+1."""
+    C, Lx, R = x.shape
+    Lo = (Lx + 2 - 3) // 2 + 1
+    # pad one extra on the right so every _every2 window fits
+    xp = _pad_l(x, 1, 2)
+    rows = [_every2(xp, i, Lo).reshape(C, Lo * R) for i in range(3)]
+    X = jnp.concatenate(rows, axis=0)
+    y = jnp.dot(w, X, preferred_element_type=jnp.float32) + b[:, None]
+    return jax.nn.relu(y).astype(x.dtype).reshape(w.shape[0], Lo, R)
+
+
+def _maxpool3s2(x):
+    C, Lx, R = x.shape
+    Lo = (Lx - 3) // 2 + 1
+    xp = _pad_l(x, 0, 3)  # slack so every _every2 window fits
+    a = _every2(xp, 0, Lo)
+    b = _every2(xp, 1, Lo)
+    c = _every2(xp, 2, Lo)
+    return jnp.maximum(jnp.maximum(a, b), c)
+
+
+def _stem_block(x, weights):
+    """Stem: 3 valid convs + maxpool. [C_in, 150, R] -> [32, 71, R]."""
+    w1, b1, w2, b2, w3, b3 = weights[:6]
+    x = _conv_valid(x, w1, b1)                     # 16 x 148
+    x = _conv_valid(x, w2, b2)                     # 16 x 146
+    x = _conv_valid(x, w3, b3)                     # 32 x 144
+    return _maxpool3s2(x)                          # 32 x 71
+
+def _residual_block_stack(x, weights):
+    """Residual stacks after the pool: [32, 71, R] -> [64, 36, R]."""
+    wi = iter(range(0, len(weights), 2))
+
+    def nxt():
+        i = next(wi)
+        return weights[i], weights[i + 1]
+
+    # 3x RB_FT(32)
+    for _ in range(3):
+        w1, b1 = nxt(); w2, b2 = nxt()
+        y = _conv_same(x, w1, b1)
+        y = _conv_same(y, w2, b2)
+        x = x + y
+    # RB_Conv 32->64 stride 2
+    w1, b1 = nxt(); w2, b2 = nxt(); ws, bs = nxt()
+    y = _conv_stride2(x, w1, b1)                   # 64 x 36
+    y = _conv_same(y, w2, b2)
+    # shortcut: 1x1 stride-2 conv (no activation)
+    C, Lx, R = x.shape
+    Lo = y.shape[1]
+    xs = _every2(_pad_l(x, 0, 1), 0, Lo).reshape(C, Lo * R)
+    sc = (jnp.dot(ws, xs, preferred_element_type=jnp.float32)
+          + bs[:, None]).astype(x.dtype).reshape(ws.shape[0], Lo, R)
+    x = y + sc
+    # 3x RB_FT(64)
+    for _ in range(3):
+        w1, b1 = nxt(); w2, b2 = nxt()
+        y = _conv_same(x, w1, b1)
+        y = _conv_same(y, w2, b2)
+        x = x + y
+    return x
+
+
+def _stem_kernel(reads_ref, *rest, compute_dtype, num_weights):
+    weight_refs = rest[:num_weights]
+    out_ref = rest[num_weights]
+    # reads arrive pre-transposed [1, C, L, Rc] so no in-kernel relayout
+    # (Mosaic: u8 -> i32 -> float)
+    x = reads_ref[0].astype(jnp.int32).astype(compute_dtype)
+    weights = [w[...].astype(compute_dtype) if w.ndim == 2 else w[...]
+               for w in weight_refs]
+    out_ref[0, 0] = _stem_block(x, weights).astype(out_ref.dtype)
+
+
+def _tail_kernel(stem_ref, mask_ref, *rest, compute_dtype, num_weights):
+    weight_refs = rest[:num_weights]
+    out_ref = rest[num_weights]
+    rc = pl.program_id(1)
+    chunk = stem_ref.shape[4]
+    x = stem_ref[0, 0].astype(compute_dtype)       # [32, 71, Rc]
+    weights = [w[...].astype(compute_dtype) if w.ndim == 2 else w[...]
+               for w in weight_refs]
+    feats = _residual_block_stack(x, weights)      # [64, 36, Rc]
+    mask = mask_ref[0, 0, pl.ds(rc * chunk, chunk)].astype(jnp.float32)
+    reduced = jnp.sum(feats.astype(jnp.float32) * mask[None, None, :], axis=2)
+
+    @pl.when(rc == 0)
+    def _():
+        out_ref[0] = reduced
+
+    @pl.when(rc > 0)
+    def _():
+        out_ref[0] = out_ref[0] + reduced
+
+
+def fused_read_convolver(reads: jax.Array, read_mask: jax.Array,
+                         weights: Sequence[jax.Array],
+                         read_chunk: int = 32,
+                         compute_dtype=jnp.float32) -> jax.Array:
+    """Fused read-convolver + masked reduction.
+
+    reads: [A, R, 150, C] uint8; read_mask: [A, R]; weights: flattened
+    effective conv weights (extract_read_conv_weights order).
+    Returns reduced per-allele frames [A, 36, 64] float32 (NWC).
+    """
+    A, R, Lx, C = reads.shape
+    assert Lx == L_IN, f"feature length {Lx} != {L_IN}"
+    chunk = min(read_chunk, R)
+    assert R % chunk == 0, f"R={R} not divisible by chunk={chunk}"
+    n_chunks = R // chunk
+    stem_weights = list(weights[:6])
+    tail_weights = list(weights[6:])
+
+    def weight_specs(ws):
+        specs = []
+        for w in ws:
+            if w.ndim == 2:
+                specs.append(pl.BlockSpec(
+                    w.shape, (lambda a, rc: (0, 0)), memory_space=pltpu.VMEM))
+            else:
+                specs.append(pl.BlockSpec(
+                    w.shape, (lambda a, rc: (0,)), memory_space=pltpu.VMEM))
+        return specs
+
+    inter_dtype = jnp.bfloat16 if compute_dtype == jnp.bfloat16 else jnp.float32
+
+    # pre-transpose on the host: the in-kernel [R, L, C] -> [C, L, R]
+    # relayout was the dominant VMEM cost
+    reads_t = jnp.transpose(reads, (0, 3, 2, 1))  # [A, C, L, R] uint8
+
+    # stage 1: stem + pool -> [A, n_chunks, 32, 71, chunk]
+    stem = pl.pallas_call(
+        functools.partial(_stem_kernel, compute_dtype=compute_dtype,
+                          num_weights=len(stem_weights)),
+        grid=(A, n_chunks),
+        in_specs=[
+            pl.BlockSpec((1, C, L_IN, chunk), lambda a, rc: (a, 0, 0, rc),
+                         memory_space=pltpu.VMEM),
+        ] + weight_specs(stem_weights),
+        out_specs=pl.BlockSpec((1, 1, C_MID, L_POOL, chunk),
+                               lambda a, rc: (a, rc, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((A, n_chunks, C_MID, L_POOL, chunk),
+                                       inter_dtype),
+    )(reads_t, *stem_weights)
+
+    # stage 2: residual stacks + masked reduction -> [A, 64, 36]
+    out = pl.pallas_call(
+        functools.partial(_tail_kernel, compute_dtype=compute_dtype,
+                          num_weights=len(tail_weights)),
+        grid=(A, n_chunks),
+        in_specs=[
+            pl.BlockSpec((1, 1, C_MID, L_POOL, chunk),
+                         lambda a, rc: (a, rc, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            # full mask row per allele: TPU block shapes need the last two
+            # dims divisible by (8, 128) or equal to the array dims
+            pl.BlockSpec((1, 1, R), lambda a, rc: (a, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ] + weight_specs(tail_weights),
+        out_specs=pl.BlockSpec((1, C_OUT, L_OUT), lambda a, rc: (a, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((A, C_OUT, L_OUT), jnp.float32),
+    )(stem, read_mask.reshape(A, 1, R), *tail_weights)
+    # NWC convention used by the rest of the model: [A, 36, 64]
+    return jnp.transpose(out, (0, 2, 1))
+
+
+def reduced_read_frames_pallas(model, params, name: str, reads, read_mask,
+                               compute_dtype=jnp.float32):
+    """Drop-in replacement for read_conv + masked_read_sum for a standard
+    read-convolver network (`name` in {"read_conv0", "read_conv1"})."""
+    weights = extract_read_conv_weights(model.nets[name], params[name])
+    return fused_read_convolver(reads, read_mask, weights,
+                                compute_dtype=compute_dtype)
