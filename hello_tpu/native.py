@@ -108,6 +108,19 @@ def load_library():
 
     lib.htpu_bam_open.restype = ctypes.c_void_p
     lib.htpu_bam_open.argtypes = [ctypes.c_char_p]
+    lib.htpu_bam_select.restype = ctypes.c_int32
+    lib.htpu_bam_select.argtypes = [
+        ctypes.c_void_p, ctypes.c_int32, ctypes.c_int64, ctypes.c_int64,
+        ctypes.c_int32, ctypes.c_uint64, i32p, ctypes.c_int32]
+    lib.htpu_bam_selection_bounds.restype = ctypes.c_int32
+    lib.htpu_bam_selection_bounds.argtypes = [
+        ctypes.c_void_p, i32p, ctypes.c_int32, i64p, i64p]
+    lib.htpu_window_create_from_bam.restype = ctypes.c_void_p
+    lib.htpu_window_create_from_bam.argtypes = [
+        ctypes.POINTER(ctypes.c_void_p), ctypes.POINTER(ctypes.c_uint8),
+        ctypes.c_int32, i32p, i32p,
+        ctypes.c_char_p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+        ctypes.c_int64, ctypes.POINTER(_Params)]
     lib.htpu_bam_close.argtypes = [ctypes.c_void_p]
     lib.htpu_bam_num_refs.restype = ctypes.c_int32
     lib.htpu_bam_num_refs.argtypes = [ctypes.c_void_p]
@@ -215,6 +228,25 @@ class NativeBam:
             pacbio=self.pacbio,
         )
 
+    def ref_id(self, chromosome: str):
+        for i, (name, _l) in enumerate(self.references):
+            if name == chromosome:
+                return i
+        return None
+
+    def select(self, chromosome: str, start: int, stop: int,
+               max_reads: int = 10000, seed: int = 13) -> "NativeSelection":
+        """Fast-path read selection entirely in C++ (usability filter,
+        (name, strand) dedup, reservoir subsampling)."""
+        rid = self.ref_id(chromosome)
+        if rid is None:
+            return NativeSelection(self, np.zeros(0, np.int32))
+        buf = np.zeros(max(max_reads, 1), np.int32)
+        n = self._lib.htpu_bam_select(
+            self._h, rid, start, stop, max_reads, seed,
+            buf.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), buf.size)
+        return NativeSelection(self, buf[:min(n, buf.size)].copy())
+
     def fetch(self, chromosome: str, start: int, stop: int):
         """Iterate AlignedReads overlapping a region."""
         rid = None
@@ -228,6 +260,30 @@ class NativeBam:
                          & (self.ref_ends > start))[0]
         for i in sel:
             yield self.read(int(i))
+
+
+class NativeSelection:
+    """A set of selected read indices within a loaded NativeBam."""
+
+    def __init__(self, bam: NativeBam, indices: np.ndarray):
+        self.bam = bam
+        self.indices = indices.astype(np.int32)
+        self.pacbio = bam.pacbio
+
+    def __len__(self):
+        return len(self.indices)
+
+    @property
+    def ref_starts(self):
+        return self.bam.ref_starts[self.indices]
+
+    @property
+    def ref_ends(self):
+        return self.bam.ref_ends[self.indices]
+
+    @property
+    def mapqs(self):
+        return self.bam.mapqs[self.indices]
 
 
 class NativeWindow:
@@ -294,6 +350,54 @@ class NativeWindow:
             ptr(hp, ctypes.c_int8), ctypes.byref(params))
         assert self._h, "native window creation failed"
 
+    @classmethod
+    def from_selections(cls, selections, reference: str, window_start: int,
+                        min_mapq: int = 10, q_threshold: int = 10,
+                        snv_threshold=None, indel_threshold=None,
+                        min_count=None, reassembly_size: int = 10):
+        """Build the window directly from NativeBam selections — the read
+        data never crosses into Python."""
+        lib = load_library()
+        self = cls.__new__(cls)
+        self._lib = lib
+        self._h = None
+        self.reads = []  # no Python-side read objects on this path
+        self._num_reads = int(sum(len(s) for s in selections))
+
+        params = _Params()
+        lib.htpu_default_params(ctypes.byref(params))
+        params.min_mapq = min_mapq
+        params.q_threshold = q_threshold
+        if snv_threshold is not None:
+            params.snv_threshold = snv_threshold
+        if indel_threshold is not None:
+            params.indel_threshold = indel_threshold
+        if min_count is not None:
+            params.min_count = min_count
+        params.max_reassembly_region_size = reassembly_size
+
+        n_bams = len(selections)
+        bam_handles = (ctypes.c_void_p * n_bams)(
+            *[s.bam._h for s in selections])
+        pacbio_flags = np.asarray([1 if s.pacbio else 0 for s in selections],
+                                  np.uint8)
+        idx = np.concatenate([s.indices for s in selections])             if selections else np.zeros(0, np.int32)
+        idx = np.ascontiguousarray(idx, np.int32)
+        counts = np.asarray([len(s) for s in selections], np.int32)
+
+        def ptr(arr, typ):
+            if arr.size == 0:
+                return ctypes.cast(None, ctypes.POINTER(typ))
+            return arr.ctypes.data_as(ctypes.POINTER(typ))
+
+        self._h = lib.htpu_window_create_from_bam(
+            bam_handles, ptr(pacbio_flags, ctypes.c_uint8), n_bams,
+            ptr(idx, ctypes.c_int32), ptr(counts, ctypes.c_int32),
+            reference.encode(), len(reference), window_start, 0, 0,
+            ctypes.byref(params))
+        assert self._h, "native window creation failed"
+        return self
+
     def __del__(self):
         try:
             if self._h:
@@ -355,7 +459,7 @@ class NativeWindow:
         channels = 7 if include_hp else 6
         if max_rows is None:
             # supports can never exceed the window's read count
-            max_rows = len(self.reads) + 1
+            max_rows = (len(self.reads) or getattr(self, "_num_reads", 0)) + 1
         out = np.zeros((max_rows, feature_length, channels), np.uint8)
         n = self._lib.htpu_features(
             self._h, start, stop, allele.encode(), feature_length,

@@ -12,6 +12,7 @@ from __future__ import annotations
 
 import argparse
 import logging
+import os
 import random
 from typing import Dict, List, Optional, Sequence, Tuple
 
@@ -59,6 +60,29 @@ class Scorer:
         return experts, meta
 
 
+def record_from_pair_probs(site: "SiteWork", pair_probs, ref_lookup,
+                           info="MixtureOfExpertPrediction") -> Optional[VcfRecord]:
+    """VCF record from an allele-pair probability table
+    (reference caller_calling.vcfRecords:657-754 / prepareVcf.callAlleles)."""
+    from ..nn.genotype import best_genotype, phred_quality
+
+    ref_allele = "".join(ref_lookup(site.chromosome, p)
+                         for p in range(site.start, site.stop))
+    top_alleles, best_p = best_genotype(pair_probs)
+    quality = phred_quality(best_p)
+    alt_alleles = list(set(top_alleles).difference({ref_allele}))
+    if len(alt_alleles) == 0:
+        genotypes = [0, 0]
+        alt_alleles = list(set(site.alleles).difference({ref_allele}))
+        if len(alt_alleles) == 0:
+            return None
+    else:
+        genotypes = [0 if a == ref_allele else alt_alleles.index(a) + 1
+                     for a in top_alleles]
+    return make_record(site.chromosome, site.start, ref_allele, alt_alleles,
+                       genotypes, ref_lookup, qual=quality, info=info)
+
+
 def vcf_record_from_call(call: dict, ref_lookup) -> Optional[VcfRecord]:
     """Build a VCF record from one decoded site call
     (reference caller_calling.vcfRecords:657-754 semantics)."""
@@ -97,7 +121,8 @@ def call_region(bam_paths: Sequence[str], ref: FastaFile, chromosome: str,
                 reassembly_size: int = 10,
                 feature_length: int = FEATURE_LENGTH,
                 max_alleles_per_batch: int = 512,
-                seed: int = 13) -> List[VcfRecord]:
+                seed: int = 13,
+                provide_experts: bool = False) -> List[VcfRecord]:
     """Call variants in one region; returns normalised VCF records."""
     hybrid = len(bam_paths) > 1
     rng = random.Random(seed)
@@ -132,6 +157,7 @@ def call_region(bam_paths: Sequence[str], ref: FastaFile, chromosome: str,
 
     ref_lookup = lambda chrom, pos: ref.fetch(chrom, pos, pos + 1)
     records: List[VcfRecord] = []
+    expert_records = {0: [], 1: [], 2: [], "best": []} if provide_experts else None
     hybrid_model = scorer.model.hybrid
     for group in group_sites_for_batching(sites, max_alleles_per_batch):
         with telemetry.stage("batch_packing"):
@@ -147,21 +173,55 @@ def call_region(bam_paths: Sequence[str], ref: FastaFile, chromosome: str,
                 rec = vcf_record_from_call(call, ref_lookup)
                 if rec is not None:
                     records.append(rec)
+                if expert_records is not None and call is not None:
+                    # per-expert VCF streams (reference prepareVcf.py:112-182)
+                    import numpy as _np
+                    per_expert = call["expert_pair_probs"]
+                    recs = [record_from_pair_probs(call["site"], pp, ref_lookup,
+                                                   info=f"HELLO_expert{k}")
+                            for k, pp in enumerate(per_expert)]
+                    for k, r in enumerate(recs):
+                        if r is not None:
+                            expert_records[k].append(r)
+                    choice = int(_np.argmax(call["meta"]))
+                    if recs[choice] is not None:
+                        expert_records["best"].append(recs[choice])
+    if expert_records is not None:
+        return records, expert_records
     return records
 
 
 def call_genome(bam_paths: Sequence[str], ref_path: str, scorer: Scorer,
                 out_vcf: str, regions: Optional[Sequence[Tuple[str, int, int]]] = None,
-                **kwargs) -> str:
-    """Call variants across regions (default: every chromosome) into a VCF."""
+                provide_experts: bool = False, **kwargs) -> str:
+    """Call variants across regions (default: every chromosome) into a VCF.
+
+    With ``provide_experts``, additionally writes per-expert and best-expert
+    VCF streams next to ``out_vcf`` (reference prepareVcf.py:112-182)."""
     ref = FastaFile(ref_path)
     if regions is None:
         regions = [(c, 0, ref.length(c)) for c in ref.chromosomes()]
     records: List[VcfRecord] = []
+    expert_streams = {0: [], 1: [], 2: [], "best": []}
     for chrom, start, stop in regions:
-        records.extend(call_region(bam_paths, ref, chrom, start, stop, scorer, **kwargs))
+        result = call_region(bam_paths, ref, chrom, start, stop, scorer,
+                             provide_experts=provide_experts, **kwargs)
+        if provide_experts:
+            recs, experts = result
+            records.extend(recs)
+            for k in expert_streams:
+                expert_streams[k].extend(experts[k])
+        else:
+            records.extend(result)
     contigs = {c: ref.length(c) for c in ref.chromosomes()}
     write_vcf(out_vcf, records, contigs=contigs, sort=True)
+    if provide_experts:
+        base = out_vcf[:-4] if out_vcf.endswith(".vcf") else out_vcf
+        for k in (0, 1, 2):
+            write_vcf(f"{base}.expert{k}.vcf", expert_streams[k],
+                      contigs=contigs, sort=True)
+        write_vcf(f"{base}.best.vcf", expert_streams["best"],
+                  contigs=contigs, sort=True)
     return out_vcf
 
 
@@ -201,6 +261,11 @@ def main(argv=None):
     parser.add_argument("--q_threshold", type=int, default=10)
     parser.add_argument("--mapq_threshold", type=int, default=10)
     parser.add_argument("--reconcilement_size", type=int, default=10)
+    parser.add_argument("--provide_features", action="store_true",
+                        help="also write per-expert and best-expert VCFs")
+    parser.add_argument("--precision", default=os.environ.get(
+        "HELLO_TPU_PRECISION", "highest"),
+                        help="matmul precision: highest (fp32 parity) | default (bf16 speed)")
     parser.add_argument("--num_workers", type=int, default=0,
                         help="host-side worker processes (0 = in-process)")
     parser.add_argument("--chunk_size", type=int, default=200_000)
@@ -223,6 +288,8 @@ def main(argv=None):
         else:
             regions = [(parts[0], int(parts[1]), int(parts[2]))]
 
+    from ..nn import layers as nn_layers
+    nn_layers.set_precision(args.precision)
     scorer = load_scorer(args.model, args.checkpoint)
 
     if args.process_count > 1:
@@ -248,7 +315,8 @@ def main(argv=None):
             args.bam.split(","), args.ref, scorer, args.out, regions=regions,
             pacbio=args.pacbio, include_hp=args.include_hp,
             hybrid_hotspot=args.hybrid_hotspot, q_threshold=args.q_threshold,
-            min_mapq=args.mapq_threshold, reassembly_size=args.reconcilement_size)
+            min_mapq=args.mapq_threshold, reassembly_size=args.reconcilement_size,
+            provide_experts=args.provide_features)
     telemetry.log_report()
     logger.info("Completed running the script")
 

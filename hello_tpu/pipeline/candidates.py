@@ -19,7 +19,7 @@ from ..constants import (
 from ..io.fasta import ChromView, FastaFile
 from ..window import LocationOutOfBounds, Window
 from .batching import SiteWork, one_hot_ref_segment
-from .hotspots import ReadSource
+from .hotspots import ReadSource, build_window
 
 
 @dataclasses.dataclass
@@ -135,15 +135,16 @@ def generate_sites(read_sources: Sequence[ReadSource], ref: FastaFile,
                     break
         if window is None:
             try:
-                wins = [src(chromosome, max(0, start - FLANKING_BASES),
-                            stop + FLANKING_BASES) for src in read_sources]
-                reads = [r for w in wins for r in w.reads]
-                window = Window(reads, start, stop, ref_view, chromosome,
-                                hybrid=hybrid, pacbio=pacbio,
-                                hybrid_hotspot=hybrid_hotspot,
-                                include_hp=include_hp,
-                                q_threshold=q_threshold, min_mapq=min_mapq,
-                                reassembly_size=reassembly_size)
+                window = build_window(
+                    read_sources, ref_view, chromosome,
+                    max(0, start - FLANKING_BASES), stop + FLANKING_BASES,
+                    start, stop,
+                    hybrid=hybrid, pacbio=pacbio,
+                    hybrid_hotspot=hybrid_hotspot, include_hp=include_hp,
+                    q_threshold=q_threshold, min_mapq=min_mapq,
+                    reassembly_size=reassembly_size)
+                if window is None:
+                    continue
             except LocationOutOfBounds:
                 continue
 

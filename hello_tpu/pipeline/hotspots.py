@@ -35,21 +35,56 @@ class ReadSource:
         self.prorate = prorate
         self.rng = rng or random.Random(13)
 
-    def __call__(self, chromosome: str, start: int, stop: int) -> ReadWindow:
+    def _max_reads(self, start: int, stop: int) -> int:
         if self.prorate:
             cap, per = self.read_rate
             if stop - start > per:
-                max_reads = int(cap / per * (stop - start))
-            else:
-                max_reads = cap
-        else:
-            max_reads = self.read_rate if isinstance(self.read_rate, int) \
-                else self.read_rate[0]
+                return int(cap / per * (stop - start))
+            return cap
+        return self.read_rate if isinstance(self.read_rate, int) \
+            else self.read_rate[0]
+
+    @property
+    def supports_native_select(self) -> bool:
+        return hasattr(self.bam, "select")
+
+    def select(self, chromosome: str, start: int, stop: int):
+        """Fast path: C++-side read selection (NativeBam only)."""
+        return self.bam.select(chromosome, start, stop,
+                               max_reads=self._max_reads(start, stop),
+                               seed=self.rng.randrange(2 ** 62))
+
+    def __call__(self, chromosome: str, start: int, stop: int) -> ReadWindow:
+        max_reads = self._max_reads(start, stop)
         reads = list(self.bam.fetch(chromosome, start, stop))
         for r in reads:
             r.pacbio = self.pacbio
         return ReadWindow(reads, chromosome, start, stop - start,
                           max_reads=max_reads, rng=self.rng)
+
+
+def build_window(read_sources, ref_view, chromosome: str,
+                 fetch_start: int, fetch_stop: int,
+                 start: int, stop: int, **window_kwargs):
+    """Construct a Window for [start, stop) with reads fetched over
+    [fetch_start, fetch_stop), using the all-native fast path when available.
+
+    Returns None when no reads overlap the fetch region."""
+    if all(getattr(src, "supports_native_select", False)
+           for src in read_sources):
+        selections = [src.select(chromosome, fetch_start, fetch_stop)
+                      for src in read_sources]
+        if sum(len(sel) for sel in selections) == 0:
+            return None
+        return Window.from_native_selections(
+            [sel for sel in selections], start, stop, ref_view, chromosome,
+            **window_kwargs)
+    windows = [src(chromosome, fetch_start, fetch_stop)
+               for src in read_sources]
+    reads = [r for w in windows for r in w.reads]
+    if not reads:
+        return None
+    return Window(reads, start, stop, ref_view, chromosome, **window_kwargs)
 
 
 def _open_bam(path: str, pacbio: bool):
@@ -94,20 +129,17 @@ def detect_hotspots(read_sources: Sequence[ReadSource], ref: FastaFile,
     pos = start
     while pos < stop:
         end = min(pos + chunk_size, stop)
-        windows = [src(chromosome, pos, end) for src in read_sources]
-        reads = [r for w in windows for r in w.reads]
-        if reads:
-            try:
-                window = Window(
-                    reads, pos, end, ref_view, chromosome,
-                    hybrid=hybrid, pacbio=pacbio,
-                    hybrid_hotspot=hybrid_hotspot,
-                    q_threshold=q_threshold, min_mapq=min_mapq)
+        try:
+            window = build_window(
+                read_sources, ref_view, chromosome, pos, end, pos, end,
+                hybrid=hybrid, pacbio=pacbio, hybrid_hotspot=hybrid_hotspot,
+                q_threshold=q_threshold, min_mapq=min_mapq)
+            if window is not None:
                 for left, right in window.differing_regions(strict=False):
                     for j in range(left, right):
                         positions[j] = None
-            except LocationOutOfBounds:
-                pass
+        except LocationOutOfBounds:
+            pass
         pos = end
     return sorted(positions)
 
@@ -158,15 +190,15 @@ def candidate_intervals(read_sources: Sequence[ReadSource], ref: FastaFile,
     windows = {}
     for start, stop in active_regions:
         try:
-            wins = [src(chromosome, max(0, start - FLANKING_BASES),
-                        stop + FLANKING_BASES) for src in read_sources]
-            reads = [r for w in wins for r in w.reads]
-            window = Window(reads, start, stop, ref_view, chromosome,
-                            hybrid=hybrid, pacbio=pacbio,
-                            hybrid_hotspot=hybrid_hotspot,
-                            q_threshold=q_threshold, min_mapq=min_mapq,
-                            include_hp=include_hp,
-                            reassembly_size=reassembly_size)
+            window = build_window(
+                read_sources, ref_view, chromosome,
+                max(0, start - FLANKING_BASES), stop + FLANKING_BASES,
+                start, stop,
+                hybrid=hybrid, pacbio=pacbio, hybrid_hotspot=hybrid_hotspot,
+                q_threshold=q_threshold, min_mapq=min_mapq,
+                include_hp=include_hp, reassembly_size=reassembly_size)
+            if window is None:
+                continue
         except LocationOutOfBounds:
             continue
         regions = window.differing_regions(strict=True)

@@ -92,6 +92,12 @@ class _NativeBackend:
             snv_threshold=snv_threshold, indel_threshold=indel_threshold,
             min_count=min_count, reassembly_size=reassembly_size)
 
+    @classmethod
+    def from_native_window(cls, native_window):
+        self = cls.__new__(cls)
+        self._w = native_window
+        return self
+
     def differing_regions(self, region_start, region_stop, strict, hybrid_hotspot):
         # native clusters globally; apply the strict window filter here so the
         # region bounds need not cross the ctypes boundary
@@ -191,6 +197,61 @@ class Window:
                             min_mapq, q_threshold, snv_threshold,
                             indel_threshold, min_count, reassembly_size)
 
+    @classmethod
+    def from_native_selections(cls, selections, start: int, stop: int,
+                               ref_view, chromosome: str,
+                               hybrid: bool = False, pacbio: bool = False,
+                               feature_length: int = FEATURE_LENGTH,
+                               min_mapq: int = MIN_MAPQ,
+                               q_threshold: int = Q_THRESHOLD,
+                               hybrid_hotspot: bool = False,
+                               reassembly_size: int = 10,
+                               include_hp: bool = False,
+                               snv_threshold: float = None,
+                               indel_threshold: float = None,
+                               min_count: int = None) -> "Window":
+        """Fast path: build the window directly from native BAM selections —
+        read data never crosses the Python boundary."""
+        from .native import NativeWindow
+
+        self = cls.__new__(cls)
+        self.reads = []
+        self._selections = [sel for sel in selections if len(sel)]
+        self.start = start
+        self.stop = stop
+        self.chromosome = chromosome
+        self.hybrid = hybrid
+        self.pacbio = pacbio and not hybrid
+        self.feature_length = feature_length
+        self.min_mapq = min_mapq
+        self.q_threshold = q_threshold
+        self.hybrid_hotspot = hybrid_hotspot
+        self.reassembly_size = reassembly_size
+        self.include_hp = include_hp
+        self.assembly_start = None
+        self.assembly_stop = None
+        self._regions = None
+
+        starts = [int(sel.ref_starts.min()) for sel in self._selections]
+        ends = [int(sel.ref_ends.max()) for sel in self._selections]
+        window_start = max(0, min(starts + [start]) - 10)
+        window_end = max(ends) if ends else stop
+        chrom_len = len(ref_view)
+        if window_end > chrom_len or window_end < 0:
+            raise LocationOutOfBounds(f"window end {window_end} out of range")
+        window_end += 10
+        self.window_start = window_start
+        self.reference = ref_view[window_start:window_end]
+
+        self.backend_name = "native"
+        nw = NativeWindow.from_selections(
+            self._selections, self.reference, window_start,
+            min_mapq=min_mapq, q_threshold=q_threshold,
+            snv_threshold=snv_threshold, indel_threshold=indel_threshold,
+            min_count=min_count, reassembly_size=reassembly_size)
+        self._backend = _NativeBackend.from_native_window(nw)
+        return self
+
     # -- hotspot detection --------------------------------------------------
 
     def differing_regions(self, strict: bool = True) -> List[Tuple[int, int]]:
@@ -224,6 +285,15 @@ class Window:
             return 0.0
         span = self.stop - self.start
         covered = 0
+        if getattr(self, "_selections", None):
+            for sel in self._selections:
+                if sel.pacbio:
+                    continue
+                starts = np.maximum(sel.ref_starts, self.start)
+                ends = np.minimum(sel.ref_ends, self.stop)
+                usable = sel.mapqs >= 10
+                covered += int(np.sum(np.maximum(ends - starts, 0) * usable))
+            return covered / span
         for r in self.reads:
             if r.pacbio or r.mapq < 10:
                 continue

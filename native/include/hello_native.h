@@ -120,6 +120,30 @@ const int8_t* htpu_bam_hps(htpu_bam* b);
 const char* htpu_bam_names(htpu_bam* b);
 const int64_t* htpu_bam_name_offsets(htpu_bam* b);
 
+/* ---- fast path: BAM -> window without the Python object boundary ---- */
+
+/* Select usable reads overlapping [start, stop): DeepVariant-style flag
+ * filter, (name, strand) dedup, reservoir subsampling to max_reads (mt19937
+ * seeded with `seed`).  Returns the number written to out_idx. */
+int32_t htpu_bam_select(htpu_bam* b, int32_t ref_id, int64_t start,
+                        int64_t stop, int32_t max_reads, uint64_t seed,
+                        int32_t* out_idx, int32_t max_out);
+
+/* Create a window engine directly over selected reads of loaded BAMs.
+ * bams/n_bams with per-BAM pacbio flags; idx/counts give each BAM's selected
+ * read indices (concatenated order: bam0's reads then bam1's). */
+htpu_window* htpu_window_create_from_bam(
+    htpu_bam** bams, const uint8_t* bam_pacbio, int32_t n_bams,
+    const int32_t* idx, const int32_t* counts,
+    const char* reference, int64_t ref_len, int64_t window_start,
+    int64_t region_start, int64_t region_stop,
+    const htpu_params* params);
+
+/* Min reference_start / max reference_end over a selection (for window
+ * bounds); returns 0 on empty selection. */
+int32_t htpu_bam_selection_bounds(htpu_bam* b, const int32_t* idx, int32_t n,
+                                  int64_t* min_start, int64_t* max_end);
+
 #ifdef __cplusplus
 }
 #endif

@@ -8,9 +8,12 @@
 
 #include <zlib.h>
 
+#include <algorithm>
 #include <cstdio>
 #include <cstring>
+#include <random>
 #include <string>
+#include <unordered_set>
 #include <vector>
 
 namespace {
@@ -252,5 +255,106 @@ const uint16_t* htpu_bam_flags(htpu_bam* b) { return b->d.flags.data(); }
 const int8_t* htpu_bam_hps(htpu_bam* b) { return b->d.hps.data(); }
 const char* htpu_bam_names(htpu_bam* b) { return b->d.names.data(); }
 const int64_t* htpu_bam_name_offsets(htpu_bam* b) { return b->d.name_offsets.data(); }
+
+int32_t htpu_bam_select(htpu_bam* b, int32_t ref_id, int64_t start,
+                        int64_t stop, int32_t max_reads, uint64_t seed,
+                        int32_t* out_idx, int32_t max_out) {
+    const BamData& d = b->d;
+    // SAM flag bits (mirror of hello_tpu/reads.py is_usable_read)
+    const uint16_t UNMAPPED = 0x4, SECONDARY = 0x100, SUP = 0x800,
+                   DUP = 0x400, PAIRED = 0x1, PROPER = 0x2, REVERSE = 0x10;
+    std::vector<int32_t> kept;
+    std::unordered_set<std::string> seen;
+    std::mt19937_64 rng(seed);
+    int64_t encountered = 0;
+    for (int64_t i = 0; i < (int64_t)d.ref_ids.size(); i++) {
+        if (d.ref_ids[i] != ref_id) continue;
+        if (!(d.ref_starts[i] < stop && d.ref_ends[i] > start)) continue;
+        uint16_t f = d.flags[i];
+        if (f & (UNMAPPED | SECONDARY | SUP | DUP)) continue;
+        if ((f & PAIRED) && !(f & PROPER)) continue;
+        if (d.mapqs[i] <= 0) continue;
+        std::string key(d.names.data() + d.name_offsets[i],
+                        d.names.data() + d.name_offsets[i + 1] - 1);
+        key.push_back((f & REVERSE) ? '-' : '+');
+        if (!seen.insert(std::move(key)).second) continue;
+        double p_keep = (double)max_reads / (double)(encountered + 1);
+        double u = std::uniform_real_distribution<double>(0.0, 1.0)(rng);
+        if (u < p_keep) {
+            if ((int32_t)kept.size() < max_reads) {
+                kept.push_back((int32_t)i);
+            } else {
+                size_t j = std::uniform_int_distribution<size_t>(
+                    0, kept.size() - 1)(rng);
+                kept[j] = (int32_t)i;
+            }
+        }
+        encountered++;
+    }
+    int32_t n = (int32_t)kept.size();
+    for (int32_t i = 0; i < n && i < max_out; i++) out_idx[i] = kept[i];
+    return n;
+}
+
+int32_t htpu_bam_selection_bounds(htpu_bam* b, const int32_t* idx, int32_t n,
+                                  int64_t* min_start, int64_t* max_end) {
+    if (n <= 0) return 0;
+    int64_t mn = b->d.ref_starts[idx[0]];
+    int64_t mx = b->d.ref_ends[idx[0]];
+    for (int32_t i = 1; i < n; i++) {
+        mn = std::min(mn, b->d.ref_starts[idx[i]]);
+        mx = std::max(mx, b->d.ref_ends[idx[i]]);
+    }
+    *min_start = mn;
+    *max_end = mx;
+    return 1;
+}
+
+htpu_window* htpu_window_create_from_bam(
+        htpu_bam** bams, const uint8_t* bam_pacbio, int32_t n_bams,
+        const int32_t* idx, const int32_t* counts,
+        const char* reference, int64_t ref_len, int64_t window_start,
+        int64_t region_start, int64_t region_stop,
+        const htpu_params* params) {
+    // marshal the selection into the flat-buffer constructor entirely in C++
+    std::string seqs;
+    std::vector<int64_t> seq_offsets{0};
+    std::vector<uint8_t> quals;
+    std::vector<uint32_t> cigars;
+    std::vector<int64_t> cigar_offsets{0};
+    std::vector<int64_t> ref_starts;
+    std::vector<int32_t> mapqs;
+    std::vector<int8_t> orientation;
+    std::vector<uint8_t> pacbio;
+    std::vector<int8_t> hps;
+
+    int32_t total = 0;
+    const int32_t* cursor = idx;
+    for (int32_t bi = 0; bi < n_bams; bi++) {
+        const BamData& d = bams[bi]->d;
+        for (int32_t k = 0; k < counts[bi]; k++) {
+            int32_t i = cursor[k];
+            int64_t s0 = d.seq_offsets[i], s1 = d.seq_offsets[i + 1];
+            seqs.append(d.seqs.data() + s0, (size_t)(s1 - s0));
+            quals.insert(quals.end(), d.quals.begin() + s0, d.quals.begin() + s1);
+            seq_offsets.push_back((int64_t)seqs.size());
+            int64_t c0 = d.cigar_offsets[i], c1 = d.cigar_offsets[i + 1];
+            cigars.insert(cigars.end(), d.cigars.begin() + c0, d.cigars.begin() + c1);
+            cigar_offsets.push_back((int64_t)cigars.size());
+            ref_starts.push_back(d.ref_starts[i]);
+            mapqs.push_back(d.mapqs[i]);
+            orientation.push_back((d.flags[i] & 0x10) ? -1 : 1);
+            pacbio.push_back(bam_pacbio[bi]);
+            hps.push_back(d.hps[i]);
+            total++;
+        }
+        cursor += counts[bi];
+    }
+    return htpu_window_create(
+        reference, ref_len, window_start, region_start, region_stop, total,
+        seqs.data(), seq_offsets.data(), quals.data(),
+        cigars.data(), cigar_offsets.data(), ref_starts.data(), mapqs.data(),
+        orientation.data(), pacbio.data(), hps.data(), params);
+}
 
 }  // extern "C"
