@@ -217,6 +217,26 @@ class BamReader:
         return self._iter_records(ref_id, start, stop)
 
 
+def detect_chr_prefix(bam_references, fasta_chromosomes) -> str:
+    """Detect the chromosome-name prefix difference between a BAM and a FASTA
+    (e.g. BAM "chr20" vs FASTA "20") — reference python/find_chr_prefixes.py.
+
+    Returns the prefix to prepend to FASTA names to obtain BAM names
+    ("" when they already match); raises when no consistent prefix exists."""
+    bam_names = {name for name, _l in bam_references}
+    fasta_names = list(fasta_chromosomes)
+    for prefix in ("", "chr", "Chr", "CHR"):
+        if all((prefix + c) in bam_names for c in fasta_names):
+            return prefix
+    # try stripping instead: BAM "20" vs FASTA "chr20"
+    stripped = {c[3:] if c.lower().startswith("chr") else c for c in fasta_names}
+    if all(c in bam_names for c in stripped):
+        return ""
+    raise ValueError(
+        f"no consistent chromosome prefix: bam={sorted(bam_names)[:5]} "
+        f"fasta={fasta_names[:5]}")
+
+
 def _reg2bin(beg: int, end: int) -> int:
     end -= 1
     if beg >> 14 == end >> 14:

@@ -153,9 +153,11 @@ class SimulatedDataset:
     fasta: str
     bams: Dict[str, str]          # platform name -> path
     truth_vcf: str
-    chromosome: str
-    reference: str
-    variants: List[Variant]
+    chromosome: str               # first chromosome (convenience)
+    reference: str                # first chromosome's sequence
+    variants: List[Variant]       # first chromosome's variants
+    chromosomes: Dict[str, str] = None          # name -> sequence
+    variants_by_chrom: Dict[str, List[Variant]] = None
 
 
 def make_dataset(outdir: str, ref_length: int = 8000, num_variants: int = 20,
@@ -163,36 +165,53 @@ def make_dataset(outdir: str, ref_length: int = 8000, num_variants: int = 20,
                  seed: int = 13, chromosome: str = "chrS",
                  platforms: Sequence[str] = ("illumina",),
                  pacbio_read_length: int = 1500,
-                 hp_tags: bool = False) -> SimulatedDataset:
-    """Write a complete simulated dataset into ``outdir``."""
+                 hp_tags: bool = False,
+                 num_chromosomes: int = 1) -> SimulatedDataset:
+    """Write a complete simulated dataset into ``outdir``.
+
+    With ``num_chromosomes`` > 1 the dataset spans several chromosomes
+    (``<chromosome>``, ``<chromosome>2``, ...), each with its own variants."""
     import os
     os.makedirs(outdir, exist_ok=True)
     rng = random.Random(seed)
-    ref = random_reference(ref_length, rng)
-    variants = plant_variants(ref, num_variants, rng)
+
+    chrom_names = [chromosome if i == 0 else f"{chromosome}{i + 1}"
+                   for i in range(num_chromosomes)]
+    chromosomes = {}
+    variants_by_chrom = {}
+    for name in chrom_names:
+        ref = random_reference(ref_length, rng)
+        chromosomes[name] = ref
+        variants_by_chrom[name] = plant_variants(ref, num_variants, rng)
 
     fasta_path = os.path.join(outdir, "ref.fa")
-    write_fasta(fasta_path, {chromosome: ref})
+    write_fasta(fasta_path, chromosomes)
 
+    contigs = {name: len(seq) for name, seq in chromosomes.items()}
     bams = {}
     for platform in platforms:
         pacbio = platform == "pacbio"
         rlen = pacbio_read_length if pacbio else read_length
-        reads = simulate_reads(
-            ref, variants, chromosome, coverage, min(rlen, ref_length // 2),
-            rng, pacbio=pacbio, hp_tags=hp_tags and pacbio,
-            name_prefix=f"{platform}_")
+        all_reads = []
+        for name in chrom_names:
+            all_reads.extend(simulate_reads(
+                chromosomes[name], variants_by_chrom[name], name, coverage,
+                min(rlen, ref_length // 2), rng, pacbio=pacbio,
+                hp_tags=hp_tags and pacbio, name_prefix=f"{platform}_{name}_"))
         path = os.path.join(outdir, f"{platform}.bam")
-        write_bam(path, [(chromosome, len(ref))], reads)
+        write_bam(path, list(contigs.items()), all_reads)
         bams[platform] = path
 
     truth_path = os.path.join(outdir, "truth.vcf")
     records = []
-    for v in variants:
-        gt = (0, v.genotype.count(1)) if v.genotype != (1, 1) else (1, 1)
-        records.append(VcfRecord(chromosome, v.position, v.ref, [v.alt],
-                                 (v.genotype[0], v.genotype[1]), qual=50.0))
-    write_vcf(truth_path, records, contigs={chromosome: len(ref)})
+    for name in chrom_names:
+        for v in variants_by_chrom[name]:
+            records.append(VcfRecord(name, v.position, v.ref, [v.alt],
+                                     (v.genotype[0], v.genotype[1]), qual=50.0))
+    write_vcf(truth_path, records, contigs=contigs)
 
-    return SimulatedDataset(fasta_path, bams, truth_path, chromosome, ref,
-                            list(variants))
+    first = chrom_names[0]
+    return SimulatedDataset(fasta_path, bams, truth_path, first,
+                            chromosomes[first], list(variants_by_chrom[first]),
+                            chromosomes=chromosomes,
+                            variants_by_chrom=variants_by_chrom)

@@ -123,12 +123,27 @@ def main(argv=None):
     parser.add_argument("--seed", type=int, default=13)
     parser.add_argument("--resume", default=None,
                         help="checkpoint to resume full training state from")
+    parser.add_argument("--distributed", action="store_true",
+                        help="initialise jax.distributed (multi-host pod; "
+                             "coordinator via JAX_COORDINATOR_ADDRESS etc.)")
     args = parser.parse_args(argv)
 
     logging.basicConfig(level=logging.INFO,
                         format="%(asctime)s %(levelname)s %(message)s")
+    if args.distributed:
+        # multi-host: replaces the reference's NCCL env:// rendezvous
+        # (MixtureOfExpertsDNNFastDistributed.py:928-930)
+        jax.distributed.initialize()
+        logger.info("jax.distributed: process %d/%d, %d local / %d global devices",
+                    jax.process_index(), jax.process_count(),
+                    jax.local_device_count(), jax.device_count())
     files = read_file_list(args.data)
     assert files, f"no shard files found for {args.data}"
+    if args.distributed and jax.process_count() > 1:
+        from .loader import shard_files_for_ranks
+        per_rank, _min_len = shard_files_for_ranks(files, jax.process_count())
+        files = per_rank[jax.process_index()]
+        logger.info("rank %d takes %d shard files", jax.process_index(), len(files))
     train_from_shards(
         files, args.model, args.out_prefix,
         num_epochs=args.num_epochs, lr=args.lr, optimizer=args.optimizer,

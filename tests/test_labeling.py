@@ -195,3 +195,44 @@ def test_loader_subsample_and_batches(tmp_path, rng):
     b = stacked[0]
     assert b["reads0"].shape == (2, 4, 8, 150, 6)
     assert b["labels"].shape == (2, 4)
+
+
+def test_labels_to_vcf_reconstructs_truth(tmp_path):
+    """The label-derived VCF must match the planted truth set (canonical)."""
+    from hello_tpu import sim
+    from hello_tpu.io.fasta import FastaFile
+    from hello_tpu.io.vcf import read_vcf
+    from hello_tpu.pipeline.dump import dump_region
+    from hello_tpu.pipeline.labels_to_vcf import main as l2v_main
+    from test_pipeline_e2e import canonical_map
+
+    ds = sim.make_dataset(str(tmp_path), ref_length=6000, num_variants=10,
+                          coverage=30, read_length=120, seed=51)
+    bed = str(tmp_path / "conf.bed")
+    with open(bed, "w") as fh:
+        fh.write(f"{ds.chromosome}\t0\t6000\n")
+    ref = FastaFile(ds.fasta)
+    shards = dump_region([ds.bams["illumina"]], ref, ds.chromosome, 0, 6000,
+                         ds.truth_vcf, bed, str(tmp_path / "d"))
+    lst = str(tmp_path / "d.lst")
+    with open(lst, "w") as fh:
+        fh.write("\n".join(shards) + "\n")
+    out = str(tmp_path / "labels.vcf")
+    l2v_main(["--data", lst, "--ref", ds.fasta, "--out", out])
+
+    called = canonical_map(read_vcf(out), ref)
+    truth = canonical_map(read_vcf(ds.truth_vcf), ref)
+    assert set(called) == set(truth)
+    for k in truth:
+        assert called[k] == truth[k]
+
+
+def test_detect_chr_prefix():
+    from hello_tpu.io.bam import detect_chr_prefix
+
+    assert detect_chr_prefix([("chr1", 10), ("chr2", 10)], ["1", "2"]) == "chr"
+    assert detect_chr_prefix([("1", 10), ("2", 10)], ["1", "2"]) == ""
+    assert detect_chr_prefix([("20", 10)], ["chr20"]) == ""
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        detect_chr_prefix([("weird", 10)], ["1"])
