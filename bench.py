@@ -130,6 +130,30 @@ def bench_torch_baseline(sites, iters=2):
     return len(sites) * iters / elapsed
 
 
+def bench_pipeline():
+    """End-to-end (host featurization + device scoring) throughput on a
+    simulated region; reported to stderr (the JSON line stays the device
+    scoring metric)."""
+    import tempfile
+
+    from hello_tpu import sim
+    from hello_tpu.io.fasta import FastaFile
+    from hello_tpu.pipeline.call import call_region, load_scorer
+
+    d = tempfile.mkdtemp()
+    ds = sim.make_dataset(d, ref_length=60000, num_variants=200, coverage=35,
+                          read_length=120, seed=1)
+    ref = FastaFile(ds.fasta)
+    scorer = load_scorer("illumina")
+    # warmup (compiles)
+    call_region([ds.bams["illumina"]], ref, ds.chromosome, 0, 10000, scorer)
+    start = time.perf_counter()
+    records = call_region([ds.bams["illumina"]], ref, ds.chromosome, 0, 60000,
+                          scorer)
+    elapsed = time.perf_counter() - start
+    return len(records) / elapsed
+
+
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--sites", type=int, default=512,
@@ -143,6 +167,8 @@ def main():
     parser.add_argument("--precision", default=os.environ.get(
         "HELLO_TPU_PRECISION", "highest"))
     parser.add_argument("--skip-baseline", action="store_true")
+    parser.add_argument("--pipeline", action="store_true",
+                        help="also measure end-to-end host+device pipeline throughput")
     args = parser.parse_args()
 
     rng = np.random.RandomState(0)
@@ -160,6 +186,10 @@ def main():
             baseline_rate = bench_torch_baseline(small)
         except Exception:
             baseline_rate = None
+
+    if args.pipeline:
+        pipeline_rate = bench_pipeline()
+        sys.stderr.write(f"pipeline end-to-end: {pipeline_rate:.1f} sites/s\n")
 
     vs_baseline = (tpu_rate / baseline_rate) if baseline_rate else None
     print(json.dumps({

@@ -205,14 +205,26 @@ def meta_convolver_ref(weight_norm=False, norm_type="BatchNorm1d", activation="R
 # Model-level configuration dicts (mirror the moe_attention_config_* modules)
 # ---------------------------------------------------------------------------
 
-def config_single_tech(weight_norm=True, include_hp_channel=False):
+def read_convolver_addendum(weight_norm=False, width=1, num_blocks=2):
+    """Extra residual blocks appended for transfer learning
+    (architectures/read_convolver_addendum.py)."""
+    kw = dict(weight_norm=weight_norm)
+    return [residual_ft(64 * width, 64 * width, [3, 3], [1, 1], [1, 1], [1, 1], **kw)
+            for _ in range(num_blocks)]
+
+
+def config_single_tech(weight_norm=True, include_hp_channel=False, width=1,
+                       addendum=False):
     """Single-platform model: read_conv0 + compressor0 + xattn0
     (moe_attention_config_single_tech_old_equivalent_weight_norm[_with_hp_channel].py)."""
     wn = weight_norm
+    rc = read_convolver(wn, in_channels=7 if include_hp_channel else 6, width=width)
+    if addendum:
+        rc = rc + read_convolver_addendum(wn, width)
     return {
-        "read_conv0": read_convolver(wn, in_channels=7 if include_hp_channel else 6),
-        "compressor0": compressor_conv(wn),
-        "xattn0": xattn_subtract(wn),
+        "read_conv0": rc,
+        "compressor0": compressor_conv(wn, width=width),
+        "xattn0": xattn_subtract(wn, width=width),
     }
 
 
@@ -234,18 +246,22 @@ def config_hybrid_full(weight_norm=True):
     }
 
 
-def config_hybrid_no_ensemble(weight_norm=True):
+def config_hybrid_no_ensemble(weight_norm=True, width=1, addendum=False):
     """Hybrid binary-classifier model: combiners + xattn2 only, no meta
-    (moe_attention_config_full_hybrid_old_equivalent_weight_norm_no_ensemble.py)."""
+    (moe_attention_config_full_hybrid_old_equivalent_weight_norm_no_ensemble
+    [_wide/_addendum].py)."""
     wn = weight_norm
+    rc = read_convolver(wn, width=width)
+    if addendum:
+        rc = rc + read_convolver_addendum(wn, width)
     return {
-        "read_conv0": read_convolver(wn),
-        "read_conv1": read_convolver(wn),
-        "compressor0": compressor_conv(wn),
-        "compressor1": compressor_conv(wn),
-        "combiner0": conv_combiner(wn),
-        "combiner1": conv_combiner(wn),
-        "xattn2": xattn_subtract(wn),
+        "read_conv0": rc,
+        "read_conv1": list(rc),
+        "compressor0": compressor_conv(wn, width=width),
+        "compressor1": compressor_conv(wn, width=width),
+        "combiner0": conv_combiner(wn, width=width),
+        "combiner1": conv_combiner(wn, width=width),
+        "xattn2": xattn_subtract(wn, width=width),
     }
 
 
@@ -255,4 +271,7 @@ NAMED_CONFIGS = {
     "pacbio_hp": lambda: config_single_tech(include_hp_channel=True),
     "hybrid": lambda: config_hybrid_full(),
     "hybrid_no_ensemble": lambda: config_hybrid_no_ensemble(),
+    "hybrid_no_ensemble_wide": lambda: config_hybrid_no_ensemble(width=2),
+    "illumina_wide": lambda: config_single_tech(width=2),
+    "illumina_addendum": lambda: config_single_tech(addendum=True),
 }

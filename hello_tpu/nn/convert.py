@@ -21,6 +21,7 @@ name -> numpy array.
 
 from __future__ import annotations
 
+import os
 from typing import Dict, Mapping
 
 import numpy as np
@@ -159,16 +160,28 @@ def convert_state_dict(sd: Mapping[str, np.ndarray], model: MoEAttention,
     return params, state
 
 
-def load_torch_checkpoint(path: str, model: MoEAttention):
+def load_torch_checkpoint(path: str, model: MoEAttention,
+                          reference_python: str = "/root/reference/python"):
     """Load a ``.wrapper.dnn`` / state-dict torch file and convert it.
 
-    Requires torch (CPU) to unpickle; reference classes are not needed when the
-    file is a plain state_dict.  For whole-module pickles the caller should
-    extract ``module.state_dict()`` first.
+    Requires torch (CPU) to unpickle.  Whole-module pickles (the reference's
+    shipped ``.wrapper.dnn`` artifacts are torch.save'd MoEMergedWrapperAdvanced
+    modules) reference HELLO's class names; when available, the reference
+    python tree is added to sys.path for the duration of the unpickle.
     """
+    import sys
+
     import torch  # local import: torch is only needed for checkpoint conversion
 
-    obj = torch.load(path, map_location="cpu", weights_only=False)
+    injected = False
+    if os.path.isdir(reference_python) and reference_python not in sys.path:
+        sys.path.insert(0, reference_python)
+        injected = True
+    try:
+        obj = torch.load(path, map_location="cpu", weights_only=False)
+    finally:
+        if injected:
+            sys.path.remove(reference_python)
     if hasattr(obj, "state_dict"):
         sd = obj.state_dict()
     else:

@@ -97,6 +97,24 @@ class MoEAttention:
                 return spec["kwargs"]["in_channels"]
         raise ValueError(f"no conv layer in {name}")
 
+    def _last_conv_channels(self, name):
+        def walk(specs):
+            out = None
+            for spec in specs:
+                t = spec["type"]
+                if t in ("Conv1d", "WeightNormedConv1d"):
+                    out = spec["kwargs"]["out_channels"]
+                elif t == "ResidualBlock":
+                    got = walk(spec["kwargs"]["feedforward"])
+                    if got is not None:
+                        out = got
+            return out
+
+        out = walk(self.config[name])
+        if out is None:
+            raise ValueError(f"no conv layer in {name}")
+        return out
+
     # -- init ---------------------------------------------------------------
 
     def init(self, key, feature_length=150):
@@ -114,21 +132,25 @@ class MoEAttention:
         return params, state
 
     def _network_in_shapes(self, L):
-        """Abstract input shapes used for parameter initialisation."""
+        """Abstract input shapes used for parameter initialisation (channel
+        widths derived from the config so wide variants initialise correctly)."""
         conv_l = 36  # read convolver output length for L=150
         comp_l = 18
+        rc_out = self._last_conv_channels("read_conv0")      # 64 * width
+        comp_out = self.config.get("compressor0") is not None and \
+            self._last_conv_channels("compressor0") or 2 * rc_out  # 128 * width
         shapes = {
             "read_conv0": (L, self.in_channels0),
             "read_conv1": (L, self.in_channels1) if self.hybrid else None,
-            "compressor0": (conv_l, 64),
-            "compressor1": (conv_l, 64),
-            "compressor2": (conv_l, 64),
-            "xattn0": ((comp_l, 128), ((comp_l, 128), (comp_l, 128))),
-            "xattn1": ((comp_l, 128), ((comp_l, 128), (comp_l, 128))),
-            "xattn2": ((comp_l, 128), ((comp_l, 128), (comp_l, 128))),
-            "combiner0": ((comp_l, 128), (comp_l, 128)),
-            "combiner1": ((comp_l, 128), (comp_l, 128)),
-            "meta": ((comp_l, 128), (L, 5)),
+            "compressor0": (conv_l, rc_out),
+            "compressor1": (conv_l, rc_out),
+            "compressor2": (conv_l, rc_out),
+            "xattn0": ((comp_l, comp_out), ((comp_l, comp_out), (comp_l, comp_out))),
+            "xattn1": ((comp_l, comp_out), ((comp_l, comp_out), (comp_l, comp_out))),
+            "xattn2": ((comp_l, comp_out), ((comp_l, comp_out), (comp_l, comp_out))),
+            "combiner0": ((comp_l, comp_out), (comp_l, comp_out)),
+            "combiner1": ((comp_l, comp_out), (comp_l, comp_out)),
+            "meta": ((comp_l, comp_out), (L, 5)),
         }
         return shapes
 

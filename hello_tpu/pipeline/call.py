@@ -279,11 +279,21 @@ def main(argv=None):
     logging.basicConfig(level=logging.INFO, filename=args.log,
                         format="%(asctime)s %(levelname)s %(message)s")
 
+    for bam in args.bam.split(","):
+        if not os.path.exists(bam):
+            parser.error(f"BAM not found: {bam}")
+    if not os.path.exists(args.ref):
+        parser.error(f"reference FASTA not found: {args.ref}")
+
     regions = None
     if args.region:
         parts = args.region.split(",")
+        ref = FastaFile(args.ref)
+        if parts[0] not in ref.index:
+            parser.error(
+                f"chromosome {parts[0]!r} not in reference "
+                f"(available: {', '.join(ref.chromosomes()[:8])})")
         if len(parts) == 1:
-            ref = FastaFile(args.ref)
             regions = [(parts[0], 0, ref.length(parts[0]))]
         else:
             regions = [(parts[0], int(parts[1]), int(parts[2]))]

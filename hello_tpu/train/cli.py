@@ -11,6 +11,7 @@ from __future__ import annotations
 
 import argparse
 import glob
+import json
 import logging
 import time
 
@@ -64,6 +65,10 @@ def train_from_shards(
     fixed = {"read_bucket": read_bucket, "allele_bucket": allele_bucket,
              "site_bucket": site_bucket}
     best_val = float("inf")
+    # rank-0-style scalar telemetry (replaces the reference's TensorBoard
+    # writer, MixtureOfExpertsDNNFastDistributed.py:932-939)
+    metrics_path = f"{out_prefix}.metrics.jsonl"
+    metrics_fh = open(metrics_path, "a")
     for epoch in range(num_epochs):
         dataset = SiteDataset(train_files, max_reads_per_site,
                               shuffle=True, seed=seed + epoch)
@@ -86,12 +91,21 @@ def train_from_shards(
             "epoch %d: train_loss=%.4f (%d batches, %.1fs) val_loss=%s",
             epoch, epoch_loss / max(n_batches, 1), n_batches, elapsed,
             f"{val_loss:.4f}" if val_loss is not None else "n/a")
+        metrics_fh.write(json.dumps({
+            "epoch": epoch, "step": trainer.step,
+            "train_loss": epoch_loss / max(n_batches, 1),
+            "val_loss": val_loss, "batches": n_batches,
+            "seconds": round(elapsed, 2),
+            "per_expert": metrics.get("per_expert") if n_batches else None,
+        }) + "\n")
+        metrics_fh.flush()
 
         trainer.save(f"{out_prefix}.epoch{epoch}.ckpt")
         if val_loss is not None and val_loss < best_val:
             best_val = val_loss
             trainer.save(f"{out_prefix}.best.ckpt")
     trainer.save(f"{out_prefix}.final.ckpt")
+    metrics_fh.close()
     return trainer
 
 

@@ -74,3 +74,45 @@ def test_export_loads_into_reference_model(rng):
     out, _ = model.apply(params, state, batch)
     np.testing.assert_allclose(t_out, np.asarray(out["experts"]),
                                rtol=1e-3, atol=1e-3)
+
+
+@requires_reference
+def test_load_whole_module_wrapper_checkpoint(tmp_path, rng):
+    """A torch-saved whole-module wrapper (the reference's .wrapper.dnn
+    format) loads and converts into a working parameter pytree."""
+    import torch
+    sys.path.insert(0, REFERENCE_DIR + "/python")
+    try:
+        import importlib
+        import MixtureOfExpertsAdvanced as MoERef
+        cfg = importlib.import_module(
+            "moe_attention_config_single_tech_old_equivalent_weight_norm")
+        tmodel = MoERef.create_moe_attention_model(cfg.configDict)
+        wrapper = MoERef.MoEMergedWrapperAdvanced(tmodel)
+        path = str(tmp_path / "model.wrapper.dnn")
+        torch.save(wrapper, path)
+    finally:
+        sys.path.pop(0)
+
+    from hello_tpu.nn.convert import load_torch_checkpoint
+
+    model = MoEAttention(archs.config_single_tech())
+    params, state = load_torch_checkpoint(path, model)
+
+    # forward parity against the wrapped torch model
+    reads = rng.randint(0, 255, size=(3, 150, 6)).astype(np.uint8)
+    tmodel.eval()
+    with torch.no_grad():
+        t_out = tmodel(
+            (torch.from_numpy(reads.transpose(0, 2, 1).astype(np.float32)), None),
+            [1], ([3], [None]), torch.zeros(1, 150, 5)).numpy()
+    batch = {
+        "reads0": reads[None, ...],
+        "read_mask0": np.ones((1, 3), np.float32),
+        "site_ids": np.zeros(1, np.int32),
+        "allele_mask": np.ones(1, np.float32),
+        "ref_segments": np.zeros((1, 150, 5), np.float32),
+    }
+    out, _ = model.apply(params, state, batch)
+    np.testing.assert_allclose(t_out, np.asarray(out["experts"]),
+                               rtol=1e-3, atol=1e-3)

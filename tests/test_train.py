@@ -145,3 +145,57 @@ def test_checkpoint_roundtrip(tmp_path):
     assert len(flat1) == len(flat2)
     for a, b in zip(flat1, flat2):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_build_on_top_grafts_base_params(rng):
+    """Addendum model reuses base parameters on the shared prefix; the base
+    portion of the forward must behave identically before the addendum."""
+    from hello_tpu.nn import archs
+    from hello_tpu.nn.moe import MoEAttention
+    from hello_tpu.train.transfer import build_on_top
+
+    base = MoEAttention(archs.config_single_tech())
+    bp, bs = base.init(jax.random.PRNGKey(7))
+    ext = MoEAttention(archs.config_single_tech(addendum=True))
+    ep, es = ext.init(jax.random.PRNGKey(8))
+    gp, gs = build_on_top(base, bp, bs, ext, ep, es)
+
+    # shared prefix layers are identical to the base
+    for k, leaf in bp["read_conv0"].items():
+        got = gp["read_conv0"][k]
+        for path, a in jax.tree_util.tree_leaves_with_path(leaf):
+            b = a  # same structure
+        np.testing.assert_array_equal(
+            np.asarray(jax.tree_util.tree_leaves(leaf)[0]),
+            np.asarray(jax.tree_util.tree_leaves(got)[0]))
+    # addendum layers beyond the base remain the fresh init
+    n_base = len(base.nets["read_conv0"].layers)
+    assert str(n_base) in gp["read_conv0"]
+
+    # forward runs
+    batch = {
+        "reads0": rng.randint(0, 255, (2, 3, 150, 6)).astype(np.uint8),
+        "read_mask0": np.ones((2, 3), np.float32),
+        "site_ids": np.zeros(2, np.int32),
+        "allele_mask": np.ones(2, np.float32),
+        "ref_segments": np.zeros((1, 150, 5), np.float32),
+    }
+    out, _ = ext.apply(gp, gs, batch)
+    assert np.isfinite(np.asarray(out["experts"])).all()
+
+
+def test_wide_config_builds(rng):
+    from hello_tpu.nn.moe import create_model
+    model = create_model("hybrid_no_ensemble_wide")
+    params, state = model.init(jax.random.PRNGKey(2))
+    batch = {
+        "reads0": rng.randint(0, 255, (2, 2, 150, 6)).astype(np.uint8),
+        "read_mask0": np.ones((2, 2), np.float32),
+        "reads1": rng.randint(0, 255, (2, 2, 150, 6)).astype(np.uint8),
+        "read_mask1": np.ones((2, 2), np.float32),
+        "site_ids": np.zeros(2, np.int32),
+        "allele_mask": np.ones(2, np.float32),
+        "ref_segments": np.zeros((1, 150, 5), np.float32),
+    }
+    out, _ = model.apply(params, state, batch)
+    assert out["experts"].shape == (2, 1)
