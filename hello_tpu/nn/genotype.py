@@ -47,6 +47,29 @@ def expert_pair_probabilities(probs: np.ndarray, alleles: Sequence[str]):
     return out
 
 
+def _pair_index(n: int):
+    """Unordered pair indices in reference enumeration order
+    (itertools.product row-major, first occurrence kept): (0,0), (0,1), ...,
+    (1,1), (1,2), ... — i.e. all i <= j."""
+    return [(i, j) for i in range(n) for j in range(i, n)]
+
+
+def expert_pair_probabilities_vectorized(probs: np.ndarray, n: int):
+    """[E, A] sigmoids -> [E, P] pair probabilities for all unordered pairs.
+
+    Same math as expert_pair_probabilities, batched: pair log-prob =
+    T @ log(e + eps) + (1 - T) @ log(1 - e + eps)."""
+    pairs = _pair_index(n)
+    T = np.zeros((len(pairs), n), np.float32)
+    for k, (i, j) in enumerate(pairs):
+        T[k, i] = 1.0
+        T[k, j] = 1.0
+    l1 = np.log(probs + np.float32(1e-10))             # [E, A]
+    l0 = np.log(1.0 - probs + np.float32(1e-10))
+    logp = l1 @ T.T + l0 @ (1.0 - T).T                 # [E, P]
+    return np.exp(logp), pairs
+
+
 def decode_site(expert_logits: np.ndarray, meta: np.ndarray | None,
                 alleles: Sequence[str]):
     """Decode one site.
@@ -66,11 +89,17 @@ def decode_site(expert_logits: np.ndarray, meta: np.ndarray | None,
         assert meta is not None, "multi-expert decode requires meta weights"
         meta_used = np.asarray(meta, dtype=np.float32)
 
-    per_expert = [expert_pair_probabilities(e, alleles) for e in experts]
-    combined: Dict[Tuple[str, str], float] = {}
-    for pair in per_expert[0]:
-        combined[pair] = float(sum(
-            meta_used[k] * per_expert[k][pair] for k in range(3)))
+    # vectorised pair probabilities (math identical to the per-pair loop;
+    # see expert_pair_probabilities for the reference-shaped scalar version)
+    probs_mat = np.stack(experts, axis=0).astype(np.float32)   # [3, A]
+    pair_probs, pairs = expert_pair_probabilities_vectorized(probs_mat, A)
+    per_expert = []
+    for k in range(3):
+        per_expert.append({(alleles[i], alleles[j]): np.float32(pair_probs[k, p])
+                           for p, (i, j) in enumerate(pairs)})
+    mixed = meta_used[:3] @ pair_probs                          # [P]
+    combined = {(alleles[i], alleles[j]): float(mixed[p])
+                for p, (i, j) in enumerate(pairs)}
     return combined, per_expert, meta_used
 
 

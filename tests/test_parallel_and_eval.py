@@ -85,3 +85,28 @@ def test_max_q_from_labels(tmp_path):
                          ds.truth_vcf, bed, str(tmp_path / "d"))
     q = max_q_from_labels(shards)
     assert q > 0
+
+
+def test_vectorized_decode_matches_scalar(rng):
+    """The vectorised pair-probability decode must match the per-pair scalar
+    reference implementation."""
+    from hello_tpu.nn.genotype import (decode_site,
+                                       expert_pair_probabilities)
+
+    for n in (1, 2, 3, 5, 8):
+        alleles = [f"A{i}" for i in range(n)]
+        logits = rng.randn(n, 3).astype(np.float32) * 3
+        meta = rng.rand(3).astype(np.float32)
+        meta /= meta.sum()
+        combined, per_expert, meta_used = decode_site(logits, meta, alleles)
+
+        sig = 1.0 / (1.0 + np.exp(-logits))
+        for k in range(3):
+            scalar = expert_pair_probabilities(sig[:, k], alleles)
+            assert set(scalar) == set(per_expert[k])
+            for pair, p in scalar.items():
+                np.testing.assert_allclose(p, per_expert[k][pair],
+                                           rtol=1e-5, atol=1e-7)
+        for pair in combined:
+            expected = sum(meta[k] * per_expert[k][pair] for k in range(3))
+            np.testing.assert_allclose(combined[pair], expected, rtol=1e-5)
