@@ -457,6 +457,112 @@ class DotProduct(Layer):
         return res, state
 
 
+def positional_encoding(length, feature_size, dtype=jnp.float32):
+    """Sinusoidal positional encoding [length, feature_size]
+    (reference Attention.PositionalEncoding:5-36)."""
+    stepper = 1.0 / (10000 ** (jnp.arange(0, feature_size, 2, dtype=dtype)
+                               / feature_size))
+    args = jnp.arange(length, dtype=dtype)[:, None] * stepper[None, :]
+    return jnp.concatenate([jnp.sin(args), jnp.cos(args)], axis=1)
+
+
+class MultiheadAttention(Layer):
+    """Bidirectional multi-head attention block over [B, L, E] sequences.
+
+    Faithful to the reference implementation (reference Attention.py:39-152),
+    including its quirk of applying **no softmax** to the attention scores
+    (the scaled q@k^T weights multiply v directly), plus residual + LayerNorm
+    and a Linear+ReLU feed-forward with its own residual + LayerNorm.
+    """
+
+    def __init__(self, head_dim, n_heads, embedding_dim, add_positional=False):
+        assert n_heads * head_dim == embedding_dim
+        self.head_dim = head_dim
+        self.n_heads = n_heads
+        self.embedding_dim = embedding_dim
+        self.add_positional = add_positional
+
+    def init(self, key, in_shape):
+        L, E = in_shape
+        assert E == self.embedding_dim
+        keys = _split(key, 6)
+        e = self.embedding_dim
+        params = {
+            # kaiming-uniform like torch's init for 2-D weights
+            "w_q": kaiming_uniform(keys[0], (e, e), e),
+            "w_k": kaiming_uniform(keys[1], (e, e), e),
+            "w_v": kaiming_uniform(keys[2], (e, e), e),
+            "w_o": kaiming_uniform(keys[3], (e, e), e),
+            "ln_attn": {"gamma": jnp.ones((e,)), "beta": jnp.zeros((e,))},
+            "lin_w": kaiming_uniform(keys[4], (e, e), e),
+            "lin_b": kaiming_uniform(keys[5], (e,), e),
+            "ln_lin": {"gamma": jnp.ones((e,)), "beta": jnp.zeros((e,))},
+        }
+        return params, {}, in_shape
+
+    @staticmethod
+    def _layer_norm(x, p, eps=1e-5):
+        mean = jnp.mean(x, axis=-1, keepdims=True)
+        var = jnp.var(x, axis=-1, keepdims=True)
+        return (x - mean) * jax.lax.rsqrt(var + eps) * p["gamma"] + p["beta"]
+
+    def apply(self, params, state, x, train=False, rng=None):
+        B, L, E = x.shape
+        if self.add_positional:
+            x = x + positional_encoding(L, E)[None, :, :]
+        q = jnp.dot(x, params["w_q"], precision=PRECISION)
+        k = jnp.dot(x, params["w_k"], precision=PRECISION)
+        v = jnp.dot(x, params["w_v"], precision=PRECISION)
+
+        def heads(t):
+            return jnp.transpose(t.reshape(B, L, self.n_heads, self.head_dim),
+                                 (0, 2, 1, 3))
+
+        qh, kh, vh = heads(q), heads(k), heads(v)
+        scores = jnp.einsum("bhld,bhmd->bhlm", qh, kh,
+                            precision=PRECISION) / (self.head_dim ** 0.5)
+        # reference quirk: no softmax over the scores
+        ctx = jnp.einsum("bhlm,bhmd->bhld", scores, vh, precision=PRECISION)
+        ctx = jnp.transpose(ctx, (0, 2, 1, 3)).reshape(B, L, E)
+        attn_out = jnp.dot(ctx, params["w_o"], precision=PRECISION)
+        attended = self._layer_norm(x + attn_out, params["ln_attn"])
+        lin = jax.nn.relu(jnp.dot(attended, params["lin_w"],
+                                  precision=PRECISION) + params["lin_b"])
+        return self._layer_norm(lin + attended, params["ln_lin"]), state
+
+
+class HelloEncoder(Layer):
+    """Embedding + stacked attention encoder over NWC sequences
+    (reference Attention.HelloEncoder:154-190; torch transposes NCW<->NLC at
+    the boundaries — our activations are already [B, L, C])."""
+
+    def __init__(self, n_layers, n_heads, input_dim, embedding_dim):
+        self.input_dim = input_dim
+        self.embedding_dim = embedding_dim
+        self.blocks = [
+            MultiheadAttention(embedding_dim // n_heads, n_heads,
+                               embedding_dim, add_positional=(i == 0))
+            for i in range(n_layers)]
+
+    def init(self, key, in_shape):
+        L, C = in_shape
+        assert C == self.input_dim
+        keys = _split(key, len(self.blocks) + 1)
+        e = self.embedding_dim
+        params = {"embed_w": kaiming_uniform(keys[0], (C, e), C),
+                  "embed_b": kaiming_uniform(keys[0], (e,), C)}
+        for i, blk in enumerate(self.blocks):
+            p, _s, _o = blk.init(keys[i + 1], (L, e))
+            params[f"attn{i}"] = p
+        return params, {}, (L, e)
+
+    def apply(self, params, state, x, train=False, rng=None):
+        y = jnp.dot(x, params["embed_w"], precision=PRECISION) + params["embed_b"]
+        for i, blk in enumerate(self.blocks):
+            y, _ = blk.apply(params[f"attn{i}"], {}, y, train=train, rng=rng)
+        return y, state
+
+
 class Sequential(Layer):
     def __init__(self, layers: Sequence[Layer]):
         self.layers = list(layers)
@@ -657,6 +763,16 @@ def build_layer(spec: dict) -> Layer:
         return Fork([build_network(a) for a in kwargs["net_args"]])
     if ltype == "Inception":
         return Inception([build_network(b) for b in kwargs["branches"]])
+    if ltype == "MultiheadAttention":
+        return MultiheadAttention(
+            head_dim=kwargs["head_dim"], n_heads=kwargs["n_heads"],
+            embedding_dim=kwargs["embedding_dim"],
+            add_positional=kwargs.get("add_positional", False))
+    if ltype == "HelloEncoder":
+        return HelloEncoder(
+            n_layers=kwargs["n_layers"], n_heads=kwargs["n_heads"],
+            input_dim=kwargs["input_dim"],
+            embedding_dim=kwargs["embedding_dim"])
     if ltype in _SIMPLE:
         return _SIMPLE[ltype](**kwargs)
     raise ValueError(f"Unknown layer type: {ltype}")

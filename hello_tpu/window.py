@@ -156,8 +156,22 @@ class Window:
                  snv_threshold: float = None,
                  indel_threshold: float = None,
                  min_count: int = None,
+                 left_align: bool = False,
                  backend: Optional[str] = None):
         self.reads = list(reads)
+        if left_align:
+            # optional internal cigar left-alignment (the reference's
+            # useInternalLeftAlignment / leftAlignCigars path, gated off in
+            # its shipping config); applies before counting and assembly
+            from .cigar import left_align_cigars
+            for r in self.reads:
+                new_start, new_cigars = left_align_cigars(
+                    r.sequence, r.reference_start, r.cigartuples,
+                    ref_view[max(0, r.reference_start - 1):r.reference_end + 1],
+                    ref_offset=max(0, r.reference_start - 1),
+                    indel_realigned=True)
+                r.reference_start = new_start
+                r.cigartuples = new_cigars
         self.start = start
         self.stop = stop
         self.chromosome = chromosome
