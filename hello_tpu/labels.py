@@ -22,8 +22,7 @@ C++ path matcher (reference c++/src/Trie.cpp:16-121 ``VariantTrie``):
 from __future__ import annotations
 
 import dataclasses
-import itertools
-from typing import Dict, List, Optional, Sequence, Tuple
+from typing import List, Optional, Tuple
 
 from .constants import MAX_SEGMENT_SIZE_LABELING
 

@@ -28,7 +28,7 @@ activations, ``(C,)`` for vectors, or a tuple of shapes for multi-input layers.
 from __future__ import annotations
 
 import math
-from typing import Any, Optional, Sequence
+from typing import Sequence
 
 import jax
 import jax.numpy as jnp

@@ -30,7 +30,7 @@ mirroring create_moe_attention_model reference:657-703):
 
 from __future__ import annotations
 
-from typing import Any, Dict, Optional
+from typing import Dict
 
 import jax
 import jax.numpy as jnp

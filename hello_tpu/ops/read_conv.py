@@ -30,7 +30,7 @@ packing multiple positions into the K dimension is the planned fix.
 from __future__ import annotations
 
 import functools
-from typing import List, Sequence, Tuple
+from typing import List, Sequence
 
 import jax
 import jax.numpy as jnp

@@ -22,8 +22,7 @@ from .. import telemetry
 from ..constants import FEATURE_LENGTH
 from ..io.fasta import FastaFile
 from ..io.vcf import VcfRecord, make_record, write_vcf
-from ..nn import archs
-from ..nn.genotype import decode_batch, phred_quality
+from ..nn.genotype import decode_batch
 from ..nn.moe import MoEAttention, create_model
 from .batching import PaddedBatch, SiteWork, group_sites_for_batching, pack_sites
 from .candidates import generate_sites

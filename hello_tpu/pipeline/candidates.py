@@ -10,7 +10,6 @@ ready for padded-batch packing.
 from __future__ import annotations
 
 import dataclasses
-import random
 from typing import Dict, Iterator, List, Optional, Sequence, Tuple
 
 from ..constants import (

@@ -11,7 +11,7 @@ from __future__ import annotations
 import argparse
 import logging
 import random
-from typing import List, Optional, Sequence, Tuple
+from typing import List, Optional, Sequence
 
 from ..constants import MAX_ITEMS_PER_GROUP_TRAIN
 from ..io.fasta import FastaFile

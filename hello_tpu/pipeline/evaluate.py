@@ -15,11 +15,11 @@ import dataclasses
 import json
 import logging
 import math
-from typing import Dict, List, Optional, Tuple
+from typing import Dict, Optional
 
 from ..io.bed import BedRegions
 from ..io.fasta import FastaFile
-from ..io.vcf import VcfRecord, left_align_normalize, read_vcf
+from ..io.vcf import left_align_normalize, read_vcf
 
 logger = logging.getLogger(__name__)
 

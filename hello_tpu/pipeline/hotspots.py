@@ -87,15 +87,28 @@ def build_window(read_sources, ref_view, chromosome: str,
     return Window(reads, start, stop, ref_view, chromosome, **window_kwargs)
 
 
+_BAM_CACHE = {}
+
+
 def _open_bam(path: str, pacbio: bool):
-    """Prefer the native BAM loader when built; fall back to the Python codec."""
+    """Prefer the native BAM loader when built; fall back to the Python codec.
+
+    Loaded BAMs are cached per process (whole-file decode is the expensive
+    part; worker processes handle many chunks of the same file)."""
+    key = (path, pacbio)
+    if key in _BAM_CACHE:
+        return _BAM_CACHE[key]
     try:
         from .. import native
         if native.available():
-            return native.NativeBam(path, pacbio=pacbio)
+            bam = native.NativeBam(path, pacbio=pacbio)
+            _BAM_CACHE[key] = bam
+            return bam
     except Exception:
         pass
-    return BamReader(path, pacbio=pacbio)
+    bam = BamReader(path, pacbio=pacbio)
+    _BAM_CACHE[key] = bam
+    return bam
 
 
 def make_read_sources(bam_paths: Sequence[str], pacbio: bool,

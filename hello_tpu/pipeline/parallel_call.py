@@ -16,8 +16,7 @@ from __future__ import annotations
 import logging
 import multiprocessing as mp
 import os
-import queue as queue_mod
-from typing import Iterator, List, Optional, Sequence, Tuple
+from typing import List, Optional, Sequence, Tuple
 
 from ..constants import FEATURE_LENGTH
 from ..io.fasta import FastaFile
@@ -123,6 +122,15 @@ def call_parallel(bam_paths: Sequence[str], ref_path: str, scorer: Scorer,
     options.setdefault("include_hp", include_hp)
 
     jobs = list(make_chunks(regions, chunk_size))
+    # spawn requires an importable __main__; scripts piped via stdin hang here
+    import __main__ as _main
+    main_file = getattr(_main, "__file__", None)
+    importable = bool(getattr(_main, "__spec__", None)) or (
+        main_file is not None and os.path.exists(main_file))
+    if not importable:
+        raise RuntimeError(
+            "call_parallel uses multiprocessing 'spawn', which needs an "
+            "importable __main__ — run from a file or module, not stdin")
     ctx = mp.get_context("spawn")
     job_queue = ctx.Queue()
     result_queue = ctx.Queue()

@@ -12,10 +12,8 @@ import dataclasses
 import random
 from typing import List, Optional, Sequence, Tuple
 
-from .constants import (
-    BAM_CDEL, BAM_CEQUAL, BAM_CDIFF, BAM_CHARD_CLIP, BAM_CINS, BAM_CMATCH,
-    BAM_CPAD, BAM_CREF_SKIP, BAM_CSOFT_CLIP,
-)
+from .constants import (BAM_CDEL, BAM_CDIFF, BAM_CEQUAL, BAM_CMATCH,
+                        BAM_CREF_SKIP)
 
 # SAM flag bits
 FLAG_PAIRED = 0x1

@@ -13,12 +13,10 @@ import dataclasses
 import random
 from typing import Dict, List, Optional, Sequence, Tuple
 
-import numpy as np
-
 from .io.bam import write_bam
 from .io.fasta import write_fasta
 from .io.vcf import VcfRecord, write_vcf
-from .reads import AlignedRead, FLAG_PROPER_PAIR, FLAG_PAIRED, FLAG_REVERSE
+from .reads import AlignedRead, FLAG_REVERSE
 from .constants import BAM_CDEL, BAM_CINS, BAM_CMATCH
 
 

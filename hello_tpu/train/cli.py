@@ -16,7 +16,6 @@ import logging
 import time
 
 import jax
-import numpy as np
 
 from ..nn.moe import create_model
 from ..parallel.mesh import data_mesh

@@ -14,8 +14,6 @@ from __future__ import annotations
 import random
 from typing import Iterator, List, Optional, Sequence
 
-import numpy as np
-
 from ..pipeline.batching import (SiteWork, group_sites_for_batching, pack_sites,
                                  stack_device_batches, training_dict)
 from .store import ShardReader

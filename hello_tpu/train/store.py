@@ -9,10 +9,8 @@ are self-describing and loadable with numpy memmap — no framework needed.
 
 from __future__ import annotations
 
-import dataclasses
-import os
 import pickle
-from typing import Dict, Iterator, List, Optional, Sequence, Tuple
+from typing import Iterator, List, Tuple
 
 import numpy as np
 

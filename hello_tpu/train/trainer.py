@@ -13,13 +13,13 @@ from __future__ import annotations
 import dataclasses
 import logging
 from functools import partial
-from typing import Any, Callable, Dict, Iterable, Optional, Tuple
+from typing import Dict, Iterable, Tuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 import optax
-from jax.sharding import NamedSharding, PartitionSpec as P
+from jax.sharding import PartitionSpec as P
 
 from ..nn.moe import MoEAttention
 from ..parallel.mesh import data_mesh
