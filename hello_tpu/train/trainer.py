@@ -147,15 +147,32 @@ class Trainer:
 
         return train_step
 
-    def train_batch(self, device_batches) -> Dict[str, float]:
+    def train_batch(self, device_batches, crash_dump_prefix: str = None
+                    ) -> Dict[str, float]:
         """One optimisation step over per-device batches (leading axis =
-        number of mesh devices)."""
+        number of mesh devices).
+
+        On a non-finite loss the offending parameters and batch are dumped
+        for forensics before raising (the reference's backward-crash dump,
+        MixtureOfExpertsDNNFastDistributed.py:799-806)."""
         reg = jnp.float32(self._reg(self.step))
+        prev_params, prev_state, prev_opt = self.params, self.state, self.opt_state
         self.params, self.state, self.opt_state, total, per_expert = \
             self._train_step(self.params, self.state, self.opt_state,
                              device_batches, reg)
         self.step += 1
-        return {"loss": float(total),
+        loss = float(total)
+        if not np.isfinite(loss):
+            prefix = crash_dump_prefix or "/tmp/hello_tpu_crash"
+            save_checkpoint(f"{prefix}.step{self.step}.err.ckpt",
+                            prev_params, prev_state, prev_opt, self.step)
+            import pickle
+            with open(f"{prefix}.step{self.step}.payload.pkl", "wb") as fh:
+                pickle.dump(jax.tree_util.tree_map(np.asarray, device_batches), fh)
+            raise FloatingPointError(
+                f"non-finite training loss at step {self.step}; params and "
+                f"payload dumped to {prefix}.step{self.step}.*")
+        return {"loss": loss,
                 "per_expert": np.asarray(per_expert).tolist()}
 
     def evaluate(self, batches: Iterable[dict]) -> float:

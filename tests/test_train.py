@@ -199,3 +199,28 @@ def test_wide_config_builds(rng):
     }
     out, _ = model.apply(params, state, batch)
     assert out["experts"].shape == (2, 1)
+
+
+def test_nan_crash_dump(tmp_path, rng):
+    """A non-finite loss dumps forensics and raises (reference parity:
+    backward-crash dump)."""
+    from hello_tpu.nn.moe import create_model
+    from hello_tpu.parallel.mesh import data_mesh
+    from hello_tpu.pipeline.batching import stack_device_batches
+    from hello_tpu.train.trainer import Trainer, TrainConfig
+    import __graft_entry__ as ge
+
+    model = create_model("illumina")
+    trainer = Trainer(model, TrainConfig(binary=True), mesh=data_mesh(1))
+    # poison the parameters so the forward produces NaN
+    trainer.params = jax.tree_util.tree_map(
+        lambda x: jnp.full_like(x, jnp.nan), trainer.params)
+    batch = ge._example_batch(np.random.RandomState(1), hybrid=False,
+                              A=4, R=2, S=2, labels=True)
+    prefix = str(tmp_path / "crash")
+    with pytest.raises(FloatingPointError):
+        trainer.train_batch(stack_device_batches([batch]),
+                            crash_dump_prefix=prefix)
+    import glob
+    assert glob.glob(prefix + "*.err.ckpt")
+    assert glob.glob(prefix + "*.payload.pkl")
