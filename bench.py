@@ -164,8 +164,10 @@ def main():
     parser.add_argument("--baseline_sites", type=int, default=16,
                         help="baseline torch workload size (scaled per-site)")
     parser.add_argument("--iters", type=int, default=20)
+    # bf16 matches the inference default in pipeline/call.py (validated to
+    # give calls identical to fp32-highest on a sim A/B on a v5e chip).
     parser.add_argument("--precision", default=os.environ.get(
-        "HELLO_TPU_PRECISION", "highest"))
+        "HELLO_TPU_PRECISION", "default"))
     parser.add_argument("--skip-baseline", action="store_true")
     parser.add_argument("--pipeline", action="store_true",
                         help="also measure end-to-end host+device pipeline throughput")

@@ -262,9 +262,12 @@ def main(argv=None):
     parser.add_argument("--reconcilement_size", type=int, default=10)
     parser.add_argument("--provide_features", action="store_true",
                         help="also write per-expert and best-expert VCFs")
+    # bf16 MXU matmuls are the inference default: validated to produce calls
+    # identical to fp32-highest (same sites, genotypes, and qualities) on a
+    # simulated 80-variant A/B on a v5e chip; use "highest" for fp32 parity.
     parser.add_argument("--precision", default=os.environ.get(
-        "HELLO_TPU_PRECISION", "highest"),
-                        help="matmul precision: highest (fp32 parity) | default (bf16 speed)")
+        "HELLO_TPU_PRECISION", "default"),
+                        help="matmul precision: default (bf16 speed) | highest (fp32 parity)")
     parser.add_argument("--num_workers", type=int, default=0,
                         help="host-side worker processes (0 = in-process)")
     parser.add_argument("--chunk_size", type=int, default=200_000)
