@@ -42,6 +42,7 @@ def train_from_shards(
     entropy_regularizer: float = 0.1, entropy_decay: float = 0.5,
     smoothing: float = 0.0, aux_weight: float = 0.0, weight_decay: float = 1e-4,
     seed: int = 13, channels: int = 6, resume: str = None,
+    coverage_range=None,
 ):
     model = create_model(model_name)
     mesh = data_mesh(num_devices)
@@ -70,7 +71,8 @@ def train_from_shards(
     metrics_fh = open(metrics_path, "a")
     for epoch in range(num_epochs):
         dataset = SiteDataset(train_files, max_reads_per_site,
-                              shuffle=True, seed=seed + epoch)
+                              shuffle=True, seed=seed + epoch,
+                              coverage_range=coverage_range)
         epoch_loss, n_batches = 0.0, 0
         start_t = time.time()
         for stacked in device_batches(dataset, model.hybrid, n_dev,
@@ -134,6 +136,9 @@ def main(argv=None):
     parser.add_argument("--minLr", type=float, default=0.0)
     parser.add_argument("--include_hp", action="store_true")
     parser.add_argument("--seed", type=int, default=13)
+    parser.add_argument("--subsample_coverage", default=None,
+                        help="LO,HI coverage-fraction range for per-site "
+                             "read-thinning augmentation (e.g. 0.3,1.0)")
     parser.add_argument("--resume", default=None,
                         help="checkpoint to resume full training state from")
     parser.add_argument("--distributed", action="store_true",
@@ -152,6 +157,17 @@ def main(argv=None):
                     jax.local_device_count(), jax.device_count())
     files = read_file_list(args.data)
     assert files, f"no shard files found for {args.data}"
+    coverage_range = None
+    if args.subsample_coverage:
+        try:
+            lo, hi = (float(x) for x in args.subsample_coverage.split(","))
+        except ValueError:
+            parser.error("--subsample_coverage expects LO,HI (e.g. 0.3,1.0), "
+                         f"got {args.subsample_coverage!r}")
+        if not (0 < lo <= hi <= 1):
+            parser.error("--subsample_coverage needs 0 < LO <= HI <= 1, "
+                         f"got {args.subsample_coverage!r}")
+        coverage_range = (lo, hi)
     if args.distributed and jax.process_count() > 1:
         from .loader import shard_files_for_ranks
         per_rank, _min_len = shard_files_for_ranks(files, jax.process_count())
@@ -169,7 +185,7 @@ def main(argv=None):
         entropy_decay=args.entropy_decay, smoothing=args.smoothing,
         aux_weight=args.aux_loss, weight_decay=args.weight_decay,
         seed=args.seed, channels=7 if args.include_hp else 6,
-        resume=args.resume)
+        resume=args.resume, coverage_range=coverage_range)
     logger.info("Completed running the script")
 
 

@@ -39,6 +39,30 @@ def subsample_reads(site: SiteWork, max_reads: int, rng: random.Random) -> SiteW
         site_label=site.site_label)
 
 
+def simulate_coverage(site: SiteWork, frac: float,
+                      rng: random.Random) -> SiteWork:
+    """Thin every allele's read set to ``frac`` of its reads (min 1), as
+    lower-coverage augmentation (reference AlleleSearcherDNN.py:663-757
+    ``Subsampler`` coverage simulation)."""
+    def thin(tensors):
+        out = []
+        for t in tensors:
+            keep = max(1, int(round(t.shape[0] * frac)))
+            if keep < t.shape[0]:
+                idx = sorted(rng.sample(range(t.shape[0]), keep))
+                out.append(t[idx])
+            else:
+                out.append(t)
+        return out
+
+    return SiteWork(
+        chromosome=site.chromosome, start=site.start, stop=site.stop,
+        alleles=site.alleles, tensors0=thin(site.tensors0),
+        tensors1=thin(site.tensors1) if site.tensors1 is not None else None,
+        ref_segment=site.ref_segment, labels=site.labels,
+        site_label=site.site_label)
+
+
 def shard_files_for_ranks(files: Sequence[str], world_size: int,
                           seed: int = 13) -> List[List[str]]:
     """Deterministically shuffle and split shard files across ranks with
@@ -58,12 +82,15 @@ class SiteDataset:
 
     def __init__(self, index_paths: Sequence[str], max_reads_per_site: int = 1000,
                  shuffle: bool = True, seed: int = 13,
-                 max_sites: Optional[int] = None):
+                 max_sites: Optional[int] = None,
+                 coverage_range: Optional[tuple] = None):
         self.index_paths = list(index_paths)
         self.max_reads = max_reads_per_site
         self.shuffle = shuffle
         self.seed = seed
         self.max_sites = max_sites
+        # (lo, hi): per-site uniform coverage fraction for augmentation
+        self.coverage_range = coverage_range
 
     def __iter__(self) -> Iterator[SiteWork]:
         rng = random.Random(self.seed)
@@ -77,6 +104,9 @@ class SiteDataset:
             if self.shuffle:
                 rng.shuffle(sites)
             for site in sites:
+                if self.coverage_range is not None:
+                    frac = rng.uniform(*self.coverage_range)
+                    site = simulate_coverage(site, frac, rng)
                 yield subsample_reads(site, self.max_reads, rng)
                 emitted += 1
                 if self.max_sites is not None and emitted >= self.max_sites:

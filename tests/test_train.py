@@ -224,3 +224,29 @@ def test_nan_crash_dump(tmp_path, rng):
     import glob
     assert glob.glob(prefix + "*.err.ckpt")
     assert glob.glob(prefix + "*.payload.pkl")
+
+
+def test_coverage_simulation_thins_reads(tmp_path):
+    """coverage_range thins per-allele read sets (reference Subsampler role)."""
+    from hello_tpu.pipeline.batching import SiteWork
+    from hello_tpu.train.loader import SiteDataset, simulate_coverage
+    from hello_tpu.train.store import write_shards
+    import random
+
+    def site(n_reads):
+        return SiteWork(
+            chromosome="chr1", start=100, stop=101, alleles=["A", "C"],
+            tensors0=[np.zeros((n_reads, 150, 6), np.uint8) for _ in range(2)],
+            tensors1=None, ref_segment=None, labels=[1, 0], site_label=0)
+
+    thinned = simulate_coverage(site(40), 0.5, random.Random(0))
+    assert all(t.shape[0] == 20 for t in thinned.tensors0)
+    # min 1 read survives even at tiny fractions
+    tiny = simulate_coverage(site(3), 0.01, random.Random(0))
+    assert all(t.shape[0] == 1 for t in tiny.tensors0)
+
+    paths = write_shards(iter([site(40) for _ in range(4)]),
+                         str(tmp_path / "cov"), sites_per_shard=10)
+    ds = SiteDataset(paths, coverage_range=(0.25, 0.25), seed=3)
+    for s in ds:
+        assert all(t.shape[0] == 10 for t in s.tensors0)
