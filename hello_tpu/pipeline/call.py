@@ -276,6 +276,10 @@ def main(argv=None):
     parser.add_argument("--process_count", type=int, default=1,
                         help="total hosts sharing the work")
     parser.add_argument("--log", default=None)
+    # device+host trace capture (the reference's kernprof/line_profiler hooks,
+    # HotspotDetectorDVFiltered.py:24-28 etc.); open with TensorBoard/XProf
+    parser.add_argument("--profile_dir", default=None,
+                        help="write a jax.profiler trace of the run here")
     args = parser.parse_args(argv)
 
     logging.basicConfig(level=logging.INFO, filename=args.log,
@@ -302,6 +306,9 @@ def main(argv=None):
 
     from ..nn import layers as nn_layers
     nn_layers.set_precision(args.precision)
+    if args.profile_dir:
+        import jax
+        jax.profiler.start_trace(args.profile_dir)
     scorer = load_scorer(args.model, args.checkpoint)
 
     if args.process_count > 1:
@@ -330,6 +337,9 @@ def main(argv=None):
             min_mapq=args.mapq_threshold, reassembly_size=args.reconcilement_size,
             provide_experts=args.provide_features)
     telemetry.log_report()
+    if args.profile_dir:
+        jax.profiler.stop_trace()
+        logger.info("profiler trace written to %s", args.profile_dir)
     logger.info("Completed running the script")
 
 

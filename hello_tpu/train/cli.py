@@ -144,6 +144,8 @@ def main(argv=None):
     parser.add_argument("--distributed", action="store_true",
                         help="initialise jax.distributed (multi-host pod; "
                              "coordinator via JAX_COORDINATOR_ADDRESS etc.)")
+    parser.add_argument("--profile_dir", default=None,
+                        help="write a jax.profiler trace of the run here")
     args = parser.parse_args(argv)
 
     logging.basicConfig(level=logging.INFO,
@@ -173,6 +175,8 @@ def main(argv=None):
         per_rank, _min_len = shard_files_for_ranks(files, jax.process_count())
         files = per_rank[jax.process_index()]
         logger.info("rank %d takes %d shard files", jax.process_index(), len(files))
+    if args.profile_dir:
+        jax.profiler.start_trace(args.profile_dir)
     train_from_shards(
         files, args.model, args.out_prefix,
         num_epochs=args.num_epochs, lr=args.lr, optimizer=args.optimizer,
@@ -186,6 +190,9 @@ def main(argv=None):
         aux_weight=args.aux_loss, weight_decay=args.weight_decay,
         seed=args.seed, channels=7 if args.include_hp else 6,
         resume=args.resume, coverage_range=coverage_range)
+    if args.profile_dir:
+        jax.profiler.stop_trace()
+        logger.info("profiler trace written to %s", args.profile_dir)
     logger.info("Completed running the script")
 
 
