@@ -114,8 +114,23 @@ def _convert_layer(layer: L.Layer, sd: Mapping[str, np.ndarray], prefix: str):
             if s:
                 state[f"branch{i}"] = s
         return params, state
-    # stateless layers
+    if isinstance(layer, L.Sequential):
+        return _convert_sequential(layer, sd, prefix)
+    if not isinstance(layer, _STATELESS_LAYERS):
+        # e.g. MultiheadAttention / HelloEncoder: silently returning {} would
+        # produce an empty pytree that KeyErrors at apply time
+        raise NotImplementedError(
+            f"no torch conversion for parameter-bearing layer "
+            f"{type(layer).__name__} at {prefix!r}")
     return {}, {}
+
+
+_STATELESS_LAYERS = (
+    L.Noop, L.ReLU, L.ELU, L.SELU, L.Sigmoid, L.Tanh, L.Softmax, L.Dropout,
+    L.MaxPool1d, L.AvgPool1d, L.AdaptiveAvgPool1d, L.Flatten, L.GlobalPool,
+    L.Transposer, L.SelectArgument, L.ConcatenateChannels, L.AdditiveLayer,
+    L.LinearCombination, L.DotProduct,
+)
 
 
 def _convert_sequential(seq: L.Sequential, sd: Mapping[str, np.ndarray], prefix: str):

@@ -162,8 +162,9 @@ class MoEAttention:
         s = state.get(name, {})
         lrng = None
         if rng is not None:
-            rng = jax.random.fold_in(rng, hash(name) % (2 ** 31))
-            lrng = rng
+            # stable per-network fold (hash() is randomised per process via
+            # PYTHONHASHSEED, which would make dropout streams irreproducible)
+            lrng = jax.random.fold_in(rng, self.NETWORK_NAMES.index(name))
         y, ns = net.apply(p, s, x, train=train, rng=lrng)
         return y, ns
 
@@ -177,14 +178,19 @@ class MoEAttention:
         """
         cname = f"compressor{idx}"
         ca, ns = self._apply_net(cname, params, state, reduced_allele, train, rng)
+        state_after = state
         if ns:
+            # thread the allele pass's batch-norm update into the site pass so
+            # running stats update sequentially, as the reference's in-place
+            # torch BN does (MixtureOfExpertsAdvanced.py:117-147)
+            state_after = dict(state)
+            state_after[cname] = ns
             new_state[cname] = ns
 
         # site features route 1: compress the per-site sum of read frames
         site_frames = site_segment_sum(reduced_allele, site_onehot)
-        cs0, ns = self._apply_net(cname, params, state, site_frames, train, rng)
+        cs0, ns = self._apply_net(cname, params, state_after, site_frames, train, rng)
         if ns:
-            # merge batch-norm state updates from the second pass as well
             new_state[cname] = ns
         expand0 = cs0[site_ids]
 

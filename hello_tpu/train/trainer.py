@@ -119,12 +119,17 @@ class Trainer:
                 has_aux=True)(params)
             return total, new_state, per_expert, grads
 
-        from jax.experimental.shard_map import shard_map
+        try:
+            from jax import shard_map
+            sm_kwargs = {"check_vma": False}
+        except ImportError:  # jax < 0.6
+            from jax.experimental.shard_map import shard_map
+            sm_kwargs = {"check_rep": False}
 
         @partial(shard_map, mesh=mesh,
                  in_specs=(P(), P(), P("data"), P()),
                  out_specs=(P(), P(), P(), P()),
-                 check_rep=False)
+                 **sm_kwargs)
         def sharded_grads(params, state, batches, reg_coeff):
             # batches has a leading axis of size 1 on each device
             batch = jax.tree_util.tree_map(lambda x: x[0], batches)

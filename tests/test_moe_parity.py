@@ -147,3 +147,54 @@ def test_hybrid_full_parity(rng):
     j_experts, j_meta = _ours_forward(archs.config_hybrid_full(), tmodel, sites, hybrid=True)
     _assert_parity(t_experts, j_experts)
     np.testing.assert_allclose(t_meta, j_meta, atol=3e-3)
+
+
+def test_compressor_bn_state_threads_sequentially(rng):
+    """The compressor is applied twice per forward (allele pass, then site
+    pass); its batch-norm running stats must update sequentially, as the
+    reference's in-place torch BN does — not both from the pre-forward state."""
+    import jax
+    from hello_tpu.nn.moe import (MoEAttention, make_site_onehot,
+                                  masked_read_sum, site_segment_sum)
+
+    config = {
+        "read_conv0": [{"type": "Conv1d",
+                        "kwargs": {"in_channels": 6, "out_channels": 4,
+                                   "kernel_size": 1}}],
+        "compressor0": [
+            {"type": "Conv1d", "kwargs": {"in_channels": 4, "out_channels": 4,
+                                          "kernel_size": 1}},
+            {"type": "BatchNorm1d", "kwargs": {"num_features": 4}},
+        ],
+    }
+    model = MoEAttention(config)
+    params, state = model.init(jax.random.PRNGKey(0))
+    A, R, L, S = 4, 3, 150, 2
+    batch = {
+        "reads0": rng.randint(0, 255, (A, R, L, 6)).astype(np.uint8),
+        "read_mask0": np.ones((A, R), np.float32),
+        "site_ids": np.array([0, 0, 1, 1], np.int32),
+        "allele_mask": np.ones(A, np.float32),
+        "ref_segments": np.zeros((S, L, 5), np.float32),
+    }
+    _, new_state = model.apply(params, state, batch, train=True)
+
+    # hand-compute the expected sequential BN updates
+    flat = batch["reads0"].reshape(A * R, L, 6).astype(np.float32)
+    frames, _ = model.nets["read_conv0"].apply(params["read_conv0"], {}, flat)
+    frames = np.asarray(frames).reshape(A, R, L, 4)
+    reduced = masked_read_sum(frames, batch["read_mask0"])
+    onehot = make_site_onehot(batch["site_ids"], batch["allele_mask"], S)
+    site_frames = site_segment_sum(reduced, onehot)
+    conv = model.nets["compressor0"].layers[0]
+    bn = model.nets["compressor0"].layers[1]
+    cin_a, _ = conv.apply(params["compressor0"]["0"], {}, reduced)
+    cin_s, _ = conv.apply(params["compressor0"]["0"], {}, site_frames)
+    bnp = params["compressor0"]["1"]
+    _, s1 = bn.apply(bnp, state["compressor0"]["1"], cin_a, train=True)
+    _, s2 = bn.apply(bnp, s1, cin_s, train=True)
+    got = new_state["compressor0"]["1"]
+    np.testing.assert_allclose(np.asarray(got["mean"]), np.asarray(s2["mean"]),
+                               rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(got["var"]), np.asarray(s2["var"]),
+                               rtol=1e-5)

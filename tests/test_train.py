@@ -84,6 +84,32 @@ def test_schedules():
     warm = sine_warmup_restarts(1.0, t0=10, t_mult=2, eta_min=0.0)
     assert warm(0) < 1e-9                      # starts at minimum
     assert warm(9) > warm(1)                   # rising
+    # schedules run on traced steps inside the jitted train step: the jitted
+    # value must match the eager value
+    for step in (0, 1, 5, 10, 17, 30, 70):
+        np.testing.assert_allclose(float(jax.jit(sched)(step)),
+                                   float(sched(step)), rtol=1e-6)
+
+
+def test_sgdr_inside_jitted_train_step(rng):
+    """Regression: SGDR/warmup schedules are invoked on the traced step inside
+    the jitted train step (math.cos + Python branches used to raise
+    ConcretizationTypeError on the first train_batch)."""
+    from hello_tpu.nn.moe import create_model
+    from hello_tpu.parallel.mesh import data_mesh
+    from hello_tpu.pipeline.batching import stack_device_batches
+    from hello_tpu.train.trainer import Trainer, TrainConfig
+    import __graft_entry__ as ge
+
+    mesh = data_mesh(1)
+    batch = ge._example_batch(np.random.RandomState(6), hybrid=False,
+                              A=4, R=2, S=2, labels=True)
+    stacked = stack_device_batches([batch])
+    for cfg in (TrainConfig(lr=1e-2, optimizer="SGDR", binary=True),
+                TrainConfig(lr=1e-2, optimizer="SGD", warmup=True, binary=True)):
+        trainer = Trainer(create_model("illumina"), cfg, mesh=mesh)
+        out = trainer.train_batch(stacked)
+        assert np.isfinite(out["loss"])
 
 
 def test_multichip_dryrun_8_devices():
