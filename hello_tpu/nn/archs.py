@@ -246,6 +246,41 @@ def config_hybrid_full(weight_norm=True):
     }
 
 
+def config_single_tech_layer_norm():
+    """Single-platform "layer_norm" model
+    (moe_attention_config_single_tech_old_equivalent_layer_norm.py:12-22).
+
+    Despite the name, the shipping reference module sets norm_type="Noop"
+    (its LayerNormModule line is commented out) and activation="Softplus" on
+    the read convolver and xattn head; the compressor has no activation knob
+    so it keeps ReLU; weight_norm stays False; the xattn terminus keeps
+    BatchNorm1d (terminus is called without norm_type,
+    architectures/xattn_subtract.py:95).
+    """
+    return {
+        "read_conv0": read_convolver(False, norm_type="Noop", activation="Softplus"),
+        "compressor0": compressor_conv(False, norm_type="Noop"),
+        "xattn0": xattn_subtract(False, norm_type="Noop", activation="Softplus"),
+    }
+
+
+def config_hybrid_ensemble2(weight_norm=True):
+    """Two platform experts + reference-segment meta-expert; no xattn2, no
+    combiners (moe_attention_config_full_hybrid_old_equivalent_weight_norm_
+    ensemble2.py:14-22).  Forward takes the reference's "case 2" path:
+    expert2 logits substituted with zeros under the meta softmax."""
+    wn = weight_norm
+    return {
+        "read_conv0": read_convolver(wn),
+        "read_conv1": read_convolver(wn),
+        "compressor0": compressor_conv(wn),
+        "compressor1": compressor_conv(wn),
+        "xattn0": xattn_subtract(wn),
+        "xattn1": xattn_subtract(wn),
+        "meta": meta_convolver_ref(wn),
+    }
+
+
 def config_hybrid_no_ensemble(weight_norm=True, width=1, addendum=False):
     """Hybrid binary-classifier model: combiners + xattn2 only, no meta
     (moe_attention_config_full_hybrid_old_equivalent_weight_norm_no_ensemble
@@ -274,4 +309,6 @@ NAMED_CONFIGS = {
     "hybrid_no_ensemble_wide": lambda: config_hybrid_no_ensemble(width=2),
     "illumina_wide": lambda: config_single_tech(width=2),
     "illumina_addendum": lambda: config_single_tech(addendum=True),
+    "illumina_layer_norm": lambda: config_single_tech_layer_norm(),
+    "hybrid_ensemble2": lambda: config_hybrid_ensemble2(),
 }

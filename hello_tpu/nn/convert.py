@@ -126,7 +126,8 @@ def _convert_layer(layer: L.Layer, sd: Mapping[str, np.ndarray], prefix: str):
 
 
 _STATELESS_LAYERS = (
-    L.Noop, L.ReLU, L.ELU, L.SELU, L.Sigmoid, L.Tanh, L.Softmax, L.Dropout,
+    L.Noop, L.ReLU, L.ELU, L.SELU, L.Sigmoid, L.Softplus, L.Tanh, L.Softmax,
+    L.Dropout,
     L.MaxPool1d, L.AvgPool1d, L.AdaptiveAvgPool1d, L.Flatten, L.GlobalPool,
     L.Transposer, L.SelectArgument, L.ConcatenateChannels, L.AdditiveLayer,
     L.LinearCombination, L.DotProduct,

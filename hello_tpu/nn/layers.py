@@ -78,7 +78,11 @@ class Layer:
 
 
 class Noop(Layer):
-    pass
+    # accepts and ignores arguments, like the reference's Noop placeholder
+    # (NNTools.py:586-592) which is configured with num_features in place of
+    # a norm layer to keep Sequential indices aligned
+    def __init__(self, *args, **kwargs):
+        pass
 
 
 class Conv1d(Layer):
@@ -282,6 +286,19 @@ class Sigmoid(Layer):
         return jax.nn.sigmoid(x), state
 
 
+class Softplus(Layer):
+    """torch.nn.Softplus equivalent (used by the layer_norm model config)."""
+
+    def __init__(self, beta=1.0, threshold=20.0):
+        self.beta = beta
+        self.threshold = threshold
+
+    def apply(self, params, state, x, train=False, rng=None):
+        # torch switches to the linear identity above threshold for stability
+        soft = jax.nn.softplus(self.beta * x) / self.beta
+        return jnp.where(self.beta * x > self.threshold, x, soft), state
+
+
 class Tanh(Layer):
     def apply(self, params, state, x, train=False, rng=None):
         return jnp.tanh(x), state
@@ -393,7 +410,9 @@ class Transposer(Layer):
     segments).  Our activations are natively NWC ``[B, L, C]``, which is already
     the layout the following conv expects, so this is an identity here.
     """
-    pass
+
+    def __init__(self, dim0=1, dim1=2):
+        pass
 
 
 class SelectArgument(Layer):
@@ -704,6 +723,7 @@ _SIMPLE = {
     "ELU": ELU,
     "SELU": SELU,
     "Sigmoid": Sigmoid,
+    "Softplus": Softplus,
     "Tanh": Tanh,
     "Softmax": Softmax,
     "Flatten": Flatten,

@@ -26,6 +26,12 @@ def _load_reference_model(config_name):
     sys.path.insert(0, REFERENCE_DIR + "/python")
     try:
         import importlib
+        # reference config modules mutate shared architectures.* globals
+        # (norm_type/activation/weight_norm) in place; purge so each config
+        # builds from pristine modules regardless of test order
+        for mod in list(sys.modules):
+            if mod == config_name or mod.split(".")[0] == "architectures":
+                del sys.modules[mod]
         import MixtureOfExpertsAdvanced as MoERef
         cfg_module = importlib.import_module(config_name)
         model = MoERef.create_moe_attention_model(cfg_module.configDict)
@@ -198,3 +204,32 @@ def test_compressor_bn_state_threads_sequentially(rng):
                                rtol=1e-5)
     np.testing.assert_allclose(np.asarray(got["var"]), np.asarray(s2["var"]),
                                rtol=1e-5)
+
+
+@requires_reference
+def test_layer_norm_config_parity(rng):
+    """The "layer_norm" single-tech config (Noop norms + Softplus activations,
+    reference moe_attention_config_single_tech_old_equivalent_layer_norm.py)."""
+    tmodel = _load_reference_model(
+        "moe_attention_config_single_tech_old_equivalent_layer_norm")
+    sites = _ragged_inputs(rng, num_sites=4, hybrid=False)
+    t_experts, _ = _torch_forward(tmodel, sites, hybrid=False)
+    j_experts, _ = _ours_forward(archs.config_single_tech_layer_norm(),
+                                 tmodel, sites, hybrid=False)
+    _assert_parity(t_experts, j_experts)
+
+
+@requires_reference
+def test_hybrid_ensemble2_parity(rng):
+    """ensemble2: experts 0/1 + ref-segment meta, expert2 zero-substituted
+    (reference ..._weight_norm_ensemble2.py)."""
+    tmodel = _load_reference_model(
+        "moe_attention_config_full_hybrid_old_equivalent_weight_norm_ensemble2")
+    sites = _ragged_inputs(rng, num_sites=3, hybrid=True)
+    t_experts, t_meta = _torch_forward(tmodel, sites, hybrid=True)
+    j_experts, j_meta = _ours_forward(archs.config_hybrid_ensemble2(),
+                                      tmodel, sites, hybrid=True)
+    # expert2 is a zeros placeholder in this config; compare real experts
+    _assert_parity(t_experts[:, :2], j_experts[:, :2])
+    assert np.allclose(j_experts[:, 2], 0.0)
+    np.testing.assert_allclose(t_meta, j_meta, atol=3e-3)
