@@ -150,7 +150,16 @@ class Trainer:
             new_params = optax.apply_updates(params, updates)
             return new_params, new_state, new_opt_state, total, per_expert
 
+        self._sharded_grads = jax.jit(sharded_grads)
         return train_step
+
+    def compute_grads(self, device_batches):
+        """Sharded (psum-reduced) loss and gradients without an optimizer
+        update — used by the DP numerical-equivalence validation."""
+        reg = jnp.float32(self._reg(self.step))
+        total, _, _, grads = self._sharded_grads(
+            self.params, self.state, device_batches, reg)
+        return float(total), grads
 
     def train_batch(self, device_batches, crash_dump_prefix: str = None
                     ) -> Dict[str, float]:
@@ -179,6 +188,39 @@ class Trainer:
                 f"payload dumped to {prefix}.step{self.step}.*")
         return {"loss": loss,
                 "per_expert": np.asarray(per_expert).tolist()}
+
+    def unsharded_step_reference(self, device_batches):
+        """Serial single-device equivalent of :meth:`train_batch` (the
+        semantics the mesh psum must reproduce): per-device losses and
+        gradients computed in a Python loop and summed, then the same
+        optimizer update.  Does NOT mutate trainer state.
+
+        Returns ``(total_loss, grads, leaf_scales)`` for comparison against
+        :meth:`compute_grads` — the multi-chip correctness check matching
+        the gradient all-reduce semantics of the reference DDP trainer
+        (MixtureOfExpertsDNNFastDistributed.py:780-808).  ``leaf_scales`` is
+        a tree of the max-abs per-device gradient per leaf: the right
+        normaliser for comparing the sums, since the sum itself may cancel
+        to near zero while each term is O(scale).
+        """
+        reg = jnp.float32(self._reg(self.step))
+        n = jax.tree_util.tree_leaves(device_batches)[0].shape[0]
+        total = 0.0
+        grads_sum, scales = None, None
+        for i in range(n):
+            batch = jax.tree_util.tree_map(lambda x: x[i], device_batches)
+            (t, _aux), g = jax.value_and_grad(
+                lambda p: _batch_loss(self.model, self.config, p, self.state,
+                                      batch, reg),
+                has_aux=True)(self.params)
+            total = total + t
+            gmax = jax.tree_util.tree_map(lambda x: jnp.abs(x).max(), g)
+            if grads_sum is None:
+                grads_sum, scales = g, gmax
+            else:
+                grads_sum = jax.tree_util.tree_map(jnp.add, grads_sum, g)
+                scales = jax.tree_util.tree_map(jnp.maximum, scales, gmax)
+        return float(total), grads_sum, scales
 
     def evaluate(self, batches: Iterable[dict]) -> float:
         """Mean validation loss over an iterable of single-device batches."""
