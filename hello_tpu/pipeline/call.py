@@ -59,16 +59,12 @@ class Scorer:
         return experts, meta
 
 
-def record_from_pair_probs(site: "SiteWork", pair_probs, ref_lookup,
-                           info="MixtureOfExpertPrediction") -> Optional[VcfRecord]:
-    """VCF record from an allele-pair probability table
-    (reference caller_calling.vcfRecords:657-754 / prepareVcf.callAlleles)."""
-    from ..nn.genotype import best_genotype, phred_quality
-
+def _record_from_genotype(site: "SiteWork", top_alleles, quality, ref_lookup,
+                          info) -> Optional[VcfRecord]:
+    """Shared alt/genotype assembly for all call streams
+    (reference caller_calling.vcfRecords:699-742 / prepareVcf.callAlleles)."""
     ref_allele = "".join(ref_lookup(site.chromosome, p)
                          for p in range(site.start, site.stop))
-    top_alleles, best_p = best_genotype(pair_probs)
-    quality = phred_quality(best_p)
     alt_alleles = list(set(top_alleles).difference({ref_allele}))
     if len(alt_alleles) == 0:
         genotypes = [0, 0]
@@ -82,34 +78,25 @@ def record_from_pair_probs(site: "SiteWork", pair_probs, ref_lookup,
                        genotypes, ref_lookup, qual=quality, info=info)
 
 
+def record_from_pair_probs(site: "SiteWork", pair_probs, ref_lookup,
+                           info="MixtureOfExpertPrediction") -> Optional[VcfRecord]:
+    """VCF record from an allele-pair probability table
+    (reference caller_calling.vcfRecords:657-754 / prepareVcf.callAlleles)."""
+    from ..nn.genotype import best_genotype, phred_quality
+
+    top_alleles, best_p = best_genotype(pair_probs)
+    return _record_from_genotype(site, top_alleles, phred_quality(best_p),
+                                 ref_lookup, info)
+
+
 def vcf_record_from_call(call: dict, ref_lookup) -> Optional[VcfRecord]:
     """Build a VCF record from one decoded site call
     (reference caller_calling.vcfRecords:657-754 semantics)."""
     if call is None:
         return None
-    site: SiteWork = call["site"]
-    ref_allele = "".join(ref_lookup(site.chromosome, p)
-                         for p in range(site.start, site.stop))
-    top_alleles = call["best_pair"]
-    quality = call["quality"]
-    alt_alleles = list(set(top_alleles).difference({ref_allele}))
-
-    if len(alt_alleles) == 0:
-        genotypes = [0, 0]
-        alt_alleles = list(set(site.alleles).difference({ref_allele}))
-        if len(alt_alleles) == 0:
-            return None
-    else:
-        genotypes = []
-        for allele in top_alleles:
-            if allele == ref_allele:
-                genotypes.append(0)
-            else:
-                genotypes.append(alt_alleles.index(allele) + 1)
-
-    return make_record(site.chromosome, site.start, ref_allele, alt_alleles,
-                       genotypes, ref_lookup, qual=quality,
-                       info="MixtureOfExpertPrediction")
+    return _record_from_genotype(call["site"], call["best_pair"],
+                                 call["quality"], ref_lookup,
+                                 "MixtureOfExpertPrediction")
 
 
 def call_region(bam_paths: Sequence[str], ref: FastaFile, chromosome: str,
@@ -156,7 +143,10 @@ def call_region(bam_paths: Sequence[str], ref: FastaFile, chromosome: str,
 
     ref_lookup = lambda chrom, pos: ref.fetch(chrom, pos, pos + 1)
     records: List[VcfRecord] = []
-    expert_records = {0: [], 1: [], 2: [], "best": []} if provide_experts else None
+    expert_records = None
+    if provide_experts:
+        expert_records = {0: [], 1: [], 2: [], "best": [], "mean": [],
+                          "choices": [], "features": []}
     hybrid_model = scorer.model.hybrid
     for group in group_sites_for_batching(sites, max_alleles_per_batch):
         with telemetry.stage("batch_packing"):
@@ -173,18 +163,47 @@ def call_region(bam_paths: Sequence[str], ref: FastaFile, chromosome: str,
                 if rec is not None:
                     records.append(rec)
                 if expert_records is not None and call is not None:
-                    # per-expert VCF streams (reference prepareVcf.py:112-182)
-                    import numpy as _np
+                    # per-expert / best / mean VCF streams + choices + site
+                    # feature records (reference prepareVcf.py:112-182 and
+                    # caller_calling.py:744-754)
+                    site_obj = call["site"]
+                    meta_w = np.asarray(call["meta"], dtype=np.float64)
                     per_expert = call["expert_pair_probs"]
-                    recs = [record_from_pair_probs(call["site"], pp, ref_lookup,
+                    recs = [record_from_pair_probs(site_obj, pp, ref_lookup,
                                                    info=f"HELLO_expert{k}")
                             for k, pp in enumerate(per_expert)]
                     for k, r in enumerate(recs):
                         if r is not None:
                             expert_records[k].append(r)
-                    choice = int(_np.argmax(call["meta"]))
+                    choice = int(np.argmax(meta_w[:3]))
                     if recs[choice] is not None:
                         expert_records["best"].append(recs[choice])
+                    # meta-weighted mean likelihoods (prepareVcf.py:155-168)
+                    mean_probs = {
+                        pair: float(sum(meta_w[i] * float(per_expert[i][pair])
+                                        for i in range(len(per_expert))))
+                        for pair in per_expert[0]}
+                    mean_rec = record_from_pair_probs(site_obj, mean_probs,
+                                                      ref_lookup,
+                                                      info="HELLO_mean")
+                    if mean_rec is not None:
+                        expert_records["mean"].append(mean_rec)
+                    expert_records["choices"].append(
+                        (site_obj.chromosome, site_obj.start, site_obj.stop,
+                         choice))
+                    # persisted per-site features for failure analysis
+                    # (the reference's .features pickles,
+                    # caller_calling.py:744-754)
+                    expert_records["features"].append({
+                        "chromosome": site_obj.chromosome,
+                        "position": site_obj.start,
+                        "length": site_obj.stop - site_obj.start,
+                        "alleles": list(site_obj.alleles),
+                        "meta": np.asarray(call["meta"]),
+                        "expertPredictions": tuple(per_expert),
+                        "bestPair": call["best_pair"],
+                        "quality": call["quality"],
+                    })
     if expert_records is not None:
         return records, expert_records
     return records
@@ -201,7 +220,8 @@ def call_genome(bam_paths: Sequence[str], ref_path: str, scorer: Scorer,
     if regions is None:
         regions = [(c, 0, ref.length(c)) for c in ref.chromosomes()]
     records: List[VcfRecord] = []
-    expert_streams = {0: [], 1: [], 2: [], "best": []}
+    expert_streams = {0: [], 1: [], 2: [], "best": [], "mean": [],
+                      "choices": [], "features": []}
     for chrom, start, stop in regions:
         result = call_region(bam_paths, ref, chrom, start, stop, scorer,
                              provide_experts=provide_experts, **kwargs)
@@ -219,8 +239,19 @@ def call_genome(bam_paths: Sequence[str], ref_path: str, scorer: Scorer,
         for k in (0, 1, 2):
             write_vcf(f"{base}.expert{k}.vcf", expert_streams[k],
                       contigs=contigs, sort=True)
-        write_vcf(f"{base}.best.vcf", expert_streams["best"],
-                  contigs=contigs, sort=True)
+        for name in ("best", "mean"):
+            write_vcf(f"{base}.{name}.vcf", expert_streams[name],
+                      contigs=contigs, sort=True)
+        # which expert the meta-softmax picked per site
+        # (reference prepareVcf.py:170-176 choices.bed)
+        with open(f"{base}.choices.bed", "w") as fh:
+            for chrom, start, stop, choice in sorted(expert_streams["choices"]):
+                fh.write(f"{chrom}\t{start}\t{stop}\t{choice}\n")
+        # per-site feature records for failure analysis
+        # (reference caller_calling.py:744-754 .features pickles)
+        import pickle
+        with open(f"{base}.features.pkl", "wb") as fh:
+            pickle.dump(expert_streams["features"], fh)
     return out_vcf
 
 

@@ -112,25 +112,29 @@ def evaluate(called_vcf: str, truth_vcf: str, ref_path: str,
     return {k: m.to_dict() for k, m in by_type.items()}
 
 
-def max_q_from_labels(shard_index_paths) -> float:
-    """Theoretical maximum accuracy of a labeled dataset: the best achievable
-    per-site probability assuming a perfect classifier (reference
-    determineMaxQLoss.py role).  With binary per-allele labels a perfect
-    classifier is always right, so this reports the labeled fraction and the
-    implied ceiling quality."""
+def determine_max_q_loss(shard_index_paths) -> float:
+    """Theoretical minimum site-level log-loss of a labeled dataset
+    (reference determineMaxQLoss.py:44-70 semantics, over dumped shards
+    instead of hdf5): a site with ``site_label == 0`` (at most one true
+    allele, ``trainDataTools.py:955``) is perfectly predictable and
+    contributes 0; a site with ``site_label == 1`` contributes
+    ``-ln(0.5)``; the result is the mean over sites."""
     from ..train.store import ShardReader
 
-    total, labeled = 0, 0
+    total_q, total_sites = 0.0, 0
     for path in shard_index_paths:
         for site in ShardReader(path):
-            total += 1
-            if site.labels is not None and sum(site.labels) >= 1:
-                labeled += 1
-    if total == 0:
+            if site.site_label == 0:
+                pass                      # predictable at 100% accuracy
+            elif site.site_label == 1:
+                total_q += -math.log(0.5)
+            else:
+                raise ValueError(
+                    f"unknown site_label {site.site_label!r} in {path}")
+            total_sites += 1
+    if total_sites == 0:
         return 0.0
-    frac = labeled / total
-    frac = min(frac, 1 - 1e-8)
-    return -10.0 * math.log10(1 - frac) if frac < 1 else 80.0
+    return total_q / total_sites
 
 
 def main(argv=None):

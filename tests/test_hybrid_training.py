@@ -61,7 +61,24 @@ def test_provide_experts_streams(tmp_path):
     out = str(tmp_path / "calls.vcf")
     call_genome([ds.bams["illumina"], ds.bams["pacbio"]], ds.fasta, scorer,
                 out, regions=[(ds.chromosome, 0, 5000)], provide_experts=True)
-    for suffix in ("", ".expert0", ".expert1", ".expert2", ".best"):
+    for suffix in ("", ".expert0", ".expert1", ".expert2", ".best", ".mean"):
         path = str(tmp_path / f"calls{suffix}.vcf")
         recs = read_vcf(path)
         assert len(recs) >= 1, path
+
+    # choices.bed: one line per scored site, expert index in column 4
+    choices = [l.split("\t") for l in
+               open(tmp_path / "calls.choices.bed").read().splitlines()]
+    assert choices and all(len(c) == 4 and c[3] in "012" for c in choices)
+
+    # persisted per-site features (for the failure-analysis evaluator)
+    import pickle
+    feats = pickle.load(open(tmp_path / "calls.features.pkl", "rb"))
+    assert len(feats) == len(choices)
+    f0 = feats[0]
+    assert {"chromosome", "position", "length", "meta",
+            "expertPredictions"} <= set(f0)
+    assert len(f0["expertPredictions"]) == 3
+    # each expert prediction maps unordered allele pairs -> probability
+    pair, prob = next(iter(f0["expertPredictions"][0].items()))
+    assert len(pair) == 2 and 0.0 <= float(prob) <= 1.0

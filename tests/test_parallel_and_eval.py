@@ -71,9 +71,12 @@ def test_evaluate_detects_errors(tmp_path):
     assert metrics["all"]["fp"] >= 1
 
 
-def test_max_q_from_labels(tmp_path):
+def test_determine_max_q_loss(tmp_path):
+    import math
+
     from hello_tpu.pipeline.dump import dump_region
-    from hello_tpu.pipeline.evaluate import max_q_from_labels
+    from hello_tpu.pipeline.evaluate import determine_max_q_loss
+    from hello_tpu.train.store import ShardReader
 
     ds = sim.make_dataset(str(tmp_path), ref_length=6000, num_variants=10,
                           coverage=30, read_length=120, seed=5)
@@ -83,8 +86,20 @@ def test_max_q_from_labels(tmp_path):
     ref = FastaFile(ds.fasta)
     shards = dump_region([ds.bams["illumina"]], ref, ds.chromosome, 0, 6000,
                          ds.truth_vcf, bed, str(tmp_path / "d"))
-    q = max_q_from_labels(shards)
-    assert q > 0
+    q = determine_max_q_loss(shards)
+
+    # hand-compute the reference determineMaxQLoss.py semantics:
+    # mean over sites of (0 if site_label==0 else -ln 0.5)
+    n_sites = n_het = 0
+    for path in shards:
+        for site in ShardReader(path):
+            n_sites += 1
+            n_het += int(site.site_label == 1)
+    assert n_sites > 0
+    expected = n_het * -math.log(0.5) / n_sites
+    assert abs(q - expected) < 1e-12
+    # a diploid sim with het variants must have some -ln(0.5) sites
+    assert 0 < q <= -math.log(0.5)
 
 
 def test_vectorized_decode_matches_scalar(rng):
@@ -110,3 +125,40 @@ def test_vectorized_decode_matches_scalar(rng):
         for pair in combined:
             expected = sum(meta[k] * per_expert[k][pair] for k in range(3))
             np.testing.assert_allclose(combined[pair], expected, rtol=1e-5)
+
+
+def test_failure_analysis_joins_features(tmp_path):
+    """FP/FN variants are joined with the persisted per-site expert features
+    (the reference evaluator.py Stepper/Analyzer role)."""
+    from hello_tpu.pipeline.call import call_genome, load_scorer
+    from hello_tpu.pipeline.failure_analysis import analyze, main as fa_main
+
+    ds = sim.make_dataset(str(tmp_path), ref_length=6000, num_variants=8,
+                          coverage=30, read_length=120, seed=11)
+    out = str(tmp_path / "calls.vcf")
+    # untrained weights: calls will disagree with truth, producing failures
+    call_genome([ds.bams["illumina"]], ds.fasta, load_scorer("illumina"), out,
+                regions=[(ds.chromosome, 0, 6000)], provide_experts=True)
+
+    failures = analyze(out, ds.truth_vcf, ds.fasta,
+                       str(tmp_path / "calls.features.pkl"))
+    assert failures, "untrained model should produce at least one failure"
+    kinds = {f["kind"] for f in failures}
+    assert kinds <= {"FN", "FP", "GT"}
+    joined = [f for f in failures if f["num_candidate_sites"] >= 1]
+    # truth variants sit on detected hotspots, so FN/GT failures must join
+    assert joined, failures
+    site = joined[0]["sites"][0]
+    assert {"alleles", "meta", "experts", "experts_disagree",
+            "called_pair", "quality"} <= set(site)
+    assert len(site["experts"]) == 3
+    assert abs(sum(site["meta"]) - 1.0) < 1e-3
+
+    # CLI surface writes JSONL
+    out_jsonl = str(tmp_path / "failures.jsonl")
+    fa_main(["--calls", out, "--truth", ds.truth_vcf, "--ref", ds.fasta,
+             "--features", str(tmp_path / "calls.features.pkl"),
+             "--out", out_jsonl])
+    import json
+    lines = [json.loads(l) for l in open(out_jsonl).read().splitlines()]
+    assert len(lines) == len(failures)
