@@ -42,7 +42,7 @@ def train_from_shards(
     entropy_regularizer: float = 0.1, entropy_decay: float = 0.5,
     smoothing: float = 0.0, aux_weight: float = 0.0, weight_decay: float = 1e-4,
     seed: int = 13, channels: int = 6, resume: str = None,
-    coverage_range=None,
+    coverage_range=None, checkpoint_every: int = 0,
 ):
     model = create_model(model_name)
     mesh = data_mesh(num_devices)
@@ -54,9 +54,24 @@ def train_from_shards(
         entropy_regularizer=entropy_regularizer, entropy_decay=entropy_decay,
         smoothing=smoothing, aux_weight=aux_weight, binary=binary)
     trainer = Trainer(model, config, mesh=mesh, seed=seed)
+    start_epoch, skip_batches = 0, 0
     if resume:
         trainer.restore(resume)
-        logger.info("resumed from %s at step %d", resume, trainer.step)
+        # full-state resume: the per-epoch data order is a pure function of
+        # (seed, epoch), so replaying the recorded position restores the
+        # exact batch sequence the interrupted run would have seen (the
+        # reference restores RNG state and fast-forwards its sampler,
+        # AlleleSearcherDNN.py:2105-2203)
+        extra = getattr(trainer, "resume_extra", {})
+        start_epoch = int(extra.get("epoch", 0))
+        skip_batches = int(extra.get("batches_done", 0))
+        ckpt_seed = extra.get("seed")
+        if ckpt_seed is not None and ckpt_seed != seed:
+            logger.warning(
+                "resume seed mismatch: checkpoint trained with seed %s, "
+                "current run uses %s — data order will differ", ckpt_seed, seed)
+        logger.info("resumed from %s at step %d (epoch %d, %d batches done)",
+                    resume, trainer.step, start_epoch, skip_batches)
 
     n_val = max(1, int(len(files) * val_fraction)) if len(files) > 1 else 0
     val_files = files[:n_val]
@@ -69,18 +84,27 @@ def train_from_shards(
     # writer, MixtureOfExpertsDNNFastDistributed.py:932-939)
     metrics_path = f"{out_prefix}.metrics.jsonl"
     metrics_fh = open(metrics_path, "a")
-    for epoch in range(num_epochs):
+    for epoch in range(start_epoch, num_epochs):
         dataset = SiteDataset(train_files, max_reads_per_site,
                               shuffle=True, seed=seed + epoch,
                               coverage_range=coverage_range)
-        epoch_loss, n_batches = 0.0, 0
+        epoch_loss, n_batches, n_trained = 0.0, 0, 0
         start_t = time.time()
         for stacked in device_batches(dataset, model.hybrid, n_dev,
                                       batch_alleles, channels=channels,
                                       fixed_shape=fixed):
+            n_batches += 1        # absolute position within the epoch
+            if skip_batches > 0:
+                # deterministic sampler fast-forward on mid-epoch resume
+                skip_batches -= 1
+                continue
             metrics = trainer.train_batch(stacked)
             epoch_loss += metrics["loss"]
-            n_batches += 1
+            n_trained += 1
+            if checkpoint_every and trainer.step % checkpoint_every == 0:
+                trainer.save(f"{out_prefix}.step{trainer.step}.ckpt",
+                             extra={"epoch": epoch, "batches_done": n_batches,
+                                    "seed": seed})
         elapsed = time.time() - start_t
 
         val_loss = None
@@ -90,22 +114,24 @@ def train_from_shards(
                 batches(val_ds, model.hybrid, batch_alleles, channels=channels))
         logger.info(
             "epoch %d: train_loss=%.4f (%d batches, %.1fs) val_loss=%s",
-            epoch, epoch_loss / max(n_batches, 1), n_batches, elapsed,
+            epoch, epoch_loss / max(n_trained, 1), n_trained, elapsed,
             f"{val_loss:.4f}" if val_loss is not None else "n/a")
         metrics_fh.write(json.dumps({
             "epoch": epoch, "step": trainer.step,
-            "train_loss": epoch_loss / max(n_batches, 1),
-            "val_loss": val_loss, "batches": n_batches,
+            "train_loss": epoch_loss / max(n_trained, 1),
+            "val_loss": val_loss, "batches": n_trained,
             "seconds": round(elapsed, 2),
-            "per_expert": metrics.get("per_expert") if n_batches else None,
+            "per_expert": metrics.get("per_expert") if n_trained else None,
         }) + "\n")
         metrics_fh.flush()
 
-        trainer.save(f"{out_prefix}.epoch{epoch}.ckpt")
+        epoch_extra = {"epoch": epoch + 1, "batches_done": 0, "seed": seed}
+        trainer.save(f"{out_prefix}.epoch{epoch}.ckpt", extra=epoch_extra)
         if val_loss is not None and val_loss < best_val:
             best_val = val_loss
-            trainer.save(f"{out_prefix}.best.ckpt")
-    trainer.save(f"{out_prefix}.final.ckpt")
+            trainer.save(f"{out_prefix}.best.ckpt", extra=epoch_extra)
+    trainer.save(f"{out_prefix}.final.ckpt",
+                 extra={"epoch": num_epochs, "batches_done": 0, "seed": seed})
     metrics_fh.close()
     return trainer
 
@@ -141,6 +167,9 @@ def main(argv=None):
                              "read-thinning augmentation (e.g. 0.3,1.0)")
     parser.add_argument("--resume", default=None,
                         help="checkpoint to resume full training state from")
+    parser.add_argument("--checkpoint_every", type=int, default=0,
+                        help="also checkpoint every N optimisation steps "
+                             "(mid-epoch, resumable at the exact batch)")
     parser.add_argument("--distributed", action="store_true",
                         help="initialise jax.distributed (multi-host pod; "
                              "coordinator via JAX_COORDINATOR_ADDRESS etc.)")
@@ -189,7 +218,8 @@ def main(argv=None):
         entropy_decay=args.entropy_decay, smoothing=args.smoothing,
         aux_weight=args.aux_loss, weight_decay=args.weight_decay,
         seed=args.seed, channels=7 if args.include_hp else 6,
-        resume=args.resume, coverage_range=coverage_range)
+        resume=args.resume, coverage_range=coverage_range,
+        checkpoint_every=args.checkpoint_every)
     if args.profile_dir:
         jax.profiler.stop_trace()
         logger.info("profiler trace written to %s", args.profile_dir)

@@ -244,7 +244,11 @@ class Trainer:
 
     def restore(self, path: str):
         """Resume full training state (params, batch-norm state, optimizer
-        moments, step counter) from a checkpoint."""
+        moments, step counter) from a checkpoint.  The checkpoint's ``extra``
+        dict (data-order position: epoch, batches_done, seed) is kept on
+        ``self.resume_extra`` for the training loop to fast-forward the
+        sampler (the reference's full-state resume,
+        AlleleSearcherDNN.py:2105-2203)."""
         from .checkpoint import load_full_checkpoint
 
         payload = load_full_checkpoint(path)
@@ -253,4 +257,5 @@ class Trainer:
         if payload.get("opt_state") is not None:
             self.opt_state = payload["opt_state"]
         self.step = int(payload.get("step", 0))
+        self.resume_extra = dict(payload.get("extra") or {})
         return self

@@ -276,3 +276,81 @@ def test_coverage_simulation_thins_reads(tmp_path):
     ds = SiteDataset(paths, coverage_range=(0.25, 0.25), seed=3)
     for s in ds:
         assert all(t.shape[0] == 10 for t in s.tensors0)
+
+
+def _resume_fixture(tmp_path):
+    from hello_tpu import sim
+    from hello_tpu.io.fasta import FastaFile
+    from hello_tpu.pipeline.dump import dump_region
+
+    ds = sim.make_dataset(str(tmp_path), ref_length=6000, num_variants=10,
+                          coverage=25, read_length=120, seed=17)
+    bed = str(tmp_path / "conf.bed")
+    with open(bed, "w") as fh:
+        fh.write(f"{ds.chromosome}\t0\t6000\n")
+    ref = FastaFile(ds.fasta)
+    return dump_region([ds.bams["illumina"]], ref, ds.chromosome, 0, 6000,
+                       ds.truth_vcf, bed, str(tmp_path / "dump"))
+
+
+def _params_equal(a_path, b_path):
+    from hello_tpu.train.checkpoint import load_full_checkpoint
+    a = load_full_checkpoint(a_path)
+    b = load_full_checkpoint(b_path)
+    assert a["step"] == b["step"]
+    for x, y in zip(jax.tree_util.tree_leaves(a["params"]),
+                    jax.tree_util.tree_leaves(b["params"])):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+    for x, y in zip(jax.tree_util.tree_leaves(a["opt_state"]),
+                    jax.tree_util.tree_leaves(b["opt_state"])):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+
+def test_full_state_resume_replays_identical_run(tmp_path):
+    """An interrupted-then-resumed run must be bitwise identical to an
+    uninterrupted one: checkpoints carry the data-order position (epoch,
+    batches_done, seed) and the loop fast-forwards the deterministic
+    sampler (reference AlleleSearcherDNN.py:2105-2203 full-state resume)."""
+    from hello_tpu.train.cli import train_from_shards
+
+    shards = _resume_fixture(tmp_path)
+    kw = dict(num_epochs=3, lr=1e-3, num_devices=1, batch_alleles=16,
+              read_bucket=32, max_reads_per_site=32, val_fraction=0.0)
+
+    # uninterrupted 3-epoch run
+    train_from_shards(shards, "illumina", str(tmp_path / "full"), **kw)
+
+    # same run interrupted after epoch 1, resumed from the epoch checkpoint
+    kw1 = dict(kw); kw1["num_epochs"] = 2
+    train_from_shards(shards, "illumina", str(tmp_path / "part"), **kw1)
+    train_from_shards(shards, "illumina", str(tmp_path / "part"),
+                      resume=str(tmp_path / "part.epoch1.ckpt"), **kw)
+
+    _params_equal(str(tmp_path / "full.final.ckpt"),
+                  str(tmp_path / "part.final.ckpt"))
+
+
+def test_mid_epoch_resume_replays_identical_run(tmp_path):
+    """checkpoint_every produces mid-epoch checkpoints whose resume
+    fast-forwards to the exact batch."""
+    from hello_tpu.train.checkpoint import load_full_checkpoint
+    from hello_tpu.train.cli import train_from_shards
+
+    shards = _resume_fixture(tmp_path)
+    kw = dict(num_epochs=2, lr=1e-3, num_devices=1, batch_alleles=16,
+              read_bucket=32, max_reads_per_site=32, val_fraction=0.0)
+
+    train_from_shards(shards, "illumina", str(tmp_path / "full"), **kw)
+
+    # run with step checkpoints, pick a mid-epoch one, resume from it
+    train_from_shards(shards, "illumina", str(tmp_path / "part"),
+                      checkpoint_every=2, **kw)
+    import glob
+    step_ckpts = sorted(glob.glob(str(tmp_path / "part.step*.ckpt")),
+                        key=lambda p: int(p.split("step")[-1].split(".")[0]))
+    mid = next(p for p in step_ckpts
+               if load_full_checkpoint(p)["extra"]["batches_done"] > 0)
+    train_from_shards(shards, "illumina", str(tmp_path / "resumed"),
+                      resume=mid, **kw)
+    _params_equal(str(tmp_path / "full.final.ckpt"),
+                  str(tmp_path / "resumed.final.ckpt"))
