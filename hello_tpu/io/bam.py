@@ -1,21 +1,26 @@
-"""BAM reading and writing (self-contained BGZF + BAM record codec).
+"""BAM reading and writing (self-contained BGZF + BAM record codec + BAI).
 
-The reference pipeline reads alignments through pysam/htslib.  This framework
-ships its own codec so the host layer has no external dependency; the C++
-native engine mirrors it for production throughput.  Supports:
+The reference pipeline reads alignments through pysam/htslib (indexed
+``bam.fetch``, reference python/PileupContainerLite.py:505-527).  This
+framework ships its own codec so the host layer has no external dependency;
+the C++ native engine mirrors it for production throughput.  Supports:
 
-  * BGZF block (de)compression with the standard EOF marker;
+  * BGZF block (de)compression with the standard EOF marker, including
+    virtual-offset (coffset << 16 | uoffset) seeks;
   * BAM header and alignment record parsing (sequence, qualities, cigar,
     flags, mapq, aux tags — HP haplotag extracted);
-  * linear-scan region fetch (sequential decode, filter by overlap) and
-    whole-file iteration;
-  * BAM writing for simulators and tests.
+  * **indexed region fetch** through standard ``.bai`` files — O(region)
+    block decoding via the 16 kb linear index — with automatic index
+    construction (one streaming pass, persisted next to the BAM) when a
+    sorted BAM has no index, and a linear-scan fallback for unsorted input;
+  * BAM + BAI writing for simulators and tests.
 
 Coordinates are 0-based half-open throughout.
 """
 
 from __future__ import annotations
 
+import os
 import struct
 import zlib
 from typing import Dict, Iterator, List, Optional, Sequence, Tuple
@@ -51,40 +56,125 @@ def _bgzf_compress_block(data: bytes) -> bytes:
 
 
 def bgzf_write(path: str, payload: bytes, block_size: int = 60000):
+    """Write payload as BGZF; returns the compressed offset of each block
+    (for virtual-offset index construction)."""
+    offsets = []
     with open(path, "wb") as fh:
+        pos = 0
         for i in range(0, len(payload), block_size):
-            fh.write(_bgzf_compress_block(payload[i:i + block_size]))
+            offsets.append(pos)
+            block = _bgzf_compress_block(payload[i:i + block_size])
+            fh.write(block)
+            pos += len(block)
         fh.write(BGZF_EOF)
+    return offsets
+
+
+def _block_bsize(extra: bytes) -> int:
+    """Total compressed block size from the gzip FEXTRA BC subfield."""
+    off = 0
+    while off + 4 <= len(extra):
+        si1, si2 = extra[off], extra[off + 1]
+        slen = struct.unpack_from("<H", extra, off + 2)[0]
+        if si1 == 0x42 and si2 == 0x43 and slen == 2:
+            return struct.unpack_from("<H", extra, off + 4)[0] + 1
+        off += 4 + slen
+    raise ValueError("not a BGZF file (no BC subfield)")
+
+
+class BgzfFile:
+    """Random-access BGZF block decoder over an open file handle."""
+
+    def __init__(self, path: str):
+        self.path = path
+        self._fh = open(path, "rb")
+
+    def close(self):
+        if self._fh:
+            self._fh.close()
+            self._fh = None
+
+    def read_block(self, coffset: int):
+        """Decompress the block at compressed offset ``coffset``.
+
+        Returns ``(payload, next_coffset)``; ``next_coffset == coffset``
+        signals end of file."""
+        fh = self._fh
+        fh.seek(coffset)
+        header = fh.read(18)
+        if len(header) < 18:
+            return b"", coffset
+        xlen = struct.unpack_from("<H", header, 10)[0]
+        extra = header[12:18] + (fh.read(xlen - 6) if xlen > 6 else b"")
+        bsize = _block_bsize(extra[:xlen])
+        rest = fh.read(bsize - 12 - xlen)
+        cdata = rest[:len(rest) - 8]
+        isize = struct.unpack_from("<I", rest, len(rest) - 4)[0]
+        payload = zlib.decompress(cdata, -15) if isize else b""
+        return payload, coffset + bsize
+
+
+class BgzfStream:
+    """Sequential reader over BGZF payload starting at a virtual offset
+    (``coffset << 16 | uoffset``, the htslib convention)."""
+
+    def __init__(self, bgzf: BgzfFile, voffset: int = 0):
+        self._bgzf = bgzf
+        self._next_coffset = voffset >> 16
+        self._block = b""
+        self._block_coffset = self._next_coffset
+        self._off = 0
+        skip = voffset & 0xFFFF
+        if self._advance_block():
+            self._off = min(skip, len(self._block))
+
+    def _advance_block(self) -> bool:
+        while True:
+            coffset = self._next_coffset
+            payload, nxt = self._bgzf.read_block(coffset)
+            if nxt == coffset:          # end of file
+                self._block, self._off = b"", 0
+                return False
+            self._block_coffset = coffset
+            self._next_coffset = nxt
+            self._block, self._off = payload, 0
+            if payload:                 # skip empty blocks (EOF marker)
+                return True
+
+    @property
+    def voffset(self) -> int:
+        if self._off >= len(self._block):
+            return self._next_coffset << 16
+        return (self._block_coffset << 16) | self._off
+
+    def read(self, n: int) -> bytes:
+        out = bytearray()
+        while n > 0:
+            if self._off >= len(self._block):
+                if not self._advance_block():
+                    break
+            take = min(n, len(self._block) - self._off)
+            out += self._block[self._off:self._off + take]
+            self._off += take
+            n -= take
+        return bytes(out)
 
 
 def bgzf_read(path: str) -> bytes:
     """Decompress a whole BGZF file into one payload buffer."""
     out = []
-    with open(path, "rb") as fh:
-        data = fh.read()
-    pos = 0
-    n = len(data)
-    while pos < n:
-        if n - pos < 18:
-            break
-        xlen = struct.unpack_from("<H", data, pos + 10)[0]
-        # find BC subfield for BSIZE
-        extra = data[pos + 12: pos + 12 + xlen]
-        bsize = None
-        off = 0
-        while off + 4 <= len(extra):
-            si1, si2, slen = extra[off], extra[off + 1], struct.unpack_from("<H", extra, off + 2)[0]
-            if si1 == 0x42 and si2 == 0x43 and slen == 2:
-                bsize = struct.unpack_from("<H", extra, off + 4)[0] + 1
+    bgzf = BgzfFile(path)
+    try:
+        coffset = 0
+        while True:
+            payload, nxt = bgzf.read_block(coffset)
+            if nxt == coffset:
                 break
-            off += 4 + slen
-        if bsize is None:
-            raise ValueError("not a BGZF file (no BC subfield)")
-        cdata = data[pos + 12 + xlen: pos + bsize - 8]
-        isize = struct.unpack_from("<I", data, pos + bsize - 4)[0]
-        if isize:
-            out.append(zlib.decompress(cdata, -15))
-        pos += bsize
+            if payload:
+                out.append(payload)
+            coffset = nxt
+    finally:
+        bgzf.close()
     return b"".join(out)
 
 
@@ -139,82 +229,300 @@ def _parse_aux_hp(aux: bytes) -> int:
     return 0
 
 
+class BaiIndex:
+    """Standard ``.bai`` index: per-reference binning + 16 kb linear index.
+
+    The region-fetch path here uses the linear index only (seek to the
+    smallest virtual offset of alignments overlapping the first 16 kb
+    window of the region, then stream until past the region) — O(region)
+    decoding with at most one extra window of lead-in, matching early
+    samtools behaviour.  Bins are read and written for interoperability
+    with htslib tooling."""
+
+    MAGIC = b"BAI\x01"
+    SHIFT = 14                       # 16 kb linear-index windows
+
+    def __init__(self, n_ref: int):
+        self.bins: List[Dict[int, List[Tuple[int, int]]]] = [
+            {} for _ in range(n_ref)]
+        self.linear: List[List[int]] = [[] for _ in range(n_ref)]
+
+    def add_record(self, ref_id: int, pos: int, end: int,
+                   vbeg: int, vend: int):
+        end = max(end, pos + 1)
+        chunks = self.bins[ref_id].setdefault(_reg2bin(pos, end), [])
+        if chunks and chunks[-1][1] == vbeg:
+            chunks[-1] = (chunks[-1][0], vend)
+        else:
+            chunks.append((vbeg, vend))
+        lin = self.linear[ref_id]
+        w1, w2 = pos >> self.SHIFT, (end - 1) >> self.SHIFT
+        if len(lin) <= w2:
+            lin.extend([0] * (w2 + 1 - len(lin)))
+        for w in range(w1, w2 + 1):
+            if lin[w] == 0 or vbeg < lin[w]:
+                lin[w] = vbeg
+
+    def first_voffset(self, ref_id: int, start: int) -> Optional[int]:
+        """Seek point for a fetch beginning at ``start``: the first non-empty
+        linear-index entry at or after start's window (an alignment
+        overlapping [start, ...) must overlap one of those windows)."""
+        if not (0 <= ref_id < len(self.linear)):
+            return None
+        lin = self.linear[ref_id]
+        for w in range(start >> self.SHIFT, len(lin)):
+            if lin[w]:
+                return lin[w]
+        return None
+
+    def save(self, path: str):
+        out = bytearray(self.MAGIC)
+        out += struct.pack("<i", len(self.bins))
+        for bins, linear in zip(self.bins, self.linear):
+            out += struct.pack("<i", len(bins))
+            for bin_id in sorted(bins):
+                chunks = bins[bin_id]
+                out += struct.pack("<Ii", bin_id, len(chunks))
+                for vbeg, vend in chunks:
+                    out += struct.pack("<QQ", vbeg, vend)
+            out += struct.pack("<i", len(linear))
+            for ioffset in linear:
+                out += struct.pack("<Q", ioffset)
+        tmp = path + ".tmp"
+        with open(tmp, "wb") as fh:
+            fh.write(out)
+        os.replace(tmp, path)
+
+    @classmethod
+    def load(cls, path: str) -> "BaiIndex":
+        with open(path, "rb") as fh:
+            data = fh.read()
+        if data[:4] != cls.MAGIC:
+            raise ValueError(f"{path}: not a BAI index")
+        n_ref = struct.unpack_from("<i", data, 4)[0]
+        idx = cls(n_ref)
+        pos = 8
+        for r in range(n_ref):
+            n_bin = struct.unpack_from("<i", data, pos)[0]
+            pos += 4
+            for _ in range(n_bin):
+                bin_id, n_chunk = struct.unpack_from("<Ii", data, pos)
+                pos += 8
+                chunks = []
+                for _ in range(n_chunk):
+                    vbeg, vend = struct.unpack_from("<QQ", data, pos)
+                    pos += 16
+                    chunks.append((vbeg, vend))
+                # bin 37450 is htslib's metadata pseudo-bin; skip
+                if bin_id != 37450:
+                    idx.bins[r][bin_id] = chunks
+            n_intv = struct.unpack_from("<i", data, pos)[0]
+            pos += 4
+            idx.linear[r] = list(struct.unpack_from(f"<{n_intv}Q", data, pos))
+            pos += 8 * n_intv
+        return idx
+
+
+def _bai_path_for(path: str) -> Optional[str]:
+    for cand in (path + ".bai", os.path.splitext(path)[0] + ".bai"):
+        if os.path.exists(cand):
+            return cand
+    return None
+
+
+class UnsortedBamError(ValueError):
+    pass
+
+
+_REC_HEAD = struct.Struct("<iiBBHHHiiii")
+
+
+def _parse_record(rec: bytes):
+    """Decode one alignment record blob into
+    (r_id, pos, ref_span, flag, mapq, name, cigars, seq, quals, hp)."""
+    (r_id, p, l_read_name, mapq, _bin, n_cigar, flag, l_seq,
+     _next_rid, _next_pos, _tlen) = _REC_HEAD.unpack_from(rec, 0)
+    off = 32
+    name = rec[off:off + l_read_name - 1].decode()
+    off += l_read_name
+    cigars = []
+    ref_span = 0
+    for i in range(n_cigar):
+        v = struct.unpack_from("<I", rec, off + 4 * i)[0]
+        op, length = v & 0xF, v >> 4
+        cigars.append((op, length))
+        if op in (0, 2, 3, 7, 8):
+            ref_span += length
+    off += 4 * n_cigar
+    seq = _decode_seq(rec[off:off + (l_seq + 1) // 2], l_seq)
+    off += (l_seq + 1) // 2
+    quals = list(rec[off:off + l_seq])
+    if quals and quals[0] == 0xFF:
+        quals = [30] * l_seq
+    off += l_seq
+    hp = _parse_aux_hp(rec[off:])
+    return r_id, p, ref_span, flag, mapq, name, cigars, seq, quals, hp
+
+
+def _record_span(rec: bytes):
+    """(r_id, pos, end) without decoding sequence/name (for indexing)."""
+    (r_id, p, _lrn, _mapq, _bin, n_cigar, _flag, _l_seq,
+     _nr, _np, _tl) = _REC_HEAD.unpack_from(rec, 0)
+    off = 32 + (rec[8])  # l_read_name at byte 8
+    ref_span = 0
+    for i in range(n_cigar):
+        v = struct.unpack_from("<I", rec, off + 4 * i)[0]
+        if (v & 0xF) in (0, 2, 3, 7, 8):
+            ref_span += v >> 4
+    return r_id, p, p + ref_span
+
+
+def build_index(path: str, write: bool = True) -> BaiIndex:
+    """Build a ``.bai`` for a coordinate-sorted BAM in one streaming pass
+    (persisted next to the BAM when the directory is writable, so the cost
+    is paid once per file ever).  Raises :class:`UnsortedBamError` when the
+    input is not coordinate-sorted."""
+    bgzf = BgzfFile(path)
+    try:
+        stream = BgzfStream(bgzf, 0)
+        if stream.read(4) != b"BAM\x01":
+            raise ValueError(f"{path}: not a BAM file")
+        l_text = struct.unpack("<i", stream.read(4))[0]
+        stream.read(l_text)
+        n_ref = struct.unpack("<i", stream.read(4))[0]
+        for _ in range(n_ref):
+            l_name = struct.unpack("<i", stream.read(4))[0]
+            stream.read(l_name + 4)
+        idx = BaiIndex(n_ref)
+        last = (-1, -1)
+        while True:
+            vbeg = stream.voffset
+            head = stream.read(4)
+            if len(head) < 4:
+                break
+            block_size = struct.unpack("<i", head)[0]
+            rec = stream.read(block_size)
+            if len(rec) < block_size:
+                break
+            r_id, pos, end = _record_span(rec)
+            vend = stream.voffset
+            if r_id < 0:
+                continue                     # unmapped tail
+            key = (r_id, pos)
+            if key < last:
+                raise UnsortedBamError(
+                    f"{path}: not coordinate-sorted at {key} after {last}")
+            last = key
+            idx.add_record(r_id, pos, end, vbeg, vend)
+    finally:
+        bgzf.close()
+    if write:
+        try:
+            idx.save(path + ".bai")
+        except OSError:
+            pass                             # read-only directory: keep in memory
+    return idx
+
+
 class BamReader:
-    """Whole-file BAM decode with linear-region fetch."""
+    """Indexed BAM reader: lazy header parse, BAI-seek region fetch with a
+    linear-scan fallback, and whole-file iteration."""
 
     def __init__(self, path: str, pacbio: bool = False):
         self.path = path
         self.pacbio = pacbio
-        payload = bgzf_read(path)
-        if payload[:4] != b"BAM\x01":
+        self._bgzf = BgzfFile(path)
+        stream = BgzfStream(self._bgzf, 0)
+        if stream.read(4) != b"BAM\x01":
             raise ValueError(f"{path}: not a BAM file")
-        l_text = struct.unpack_from("<i", payload, 4)[0]
-        pos = 8 + l_text
-        n_ref = struct.unpack_from("<i", payload, pos)[0]
-        pos += 4
+        l_text = struct.unpack("<i", stream.read(4))[0]
+        stream.read(l_text)
+        n_ref = struct.unpack("<i", stream.read(4))[0]
         self.references: List[Tuple[str, int]] = []
         for _ in range(n_ref):
-            l_name = struct.unpack_from("<i", payload, pos)[0]
-            name = payload[pos + 4: pos + 4 + l_name - 1].decode()
-            l_ref = struct.unpack_from("<i", payload, pos + 4 + l_name)[0]
+            l_name = struct.unpack("<i", stream.read(4))[0]
+            blob = stream.read(l_name + 4)
+            name = blob[:l_name - 1].decode()
+            l_ref = struct.unpack_from("<i", blob, l_name)[0]
             self.references.append((name, l_ref))
-            pos += 8 + l_name
-        self._payload = payload
-        self._records_start = pos
+        self._records_voffset = stream.voffset
+        self._index = None        # None = not yet resolved; False = unavailable
 
-    def __iter__(self) -> Iterator[AlignedRead]:
-        return self._iter_records()
+    def close(self):
+        self._bgzf.close()
 
-    def _iter_records(self, ref_id: Optional[int] = None,
-                      start: Optional[int] = None,
-                      stop: Optional[int] = None) -> Iterator[AlignedRead]:
-        payload = self._payload
-        pos = self._records_start
-        n = len(payload)
-        while pos + 4 <= n:
-            block_size = struct.unpack_from("<i", payload, pos)[0]
-            rec = payload[pos + 4: pos + 4 + block_size]
-            pos += 4 + block_size
-            (r_id, p, l_read_name, mapq, _bin, n_cigar, flag, l_seq,
-             _next_rid, _next_pos, _tlen) = struct.unpack_from("<iiBBHHHiiii", rec, 0)
+    def _ensure_index(self) -> Optional[BaiIndex]:
+        if self._index is None:
+            bai = _bai_path_for(self.path)
+            try:
+                self._index = (BaiIndex.load(bai) if bai
+                               else build_index(self.path))
+            except UnsortedBamError:
+                self._index = False
+        return self._index or None
+
+    def _records_from_stream(self, stream: BgzfStream,
+                             ref_id: Optional[int] = None,
+                             start: Optional[int] = None,
+                             stop: Optional[int] = None,
+                             assume_sorted: bool = False
+                             ) -> Iterator[AlignedRead]:
+        indexed = assume_sorted and ref_id is not None and start is not None
+        while True:
+            head = stream.read(4)
+            if len(head) < 4:
+                return
+            block_size = struct.unpack("<i", head)[0]
+            rec = stream.read(block_size)
+            if len(rec) < block_size:
+                return
+            (r_id, p, ref_span, flag, mapq, name, cigars, seq, quals,
+             hp) = _parse_record(rec)
             if ref_id is not None and r_id != ref_id:
+                if indexed and (r_id < 0 or r_id > ref_id):
+                    return               # sorted order: past the chromosome
                 continue
-            off = 32
-            name = rec[off:off + l_read_name - 1].decode()
-            off += l_read_name
-            cigars = []
-            ref_span = 0
-            for i in range(n_cigar):
-                v = struct.unpack_from("<I", rec, off + 4 * i)[0]
-                op, length = v & 0xF, v >> 4
-                cigars.append((op, length))
-                if op in (0, 2, 3, 7, 8):
-                    ref_span += length
-            off += 4 * n_cigar
-            if start is not None and not (p < stop and start < p + ref_span):
-                continue
-            seq = _decode_seq(rec[off:off + (l_seq + 1) // 2], l_seq)
-            off += (l_seq + 1) // 2
-            quals = list(rec[off:off + l_seq])
-            if quals and quals[0] == 0xFF:
-                quals = [30] * l_seq
-            off += l_seq
-            hp = _parse_aux_hp(rec[off:])
-            chrom = self.references[r_id][0] if 0 <= r_id < len(self.references) else "*"
+            if start is not None:
+                if indexed and p >= stop:
+                    return               # sorted order: past the region
+                if not (p < stop and start < p + ref_span):
+                    continue
+            chrom = (self.references[r_id][0]
+                     if 0 <= r_id < len(self.references) else "*")
             yield AlignedRead(
                 name=name, flag=flag, chromosome=chrom, reference_start=p,
                 mapq=mapq, cigartuples=cigars, sequence=seq, qualities=quals,
                 hp=hp, pacbio=self.pacbio)
 
-    def fetch(self, chromosome: str, start: int, stop: int) -> Iterator[AlignedRead]:
-        ref_id = None
+    def __iter__(self) -> Iterator[AlignedRead]:
+        return self._records_from_stream(
+            BgzfStream(self._bgzf, self._records_voffset))
+
+    def _ref_id(self, chromosome: str) -> Optional[int]:
         for i, (name, _len) in enumerate(self.references):
             if name == chromosome:
-                ref_id = i
-                break
+                return i
+        return None
+
+    def fetch(self, chromosome: str, start: int, stop: int
+              ) -> Iterator[AlignedRead]:
+        """Reads overlapping [start, stop): O(region) via the BAI linear
+        index when available, linear scan otherwise."""
+        ref_id = self._ref_id(chromosome)
         if ref_id is None:
             return iter(())
-        return self._iter_records(ref_id, start, stop)
+        index = self._ensure_index()
+        if index is None:
+            # unsorted input: full scan with overlap filter
+            return self._records_from_stream(
+                BgzfStream(self._bgzf, self._records_voffset),
+                ref_id=ref_id, start=start, stop=stop)
+        voffset = index.first_voffset(ref_id, start)
+        if voffset is None:
+            return iter(())
+        return self._records_from_stream(
+            BgzfStream(self._bgzf, voffset),
+            ref_id=ref_id, start=start, stop=stop, assume_sorted=True)
 
 
 def detect_chr_prefix(bam_references, fasta_chromosomes) -> str:
@@ -253,8 +561,9 @@ def _reg2bin(beg: int, end: int) -> int:
 
 
 def write_bam(path: str, references: Sequence[Tuple[str, int]],
-              reads: Sequence[AlignedRead]):
-    """Write reads (assumed coordinate-sorted by caller) to a BAM file."""
+              reads: Sequence[AlignedRead], write_index: bool = True):
+    """Write reads to a BAM file; when they are coordinate-sorted, a ``.bai``
+    index is written alongside (``write_index=False`` disables)."""
     ref_index = {name: i for i, (name, _l) in enumerate(references)}
     header_text = "".join(f"@SQ\tSN:{n}\tLN:{l}\n" for n, l in references)
     out = bytearray()
@@ -266,7 +575,9 @@ def write_bam(path: str, references: Sequence[Tuple[str, int]],
         out += struct.pack("<i", len(name) + 1)
         out += name.encode() + b"\x00"
         out += struct.pack("<i", length)
-    op_index = {op: i for i, op in enumerate(_CIGAR_OPS)}
+    spans = []                    # (payload_begin, payload_end, rid, pos, end)
+    last_key = (-1, -1)
+    is_sorted = True
     for read in reads:
         rid = ref_index[read.chromosome]
         name_b = read.name.encode() + b"\x00"
@@ -283,5 +594,22 @@ def write_bam(path: str, references: Sequence[Tuple[str, int]],
             bin_, len(read.cigartuples), read.flag, len(read.sequence),
             -1, -1, 0)
         rec += name_b + cigar_b + seq_b + qual_b + aux_b
+        begin = len(out)
         out += struct.pack("<i", len(rec)) + rec
-    bgzf_write(path, bytes(out))
+        spans.append((begin, len(out), rid, read.reference_start,
+                      read.reference_end))
+        key = (rid, read.reference_start)
+        if key < last_key:
+            is_sorted = False
+        last_key = key
+    block_size = 60000
+    coffsets = bgzf_write(path, bytes(out), block_size=block_size)
+    if write_index and is_sorted:
+        def voffset(payload_offset):
+            return (coffsets[payload_offset // block_size] << 16) \
+                | (payload_offset % block_size)
+
+        idx = BaiIndex(len(references))
+        for begin, end_off, rid, pos, end in spans:
+            idx.add_record(rid, pos, end, voffset(begin), voffset(end_off - 1) + 1)
+        idx.save(path + ".bai")

@@ -108,6 +108,9 @@ def load_library():
 
     lib.htpu_bam_open.restype = ctypes.c_void_p
     lib.htpu_bam_open.argtypes = [ctypes.c_char_p]
+    lib.htpu_bam_open_region.restype = ctypes.c_void_p
+    lib.htpu_bam_open_region.argtypes = [
+        ctypes.c_char_p, ctypes.c_char_p, ctypes.c_int64, ctypes.c_int64]
     lib.htpu_bam_select.restype = ctypes.c_int32
     lib.htpu_bam_select.argtypes = [
         ctypes.c_void_p, ctypes.c_int32, ctypes.c_int64, ctypes.c_int64,
@@ -164,14 +167,32 @@ def _as_array(ptr, count, dtype):
 
 
 class NativeBam:
-    """Whole-BAM decode into numpy arrays (zero copies beyond decode)."""
+    """BAM decode into numpy arrays (zero copies beyond decode).
 
-    def __init__(self, path: str, pacbio: bool = False):
+    With ``region=(chromosome, start, stop)`` the open is O(region): the C++
+    side seeks through the ``.bai`` linear index and decodes only records
+    overlapping the region (building the index first via the Python codec if
+    the BAM is sorted but unindexed).  Without a region the whole file is
+    decoded."""
+
+    def __init__(self, path: str, pacbio: bool = False, region=None):
         lib = load_library()
         assert lib is not None, "native library unavailable"
         self._lib = lib
         self.pacbio = pacbio
-        self._h = lib.htpu_bam_open(path.encode())
+        self.region = region
+        if region is not None:
+            from .io.bam import UnsortedBamError, _bai_path_for, build_index
+            if _bai_path_for(path) is None:
+                try:
+                    build_index(path)       # one pass, persisted next to BAM
+                except (UnsortedBamError, ValueError):
+                    pass                    # C++ side falls back to whole-file
+            chrom, start, stop = region
+            self._h = lib.htpu_bam_open_region(
+                path.encode(), chrom.encode(), max(int(start), 0), int(stop))
+        else:
+            self._h = lib.htpu_bam_open(path.encode())
         if not self._h:
             raise IOError(f"failed to open BAM: {path}")
         n_refs = lib.htpu_bam_num_refs(self._h)

@@ -108,13 +108,18 @@ def call_region(bam_paths: Sequence[str], ref: FastaFile, chromosome: str,
                 feature_length: int = FEATURE_LENGTH,
                 max_alleles_per_batch: int = 512,
                 seed: int = 13,
-                provide_experts: bool = False) -> List[VcfRecord]:
-    """Call variants in one region; returns normalised VCF records."""
+                provide_experts: bool = False,
+                stats: Optional[dict] = None) -> List[VcfRecord]:
+    """Call variants in one region; returns normalised VCF records.
+
+    ``stats`` (optional dict) accumulates ``sites``/``records`` counts for
+    throughput accounting."""
     hybrid = len(bam_paths) > 1
     rng = random.Random(seed)
 
     with telemetry.stage("hotspot_detection"):
-        hotspot_sources = make_read_sources(bam_paths, pacbio, for_hotspots=True, rng=rng)
+        hotspot_sources = make_read_sources(bam_paths, pacbio, for_hotspots=True, rng=rng,
+                                            region=(chromosome, start, stop))
         positions = detect_hotspots(
             hotspot_sources, ref, chromosome, start, stop, pacbio=pacbio,
             hybrid_hotspot=hybrid_hotspot, q_threshold=q_threshold, min_mapq=min_mapq)
@@ -124,7 +129,8 @@ def call_region(bam_paths: Sequence[str], ref: FastaFile, chromosome: str,
 
     with telemetry.stage("candidate_intervals"):
         active = cluster_hotspots(positions)
-        sources = make_read_sources(bam_paths, pacbio, rng=rng)
+        sources = make_read_sources(bam_paths, pacbio, rng=rng,
+                                    region=(chromosome, start, stop))
         intervals, windows = candidate_intervals(
             sources, ref, chromosome, active, pacbio=pacbio,
             hybrid_hotspot=hybrid_hotspot, q_threshold=q_threshold,

@@ -36,7 +36,8 @@ def dump_region(bam_paths: Sequence[str], ref: FastaFile, chromosome: str,
                 stats: Optional[dict] = None) -> List[str]:
     """Dump labeled training shards for one region; returns index paths."""
     rng = random.Random(seed)
-    hotspot_sources = make_read_sources(bam_paths, pacbio, for_hotspots=True, rng=rng)
+    hotspot_sources = make_read_sources(bam_paths, pacbio, for_hotspots=True, rng=rng,
+                                        region=(chromosome, start, stop))
     positions = detect_hotspots(
         hotspot_sources, ref, chromosome, start, stop, pacbio=pacbio,
         hybrid_hotspot=hybrid_hotspot, q_threshold=q_threshold,
@@ -44,7 +45,8 @@ def dump_region(bam_paths: Sequence[str], ref: FastaFile, chromosome: str,
     if not positions:
         return []
     active = cluster_hotspots(positions)
-    sources = make_read_sources(bam_paths, pacbio, rng=rng)
+    sources = make_read_sources(bam_paths, pacbio, rng=rng,
+                                region=(chromosome, start, stop))
     intervals, windows = candidate_intervals(
         sources, ref, chromosome, active, pacbio=pacbio,
         hybrid_hotspot=hybrid_hotspot, q_threshold=q_threshold,

@@ -87,39 +87,64 @@ def build_window(read_sources, ref_view, chromosome: str,
     return Window(reads, start, stop, ref_view, chromosome, **window_kwargs)
 
 
-_BAM_CACHE = {}
+_BAM_CACHE = {}          # insertion-ordered; oldest evicted beyond the cap
+_BAM_CACHE_MAX = 8
+
+# candidate windows reach past active-region edges by FLANKING_BASES plus
+# clustering margins; region opens over-fetch by this much so every in-region
+# window query is satisfied by the region handle
+REGION_OPEN_FLANK = 2000
 
 
-def _open_bam(path: str, pacbio: bool):
+def _open_bam(path: str, pacbio: bool, region=None):
     """Prefer the native BAM loader when built; fall back to the Python codec.
 
-    Loaded BAMs are cached per process (whole-file decode is the expensive
-    part; worker processes handle many chunks of the same file)."""
-    key = (path, pacbio)
-    if key in _BAM_CACHE:
-        return _BAM_CACHE[key]
+    With ``region=(chromosome, start, stop)`` the native open decodes only
+    the records overlapping the region (BAI seek) — O(region), so no
+    whole-file cache is needed.  Handles are cached per (path, region) with
+    a small LRU; the Python fallback reader is itself index-seeking, so it
+    is cached per file regardless of region."""
+    native_mod = None
     try:
-        from .. import native
-        if native.available():
-            bam = native.NativeBam(path, pacbio=pacbio)
-            _BAM_CACHE[key] = bam
-            return bam
+        from .. import native as native_mod
+        if not native_mod.available():
+            native_mod = None
     except Exception:
-        pass
-    bam = BamReader(path, pacbio=pacbio)
+        native_mod = None
+
+    key = (path, pacbio, region if native_mod is not None else None)
+    if key in _BAM_CACHE:
+        _BAM_CACHE[key] = _BAM_CACHE.pop(key)     # LRU refresh
+        return _BAM_CACHE[key]
+    if native_mod is not None:
+        bam = native_mod.NativeBam(path, pacbio=pacbio, region=region)
+    else:
+        bam = BamReader(path, pacbio=pacbio)
     _BAM_CACHE[key] = bam
+    while len(_BAM_CACHE) > _BAM_CACHE_MAX:
+        # drop the oldest handle; its memory is freed when the last live
+        # selection/window referencing it is garbage-collected
+        del _BAM_CACHE[next(iter(_BAM_CACHE))]
     return bam
 
 
 def make_read_sources(bam_paths: Sequence[str], pacbio: bool,
                       for_hotspots: bool = False,
-                      rng: Optional[random.Random] = None) -> List[ReadSource]:
-    """Open BAMs as read sources; hybrid mode = [illumina, pacbio]."""
+                      rng: Optional[random.Random] = None,
+                      region=None) -> List[ReadSource]:
+    """Open BAMs as read sources; hybrid mode = [illumina, pacbio].
+
+    ``region=(chromosome, start, stop)`` scopes the open to the region
+    (+/- REGION_OPEN_FLANK) for O(region) BAM access."""
+    if region is not None:
+        chrom, start, stop = region
+        region = (chrom, max(int(start) - REGION_OPEN_FLANK, 0),
+                  int(stop) + REGION_OPEN_FLANK)
     sources = []
     hybrid = len(bam_paths) > 1
     for i, path in enumerate(bam_paths):
         is_pb = (i > 0) if hybrid else pacbio
-        reader = _open_bam(path, is_pb)
+        reader = _open_bam(path, is_pb, region=region)
         if for_hotspots:
             rate = MAX_NUM_READS_PACBIO if is_pb else MAX_NUM_READS_ILLUMINA
             sources.append(ReadSource(reader, rate, is_pb, prorate=False, rng=rng))

@@ -48,13 +48,14 @@ def host_sites_for_chunk(bam_paths, ref_path, chromosome, start, stop,
         min_mapq=options.get("min_mapq", 10),
     )
     hotspot_sources = make_read_sources(bam_paths, pacbio, for_hotspots=True,
-                                        rng=rng)
+                                        rng=rng, region=(chromosome, start, stop))
     positions = detect_hotspots(hotspot_sources, ref, chromosome, start, stop,
                                 **kwargs)
     if not positions:
         return []
     active = cluster_hotspots(positions)
-    sources = make_read_sources(bam_paths, pacbio, rng=rng)
+    sources = make_read_sources(bam_paths, pacbio, rng=rng,
+                                region=(chromosome, start, stop))
     intervals, windows = candidate_intervals(
         sources, ref, chromosome, active,
         include_hp=options.get("include_hp", False),

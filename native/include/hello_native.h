@@ -98,6 +98,10 @@ typedef struct htpu_bam htpu_bam;
 
 /* Load and decode a whole BAM file into flat arrays. Returns NULL on error. */
 htpu_bam* htpu_bam_open(const char* path);
+// O(region) open via the .bai linear index: decodes only records overlapping
+// [start, stop) on `chromosome`; whole-file fallback when no index exists.
+htpu_bam* htpu_bam_open_region(const char* path, const char* chromosome,
+                               int64_t start, int64_t stop);
 void htpu_bam_close(htpu_bam* b);
 
 int32_t htpu_bam_num_refs(htpu_bam* b);

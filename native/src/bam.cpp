@@ -95,6 +95,148 @@ bool bgzf_decompress(const char* path, std::vector<uint8_t>& out) {
     return true;
 }
 
+// ---------------------------------------------------------------------------
+// BAI index (linear 16 kb windows) + streaming BGZF cursor for O(region)
+// region opens (mirror of hello_tpu/io/bam.py BaiIndex/BgzfStream)
+// ---------------------------------------------------------------------------
+
+bool load_bai_linear(const std::string& bam_path,
+                     std::vector<std::vector<uint64_t>>& linear) {
+    std::string path = bam_path + ".bai";
+    FILE* fh = std::fopen(path.c_str(), "rb");
+    if (!fh) {
+        std::string stem = bam_path;
+        size_t dot = stem.rfind('.');
+        if (dot != std::string::npos) stem = stem.substr(0, dot);
+        path = stem + ".bai";
+        fh = std::fopen(path.c_str(), "rb");
+        if (!fh) return false;
+    }
+    std::fseek(fh, 0, SEEK_END);
+    long fsize = std::ftell(fh);
+    std::fseek(fh, 0, SEEK_SET);
+    std::vector<uint8_t> data((size_t)fsize);
+    if (std::fread(data.data(), 1, (size_t)fsize, fh) != (size_t)fsize) {
+        std::fclose(fh);
+        return false;
+    }
+    std::fclose(fh);
+    if (data.size() < 8 || std::memcmp(data.data(), "BAI\x01", 4) != 0)
+        return false;
+    int32_t n_ref;
+    std::memcpy(&n_ref, data.data() + 4, 4);
+    size_t pos = 8;
+    linear.assign((size_t)n_ref, {});
+    for (int32_t r = 0; r < n_ref; r++) {
+        if (pos + 4 > data.size()) return false;
+        int32_t n_bin;
+        std::memcpy(&n_bin, data.data() + pos, 4);
+        pos += 4;
+        for (int32_t b = 0; b < n_bin; b++) {
+            if (pos + 8 > data.size()) return false;
+            int32_t n_chunk;
+            std::memcpy(&n_chunk, data.data() + pos + 4, 4);
+            pos += 8 + (size_t)n_chunk * 16;
+        }
+        if (pos + 4 > data.size()) return false;
+        int32_t n_intv;
+        std::memcpy(&n_intv, data.data() + pos, 4);
+        pos += 4;
+        if (pos + (size_t)n_intv * 8 > data.size()) return false;
+        linear[r].resize((size_t)n_intv);
+        std::memcpy(linear[r].data(), data.data() + pos, (size_t)n_intv * 8);
+        pos += (size_t)n_intv * 8;
+    }
+    return true;
+}
+
+struct BgzfCursor {
+    FILE* fh = nullptr;
+    uint64_t next_coffset = 0;
+    std::vector<uint8_t> block;
+    size_t off = 0;
+    bool eof = false;
+
+    ~BgzfCursor() { if (fh) std::fclose(fh); }
+
+    bool open(const char* path, uint64_t voffset) {
+        fh = std::fopen(path, "rb");
+        if (!fh) return false;
+        next_coffset = voffset >> 16;
+        size_t skip = (size_t)(voffset & 0xFFFF);
+        if (!advance()) return true;  // empty file: eof set
+        off = std::min(skip, block.size());
+        return true;
+    }
+
+    bool advance() {
+        while (true) {
+            uint64_t coffset = next_coffset;
+            if (std::fseek(fh, (long)coffset, SEEK_SET) != 0) { eof = true; return false; }
+            uint8_t header[18];
+            if (std::fread(header, 1, 18, fh) != 18) { eof = true; return false; }
+            uint16_t xlen;
+            std::memcpy(&xlen, header + 10, 2);
+            std::vector<uint8_t> extra(header + 12, header + 18);
+            if (xlen > 6) {
+                extra.resize(xlen);
+                if (std::fread(extra.data() + 6, 1, (size_t)xlen - 6, fh)
+                        != (size_t)xlen - 6) { eof = true; return false; }
+            }
+            size_t bsize = 0, eo = 0;
+            while (eo + 4 <= xlen) {
+                uint16_t slen;
+                std::memcpy(&slen, extra.data() + eo + 2, 2);
+                if (extra[eo] == 0x42 && extra[eo + 1] == 0x43 && slen == 2) {
+                    uint16_t bs;
+                    std::memcpy(&bs, extra.data() + eo + 4, 2);
+                    bsize = (size_t)bs + 1;
+                    break;
+                }
+                eo += 4 + slen;
+            }
+            if (bsize == 0) { eof = true; return false; }
+            size_t rest_len = bsize - 12 - xlen;
+            std::vector<uint8_t> rest(rest_len);
+            if (std::fread(rest.data(), 1, rest_len, fh) != rest_len) {
+                eof = true;
+                return false;
+            }
+            uint32_t isize;
+            std::memcpy(&isize, rest.data() + rest_len - 4, 4);
+            next_coffset = coffset + bsize;
+            off = 0;
+            if (isize == 0) { block.clear(); continue; }  // EOF marker block
+            block.resize(isize);
+            z_stream zs;
+            std::memset(&zs, 0, sizeof(zs));
+            inflateInit2(&zs, -15);
+            zs.next_in = rest.data();
+            zs.avail_in = (uInt)(rest_len - 8);
+            zs.next_out = block.data();
+            zs.avail_out = isize;
+            int rc = inflate(&zs, Z_FINISH);
+            inflateEnd(&zs);
+            if (rc != Z_STREAM_END) { eof = true; return false; }
+            return true;
+        }
+    }
+
+    bool read(uint8_t* dst, size_t n) {
+        while (n > 0) {
+            if (off >= block.size()) {
+                if (!advance()) return false;
+            }
+            size_t take = std::min(n, block.size() - off);
+            std::memcpy(dst, block.data() + off, take);
+            dst += take;
+            off += take;
+            n -= take;
+        }
+        return true;
+    }
+};
+
 int8_t parse_hp(const uint8_t* aux, size_t n) {
     size_t pos = 0;
     while (pos + 3 <= n) {
@@ -141,6 +283,80 @@ int8_t parse_hp(const uint8_t* aux, size_t n) {
     return 0;
 }
 
+// decode one alignment record blob into the flat arrays; returns ref span
+void append_record(BamData& d, const uint8_t* rec, size_t block_size) {
+    int32_t rid, p;
+    std::memcpy(&rid, rec, 4);
+    std::memcpy(&p, rec + 4, 4);
+    uint8_t l_read_name = rec[8];
+    uint8_t mapq = rec[9];
+    uint16_t n_cigar, flag;
+    std::memcpy(&n_cigar, rec + 12, 2);
+    std::memcpy(&flag, rec + 14, 2);
+    int32_t l_seq;
+    std::memcpy(&l_seq, rec + 16, 4);
+
+    size_t off = 32;
+    d.names.append((const char*)rec + off, l_read_name - 1);
+    d.names.push_back('\0');
+    d.name_offsets.push_back((int64_t)d.names.size());
+    off += l_read_name;
+
+    int64_t ref_span = 0;
+    for (uint16_t i = 0; i < n_cigar; i++) {
+        uint32_t v;
+        std::memcpy(&v, rec + off + 4 * i, 4);
+        d.cigars.push_back(v);
+        int op = v & 0xF;
+        if (op == 0 || op == 2 || op == 3 || op == 7 || op == 8)
+            ref_span += v >> 4;
+    }
+    d.cigar_offsets.push_back((int64_t)d.cigars.size());
+    off += 4 * (size_t)n_cigar;
+
+    for (int32_t i = 0; i < l_seq; i++) {
+        uint8_t byte = rec[off + i / 2];
+        int code = (i % 2 == 0) ? (byte >> 4) : (byte & 0xF);
+        d.seqs.push_back(SEQ_CODES[code]);
+    }
+    off += (size_t)(l_seq + 1) / 2;
+    for (int32_t i = 0; i < l_seq; i++) {
+        uint8_t q = rec[off + i];
+        d.quals.push_back(q == 0xFF ? 30 : q);
+    }
+    off += (size_t)l_seq;
+    d.seq_offsets.push_back((int64_t)d.seqs.size());
+
+    d.hps.push_back(parse_hp(rec + off, block_size - off));
+    d.ref_ids.push_back(rid);
+    d.ref_starts.push_back(p);
+    d.ref_ends.push_back(p + ref_span);
+    d.mapqs.push_back(mapq);
+    d.flags.push_back(flag);
+}
+
+// peek (rid, pos, end) without appending
+void record_span(const uint8_t* rec, int32_t* rid, int64_t* pos, int64_t* end) {
+    int32_t r, p;
+    std::memcpy(&r, rec, 4);
+    std::memcpy(&p, rec + 4, 4);
+    uint8_t l_read_name = rec[8];
+    uint16_t n_cigar;
+    std::memcpy(&n_cigar, rec + 12, 2);
+    size_t off = 32 + (size_t)l_read_name;
+    int64_t span = 0;
+    for (uint16_t i = 0; i < n_cigar; i++) {
+        uint32_t v;
+        std::memcpy(&v, rec + off + 4 * i, 4);
+        int op = v & 0xF;
+        if (op == 0 || op == 2 || op == 3 || op == 7 || op == 8)
+            span += v >> 4;
+    }
+    *rid = r;
+    *pos = p;
+    *end = p + span;
+}
+
 }  // namespace
 
 struct htpu_bam {
@@ -180,55 +396,80 @@ htpu_bam* htpu_bam_open(const char* path) {
         std::memcpy(&block_size, payload.data() + pos, 4);
         const uint8_t* rec = payload.data() + pos + 4;
         pos += 4 + (size_t)block_size;
+        append_record(d, rec, (size_t)block_size);
+    }
+    return b;
+}
 
-        int32_t rid, p;
-        std::memcpy(&rid, rec, 4);
-        std::memcpy(&p, rec + 4, 4);
-        uint8_t l_read_name = rec[8];
-        uint8_t mapq = rec[9];
-        uint16_t n_cigar, flag;
-        std::memcpy(&n_cigar, rec + 12, 2);
-        std::memcpy(&flag, rec + 14, 2);
-        int32_t l_seq;
-        std::memcpy(&l_seq, rec + 16, 4);
+htpu_bam* htpu_bam_open_region(const char* path, const char* chromosome,
+                               int64_t start, int64_t stop) {
+    // O(region) open: BAI linear-index seek, decode only records overlapping
+    // [start, stop) (mirror of hello_tpu/io/bam.py BamReader.fetch; replaces
+    // the reference's htslib-backed pysam fetch,
+    // PileupContainerLite.py:505-527).  Falls back to whole-file decode when
+    // no index exists.
+    std::vector<std::vector<uint64_t>> linear;
+    if (!load_bai_linear(path, linear)) {
+        htpu_bam* whole = htpu_bam_open(path);
+        return whole;
+    }
 
-        size_t off = 32;
-        d.names.append((const char*)rec + off, l_read_name - 1);
-        d.names.push_back('\0');
-        d.name_offsets.push_back((int64_t)d.names.size());
-        off += l_read_name;
+    BgzfCursor cur;
+    if (!cur.open(path, 0)) return nullptr;
 
-        int64_t ref_span = 0;
-        for (uint16_t i = 0; i < n_cigar; i++) {
-            uint32_t v;
-            std::memcpy(&v, rec + off + 4 * i, 4);
-            d.cigars.push_back(v);
-            int op = v & 0xF;
-            if (op == 0 || op == 2 || op == 3 || op == 7 || op == 8)
-                ref_span += v >> 4;
+    uint8_t magic[4];
+    if (!cur.read(magic, 4) || std::memcmp(magic, "BAM\x01", 4) != 0)
+        return nullptr;
+
+    auto* b = new htpu_bam();
+    BamData& d = b->d;
+
+    int32_t l_text;
+    if (!cur.read((uint8_t*)&l_text, 4)) { delete b; return nullptr; }
+    std::vector<uint8_t> text((size_t)l_text);
+    if (l_text > 0 && !cur.read(text.data(), (size_t)l_text)) { delete b; return nullptr; }
+    int32_t n_ref;
+    if (!cur.read((uint8_t*)&n_ref, 4)) { delete b; return nullptr; }
+    int32_t target = -1;
+    for (int32_t i = 0; i < n_ref; i++) {
+        int32_t l_name;
+        if (!cur.read((uint8_t*)&l_name, 4)) { delete b; return nullptr; }
+        std::vector<uint8_t> name((size_t)l_name + 4);
+        if (!cur.read(name.data(), (size_t)l_name + 4)) { delete b; return nullptr; }
+        d.ref_names.emplace_back((const char*)name.data(), (size_t)l_name - 1);
+        int32_t l_ref;
+        std::memcpy(&l_ref, name.data() + l_name, 4);
+        d.ref_lens.push_back(l_ref);
+        if (d.ref_names.back() == chromosome) target = i;
+    }
+    if (target < 0 || (size_t)target >= linear.size()) return b;  // no reads
+
+    // first non-empty linear-index window at or after start's window
+    const std::vector<uint64_t>& lin = linear[(size_t)target];
+    uint64_t voffset = 0;
+    for (size_t w = (size_t)(start >> 14); w < lin.size(); w++) {
+        if (lin[w]) { voffset = lin[w]; break; }
+    }
+    if (voffset == 0) return b;
+
+    BgzfCursor rcur;
+    if (!rcur.open(path, voffset)) return b;
+    std::vector<uint8_t> rec;
+    while (true) {
+        int32_t block_size;
+        if (!rcur.read((uint8_t*)&block_size, 4)) break;
+        rec.resize((size_t)block_size);
+        if (!rcur.read(rec.data(), (size_t)block_size)) break;
+        int32_t rid;
+        int64_t pos, end;
+        record_span(rec.data(), &rid, &pos, &end);
+        if (rid != target) {
+            if (rid < 0 || rid > target) break;   // sorted: past the chromosome
+            continue;
         }
-        d.cigar_offsets.push_back((int64_t)d.cigars.size());
-        off += 4 * (size_t)n_cigar;
-
-        for (int32_t i = 0; i < l_seq; i++) {
-            uint8_t byte = rec[off + i / 2];
-            int code = (i % 2 == 0) ? (byte >> 4) : (byte & 0xF);
-            d.seqs.push_back(SEQ_CODES[code]);
-        }
-        off += (size_t)(l_seq + 1) / 2;
-        for (int32_t i = 0; i < l_seq; i++) {
-            uint8_t q = rec[off + i];
-            d.quals.push_back(q == 0xFF ? 30 : q);
-        }
-        off += (size_t)l_seq;
-        d.seq_offsets.push_back((int64_t)d.seqs.size());
-
-        d.hps.push_back(parse_hp(rec + off, (size_t)block_size - off));
-        d.ref_ids.push_back(rid);
-        d.ref_starts.push_back(p);
-        d.ref_ends.push_back(p + ref_span);
-        d.mapqs.push_back(mapq);
-        d.flags.push_back(flag);
+        if (pos >= stop) break;                   // sorted: past the region
+        if (end > start)
+            append_record(d, rec.data(), (size_t)block_size);
     }
     return b;
 }

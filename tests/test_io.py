@@ -127,3 +127,111 @@ def test_simulator_consistency(tmp_path):
     assert checked > 1000
     truth = read_vcf(ds.truth_vcf)
     assert len(truth) == len(ds.variants)
+
+
+def _random_sorted_reads(rng, chromosomes, n_reads, chrom_len=300_000,
+                         read_len=100):
+    reads = []
+    for ci, chrom in enumerate(chromosomes):
+        starts = np.sort(rng.randint(0, chrom_len - read_len,
+                                     size=n_reads // len(chromosomes)))
+        for i, start in enumerate(starts):
+            seq = "".join("ACGT"[b] for b in rng.randint(0, 4, read_len))
+            reads.append(AlignedRead(
+                f"r{ci}_{i}", 0, chrom, int(start), 60,
+                [(BAM_CMATCH, read_len)], seq, [30] * read_len))
+    return reads
+
+
+def test_bai_indexed_fetch_matches_linear_scan(tmp_path):
+    """Fuzz: indexed fetch must return exactly the reads a full scan finds
+    overlapping the region, for many random regions on a multi-chromosome
+    BAM (reference parity: pysam bam.fetch, PileupContainerLite.py:505-527)."""
+    rng = np.random.RandomState(0)
+    chroms = [("chrA", 300_000), ("chrB", 300_000), ("chrC", 300_000)]
+    reads = _random_sorted_reads(rng, [c for c, _ in chroms], 3000)
+    path = str(tmp_path / "indexed.bam")
+    write_bam(path, chroms, reads)
+    assert os.path.exists(path + ".bai")
+
+    reader = BamReader(path)
+    all_reads = list(reader)
+    for _ in range(25):
+        chrom = ["chrA", "chrB", "chrC"][rng.randint(0, 3)]
+        start = int(rng.randint(0, 299_000))
+        stop = start + int(rng.randint(1, 5000))
+        got = {(r.name, r.reference_start)
+               for r in reader.fetch(chrom, start, stop)}
+        want = {(r.name, r.reference_start) for r in all_reads
+                if r.chromosome == chrom and r.reference_start < stop
+                and r.reference_end > start}
+        assert got == want, (chrom, start, stop)
+
+
+def test_build_index_for_unindexed_bam(tmp_path):
+    """A sorted BAM without a .bai gets one built (and persisted) on the
+    first fetch; results match the linear scan."""
+    rng = np.random.RandomState(1)
+    reads = _random_sorted_reads(rng, ["chrA"], 500)
+    path = str(tmp_path / "noindex.bam")
+    write_bam(path, [("chrA", 300_000)], reads, write_index=False)
+    assert not os.path.exists(path + ".bai")
+
+    reader = BamReader(path)
+    got = {r.name for r in reader.fetch("chrA", 100_000, 110_000)}
+    assert os.path.exists(path + ".bai"), "index should be persisted"
+    want = {r.name for r in reads
+            if r.reference_start < 110_000 and r.reference_end > 100_000}
+    assert got == want
+
+    # a fresh reader loads the persisted index
+    reader2 = BamReader(path)
+    assert {r.name for r in reader2.fetch("chrA", 100_000, 110_000)} == want
+
+
+def test_unsorted_bam_fetch_falls_back_to_scan(tmp_path):
+    rng = np.random.RandomState(2)
+    reads = _random_sorted_reads(rng, ["chrA"], 200)
+    rng.shuffle(reads)
+    path = str(tmp_path / "unsorted.bam")
+    write_bam(path, [("chrA", 300_000)], reads)
+    assert not os.path.exists(path + ".bai")   # writer detects unsortedness
+
+    reader = BamReader(path)
+    got = {r.name for r in reader.fetch("chrA", 50_000, 60_000)}
+    want = {r.name for r in reads
+            if r.reference_start < 60_000 and r.reference_end > 50_000}
+    assert got == want
+    assert not os.path.exists(path + ".bai")
+
+
+def test_indexed_fetch_is_o_region(tmp_path):
+    """Region fetch must decompress only the blocks covering the region,
+    not the whole file."""
+    from hello_tpu.io import bam as bam_mod
+
+    rng = np.random.RandomState(3)
+    chroms = [("chrA", 300_000), ("chrB", 300_000)]
+    reads = _random_sorted_reads(rng, ["chrA", "chrB"], 6000)
+    path = str(tmp_path / "big.bam")
+    write_bam(path, chroms, reads)
+
+    reader = BamReader(path)
+    counting = {"n": 0}
+    orig = bam_mod.BgzfFile.read_block
+
+    def counted(self, coffset):
+        counting["n"] += 1
+        return orig(self, coffset)
+
+    bam_mod.BgzfFile.read_block = counted
+    try:
+        counting["n"] = 0
+        list(reader.fetch("chrB", 200_000, 201_000))
+        region_blocks = counting["n"]
+        counting["n"] = 0
+        list(reader)
+        full_blocks = counting["n"]
+    finally:
+        bam_mod.BgzfFile.read_block = orig
+    assert region_blocks < full_blocks / 5, (region_blocks, full_blocks)

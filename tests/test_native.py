@@ -137,3 +137,40 @@ def test_native_hp_features(tmp_path):
         fn = wn.compute_features(allele, 1)
         assert fp.shape[2] == 7
         np.testing.assert_array_equal(fp, fn)
+
+
+def test_native_region_open_matches_whole_file(tmp_path):
+    """htpu_bam_open_region (BAI seek) must contain exactly the records of
+    the whole-file decode that overlap the region, and selections over it
+    must match whole-file selections."""
+    import numpy as np
+
+    from hello_tpu import native, sim
+    if not native.available():
+        import pytest
+        pytest.skip("native library unavailable")
+
+    ds = sim.make_dataset(str(tmp_path), ref_length=60_000, num_variants=30,
+                          coverage=20, read_length=120, seed=23)
+    path = ds.bams["illumina"]
+    whole = native.NativeBam(path)
+    for start, stop in [(10_000, 12_000), (0, 2_000), (55_000, 60_000),
+                        (30_000, 30_100)]:
+        region = native.NativeBam(path, region=(ds.chromosome, start, stop))
+        got = {(region.read(i).name, int(region.ref_starts[i]))
+               for i in range(region.num_reads)}
+        rid = whole.ref_id(ds.chromosome)
+        mask = ((whole.ref_ids == rid) & (whole.ref_starts < stop)
+                & (whole.ref_ends > start))
+        want = {(whole.read(int(i)).name, int(whole.ref_starts[int(i)]))
+                for i in np.nonzero(mask)[0]}
+        assert got == want, (start, stop)
+
+        # selection parity: same seed on the same overlapping read set
+        sel_r = region.select(ds.chromosome, start, stop, max_reads=10000,
+                              seed=99)
+        sel_w = whole.select(ds.chromosome, start, stop, max_reads=10000,
+                             seed=99)
+        names_r = {region.read(int(i)).name for i in sel_r.indices}
+        names_w = {whole.read(int(i)).name for i in sel_w.indices}
+        assert names_r == names_w
