@@ -18,6 +18,25 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
+def enable_compilation_cache(path: Optional[str] = None):
+    """Enable the persistent XLA compilation cache so the one-time compile of
+    each padded-batch bucket shape is paid once per machine, not once per
+    process/run.  Opt out with HELLO_TPU_COMPILE_CACHE=0."""
+    import os
+
+    env = os.environ.get("HELLO_TPU_COMPILE_CACHE", "")
+    if env == "0":
+        return
+    cache_dir = path or env or os.path.expanduser("~/.cache/hello_tpu_xla")
+    try:
+        os.makedirs(cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        # cache every compile, however quick (our buckets are many + small)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
+    except Exception:  # cache is an optimisation; never fail a run over it
+        pass
+
+
 def data_mesh(num_devices: Optional[int] = None) -> Mesh:
     """1-axis data-parallel mesh over the first ``num_devices`` devices."""
     devices = jax.devices()

@@ -146,6 +146,8 @@ def call_region(bam_paths: Sequence[str], ref: FastaFile, chromosome: str,
             min_mapq=min_mapq, reassembly_size=reassembly_size)
             if s is not None and s.alleles]
     logger.info("%s: %d scorable sites", chromosome, len(sites))
+    if stats is not None:
+        stats["sites"] = stats.get("sites", 0) + len(sites)
 
     ref_lookup = lambda chrom, pos: ref.fetch(chrom, pos, pos + 1)
     records: List[VcfRecord] = []
@@ -343,6 +345,8 @@ def main(argv=None):
 
     from ..nn import layers as nn_layers
     nn_layers.set_precision(args.precision)
+    from ..parallel.mesh import enable_compilation_cache
+    enable_compilation_cache()
     if args.profile_dir:
         import jax
         jax.profiler.start_trace(args.profile_dir)

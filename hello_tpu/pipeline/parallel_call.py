@@ -110,6 +110,7 @@ def call_parallel(bam_paths: Sequence[str], ref_path: str, scorer: Scorer,
                   chunk_size: int = 200_000,
                   max_alleles_per_batch: int = 512,
                   include_hp: bool = False,
+                  stats: Optional[dict] = None,
                   **options) -> str:
     """Parallel genome calling into a sorted VCF.
 
@@ -152,6 +153,24 @@ def call_parallel(bam_paths: Sequence[str], ref_path: str, scorer: Scorer,
     failures = []
     finished_workers = 0
     completed = 0
+
+    def score_group(group):
+        batch = pack_sites(group, hybrid=hybrid_model,
+                           channels0=7 if include_hp else 6,
+                           channels1=7 if include_hp else 6)
+        experts, meta = scorer(batch)
+        calls = decode_batch(experts, meta, batch.allele_site_index, group)
+        for call in calls:
+            rec = vcf_record_from_call(call, ref_lookup)
+            if rec is not None:
+                records.append(rec)
+
+    # Sites are buffered ACROSS chunk results so the device sees full
+    # max_alleles_per_batch batches: per-chunk site counts are small, and
+    # dispatch latency (not FLOPs) dominates under-filled batches —
+    # especially through remote-TPU tunnels.
+    pending: List = []
+    pending_alleles = 0
     while finished_workers < num_workers:
         msg = result_queue.get()
         if msg == _SENTINEL:
@@ -164,19 +183,22 @@ def call_parallel(bam_paths: Sequence[str], ref_path: str, scorer: Scorer,
             continue
         completed += 1
         sites = payload
-        for group in group_sites_for_batching(sites, max_alleles_per_batch):
-            batch = pack_sites(group, hybrid=hybrid_model,
-                               channels0=7 if include_hp else 6,
-                               channels1=7 if include_hp else 6)
-            experts, meta = scorer(batch)
-            calls = decode_batch(experts, meta, batch.allele_site_index, group)
-            for call in calls:
-                rec = vcf_record_from_call(call, ref_lookup)
-                if rec is not None:
-                    records.append(rec)
+        if stats is not None:
+            stats["sites"] = stats.get("sites", 0) + len(sites)
+        pending.extend(sites)
+        pending_alleles += sum(len(s.alleles) for s in sites)
+        if pending_alleles >= max_alleles_per_batch:
+            groups = list(group_sites_for_batching(pending,
+                                                   max_alleles_per_batch))
+            for group in groups[:-1]:          # keep the partial tail pending
+                score_group(group)
+            pending = list(groups[-1]) if groups else []
+            pending_alleles = sum(len(s.alleles) for s in pending)
         if completed % 20 == 0:
             logger.info("completed %d/%d chunks (%d records)",
                         completed, len(jobs), len(records))
+    for group in group_sites_for_batching(pending, max_alleles_per_batch):
+        score_group(group)
 
     for w in workers:
         w.join(timeout=30)

@@ -179,6 +179,8 @@ def main(argv=None):
 
     logging.basicConfig(level=logging.INFO,
                         format="%(asctime)s %(levelname)s %(message)s")
+    from ..parallel.mesh import enable_compilation_cache
+    enable_compilation_cache()
     if args.distributed:
         # multi-host: replaces the reference's NCCL env:// rendezvous
         # (MixtureOfExpertsDNNFastDistributed.py:928-930)

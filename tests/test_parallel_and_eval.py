@@ -162,3 +162,45 @@ def test_failure_analysis_joins_features(tmp_path):
     import json
     lines = [json.loads(l) for l in open(out_jsonl).read().splitlines()]
     assert len(lines) == len(failures)
+
+
+def test_call_parallel_matches_inline_vcf(tmp_path):
+    """The worker-pool caller (with cross-chunk site buffering) must produce
+    the same VCF as the inline caller.  Runs in a subprocess because
+    call_parallel's spawn workers need an importable __main__."""
+    import subprocess
+    import sys
+
+    script = tmp_path / "driver.py"
+    script.write_text(f"""
+import sys; sys.path.insert(0, {repr(str(__import__('os').path.dirname(__import__('os').path.dirname(__import__('os').path.abspath(__file__)))))})
+import jax
+jax.config.update("jax_platforms", "cpu")
+from hello_tpu import sim
+from hello_tpu.pipeline.call import call_genome, load_scorer
+
+if __name__ == "__main__":
+    out_dir = {repr(str(tmp_path))}
+    ds = sim.make_dataset(out_dir, ref_length=30000, num_variants=25,
+                          coverage=30, read_length=120, seed=31)
+    scorer = load_scorer("illumina")
+    call_genome([ds.bams["illumina"]], ds.fasta, scorer,
+                out_dir + "/inline.vcf", regions=[(ds.chromosome, 0, 30000)])
+    from hello_tpu.pipeline.parallel_call import call_parallel
+    call_parallel([ds.bams["illumina"]], ds.fasta, scorer,
+                  out_dir + "/parallel.vcf", num_workers=2, chunk_size=8000,
+                  regions=[(ds.chromosome, 0, 30000)])
+    print("DRIVER_OK")
+""")
+    env = dict(__import__('os').environ)
+    res = subprocess.run([sys.executable, str(script)], capture_output=True,
+                         text=True, timeout=600, env=env)
+    assert "DRIVER_OK" in res.stdout, res.stderr[-3000:]
+
+    from hello_tpu.io.vcf import read_vcf
+    inline = [(r.chromosome, r.position, r.ref, tuple(r.alt), tuple(r.gt))
+              for r in read_vcf(str(tmp_path / "inline.vcf"))]
+    par = [(r.chromosome, r.position, r.ref, tuple(r.alt), tuple(r.gt))
+           for r in read_vcf(str(tmp_path / "parallel.vcf"))]
+    assert inline, "inline caller produced no records"
+    assert par == inline
