@@ -90,13 +90,20 @@ struct SiteRec {
 };
 
 // Per-read aligned-pairs expansion (mirror of assembly.ReadAlignment).
+//
+// Aligned pairs live in dense read-relative vectors (index = pos - base_pos)
+// instead of per-position hash maps: reference positions covered by a read
+// are contiguous except across N skips, and per-node heap allocation/free of
+// map entries dominated window construction AND destruction in profiles
+// (short strings stay in SSO storage, so the whole structure is 3
+// allocations per read).
 struct ReadAlignment {
     int32_t read_id;
     const ReadView* rv;
-    // aligned pairs over a dense window-relative array for speed:
-    // pos -> string (insertions appended to the left anchor), quality map
-    std::unordered_map<int64_t, std::string> pairs;
-    std::unordered_map<int64_t, int32_t> quals;
+    int64_t base_pos = 0;               // rv->ref_start - 1 (leading-INS anchor)
+    std::vector<std::string> pair_vec;
+    std::vector<int32_t> qual_vec;
+    std::vector<uint8_t> present_vec;
     int64_t last_position = -1;
     bool partial_start = false, partial_stop = false;
     std::vector<AllelicRecord> alleles;
@@ -104,7 +111,33 @@ struct ReadAlignment {
     bool has_left = false, has_right = false;
     bool extracted = false;
 
+    bool has_pair(int64_t pos) const {
+        int64_t i = pos - base_pos;
+        return i >= 0 && i < (int64_t)present_vec.size() && present_vec[i];
+    }
+
     void expand() {
+        int64_t ref_span = 0;
+        for (int64_t ci = 0; ci < rv->n_cigars; ci++) {
+            uint32_t c = rv->cigars[ci];
+            int op = c & 0xF;
+            if (op == OP_M || op == OP_EQ || op == OP_X || op == OP_D ||
+                op == OP_N)
+                ref_span += c >> 4;
+        }
+        base_pos = rv->ref_start - 1;
+        size_t span = (size_t)ref_span + 2;
+        pair_vec.resize(span);
+        qual_vec.assign(span, 0);
+        present_vec.assign(span, 0);
+
+        auto set_pair = [&](int64_t pos, std::string&& s, int32_t q) {
+            size_t i = (size_t)(pos - base_pos);
+            pair_vec[i] = std::move(s);
+            qual_vec[i] = q;
+            present_vec[i] = 1;
+        };
+
         int64_t ref_ptr = rv->ref_start;
         int64_t rd_ptr = 0;
         for (int64_t ci = 0; ci < rv->n_cigars; ci++) {
@@ -114,16 +147,16 @@ struct ReadAlignment {
             switch (op) {
                 case OP_M: case OP_EQ: case OP_X:
                     for (int64_t i = 0; i < len; i++) {
-                        pairs[ref_ptr + i] = std::string(1, rv->seq[rd_ptr + i]);
-                        quals[ref_ptr + i] = rv->qual[rd_ptr + i];
+                        set_pair(ref_ptr + i,
+                                 std::string(1, rv->seq[rd_ptr + i]),
+                                 rv->qual[rd_ptr + i]);
                         last_position = ref_ptr + i;
                     }
                     rd_ptr += len; ref_ptr += len;
                     break;
                 case OP_D:
                     for (int64_t i = 0; i < len; i++) {
-                        pairs[ref_ptr + i] = "";
-                        quals[ref_ptr + i] = 60;
+                        set_pair(ref_ptr + i, std::string(), 60);
                         last_position = ref_ptr + i;
                     }
                     ref_ptr += len;
@@ -134,20 +167,18 @@ struct ReadAlignment {
                 case OP_I: {
                     std::string ins(rv->seq + rd_ptr, (size_t)len);
                     int64_t anchor = ref_ptr - 1;
-                    auto it = pairs.find(anchor);
-                    if (it == pairs.end()) {
-                        pairs[anchor] = ins;
-                        partial_start = true;
-                    } else {
-                        it->second += ins;
-                        if (ci == rv->n_cigars - 1) partial_stop = true;
-                    }
+                    size_t ai = (size_t)(anchor - base_pos);
                     int32_t mq = 255;
                     for (int64_t i = 0; i < len; i++)
                         mq = std::min(mq, (int32_t)rv->qual[rd_ptr + i]);
-                    auto qit = quals.find(anchor);
-                    if (qit == quals.end()) quals[anchor] = mq;
-                    else qit->second = std::min(qit->second, mq);
+                    if (!present_vec[ai]) {
+                        set_pair(anchor, std::move(ins), mq);
+                        partial_start = true;
+                    } else {
+                        pair_vec[ai] += ins;
+                        qual_vec[ai] = std::min(qual_vec[ai], mq);
+                        if (ci == rv->n_cigars - 1) partial_stop = true;
+                    }
                     rd_ptr += len;
                     break;
                 }
@@ -168,23 +199,21 @@ struct ReadAlignment {
         if (!(start <= last_position && rv->ref_start < stop) || last_position == -1)
             return 3;
         int status;
-        bool has_start = pairs.count(start);
+        bool has_start = has_pair(start);
         if (!has_start) status = 1;
-        else if (!pairs.count(start - 1)) status = partial_start ? 1 : 0;
-        else if (!pairs.count(stop - 1)) status = 2;
-        else if (!pairs.count(stop)) status = partial_stop ? 2 : 0;
+        else if (!has_pair(start - 1)) status = partial_start ? 1 : 0;
+        else if (!has_pair(stop - 1)) status = 2;
+        else if (!has_pair(stop)) status = partial_stop ? 2 : 0;
         else status = 0;
-        {
-            auto it = pairs.find(start);
-            if (it != pairs.end() && it->second.empty()) status = 3;
-            it = pairs.find(stop - 1);
-            if (it != pairs.end() && it->second.empty()) status = 3;
-        }
+        if (has_pair(start) && pair_vec[(size_t)(start - base_pos)].empty())
+            status = 3;
+        if (has_pair(stop - 1) && pair_vec[(size_t)(stop - 1 - base_pos)].empty())
+            status = 3;
         for (int64_t i = start; i < stop; i++) {
-            auto it = pairs.find(i);
-            if (it != pairs.end()) bases += it->second;
-            auto qit = quals.find(i);
-            if (qit != quals.end()) min_q = std::min(min_q, qit->second);
+            if (has_pair(i)) {
+                bases += pair_vec[(size_t)(i - base_pos)];
+                min_q = std::min(min_q, qual_vec[(size_t)(i - base_pos)]);
+            }
         }
         return status;
     }
