@@ -58,6 +58,10 @@ def bench_tpu(sites, iters, precision, num_rotations=2):
     layers.set_precision(precision)
     model = create_model("hybrid")
     params, state = model.init(jax.random.PRNGKey(0))
+    from hello_tpu.ops.read_conv import enable_pallas_read_convs
+    enabled = enable_pallas_read_convs(model, params)
+    if enabled:
+        sys.stderr.write(f"pallas read-convolver enabled for {enabled}\n")
     rng2 = np.random.RandomState(99)
     batches = []
     for k in range(num_rotations):

@@ -39,6 +39,10 @@ import numpy as np
 from . import archs
 from .layers import build_network
 
+# read buckets must be a multiple of this for the fused Pallas read-convolver
+# (the full Mosaic lane width; patched smaller only by interpret-mode tests)
+PALLAS_LANE_MULTIPLE = 128
+
 
 def masked_read_sum(read_frames, read_mask):
     """Sum read-level frames per allele slot with masking.
@@ -227,6 +231,18 @@ class MoEAttention:
         site_onehot = make_site_onehot(site_ids, allele_mask, S)
 
         def read_reduce(name, reads, mask):
+            if (not train
+                    and name in getattr(self, "pallas_read_convs", ())
+                    and reads.shape[1] % PALLAS_LANE_MULTIPLE == 0):
+                # Fused Pallas kernel: conv stack + masked reduction without
+                # materialising per-read feature maps in HBM.  Engaged only
+                # for full-128-lane read buckets (static shape at trace
+                # time), where it measured 1.40x over the XLA path on a v5e;
+                # the allele-slot-packed variant for narrower buckets
+                # measured 0.83x and stays off (see ops/read_conv.py STATUS).
+                from ..ops.read_conv import reduced_read_frames_pallas
+                return reduced_read_frames_pallas(
+                    self, params, name, reads, mask.astype(jnp.float32))
             Ax, R, L, C = reads.shape
             flat = reads.reshape(Ax * R, L, C).astype(jnp.float32)
             frames, ns = self._apply_net(name, params, state, flat, train, rng)

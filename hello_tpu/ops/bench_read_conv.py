@@ -19,7 +19,6 @@ def main():
     parser.add_argument("--A", type=int, default=512)
     parser.add_argument("--R", type=int, default=128)
     parser.add_argument("--iters", type=int, default=8)
-    parser.add_argument("--chunks", type=int, nargs="*", default=[32, 64, 128])
     parser.add_argument("--precision", default="default")
     args = parser.parse_args()
 
@@ -68,20 +67,16 @@ def main():
     base = timed(xla_path, f"xla ({args.precision})")
 
     weights = rc.extract_read_conv_weights(net, params["read_conv0"])
-    for chunk in args.chunks:
-        if R % chunk:
-            continue
-        for dtype, tag in ((jnp.float32, "f32"), (jnp.bfloat16, "bf16")):
-            fn = jax.jit(lambda reads, mask, c=chunk, d=dtype:
-                         rc.fused_read_convolver(reads, mask, weights,
-                                                 read_chunk=c,
-                                                 compute_dtype=d))
-            try:
-                t = timed(fn, f"pallas chunk={chunk} {tag}")
-                print(f"  -> {base / t:.2f}x vs xla")
-            except Exception as exc:
-                print(f"pallas chunk={chunk} {tag}: FAILED {type(exc).__name__}: "
-                      f"{str(exc)[:200]}")
+    for dtype, tag in ((jnp.float32, "f32"), (jnp.bfloat16, "bf16")):
+        fn = jax.jit(lambda reads, mask, d=dtype:
+                     rc.fused_read_convolver(reads, mask, weights,
+                                             compute_dtype=d))
+        try:
+            t = timed(fn, f"pallas {tag}")
+            print(f"  -> {base / t:.2f}x vs xla")
+        except Exception as exc:
+            print(f"pallas {tag}: FAILED {type(exc).__name__}: "
+                  f"{str(exc)[:200]}")
 
 
 if __name__ == "__main__":

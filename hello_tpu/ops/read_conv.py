@@ -17,14 +17,23 @@ over read chunks; the TPU grid is sequential).
 Weight-normalised parameters are folded into effective weights on the host
 (`extract_read_conv_weights`).  Numerical parity with the layers path is
 asserted in tests (interpret mode ~1e-5; on hardware the Mosaic MXU runs
-matmuls in bf16 passes, giving XLA-default-precision-class accuracy).
+matmuls in bf16 passes, giving XLA-default-precision-class accuracy — full
+hybrid-model A/B on a v5e measured max sigmoid-probability difference 0.009
+vs the XLA bf16 path).
 
-STATUS (measured on one v5e chip, A=512 x R=128 batch): 64.6 ms vs XLA
-fp32-highest 75.4 ms (1.17x), but XLA at default (bf16) precision runs the
-same op in 53.6 ms — XLA currently wins at matched precision, so this kernel
-is NOT wired into the default forward.  The gap is MXU K-underutilisation
-(K=3*C_in as low as 18 vs the 128 MXU tile) plus im2col concat relayouts;
-packing multiple positions into the K dimension is the planned fix.
+STATUS: wired into the inference path for read buckets that are multiples of
+128 reads (Scorer auto-enables on non-CPU backends for standard
+read-convolver topologies; HELLO_TPU_PALLAS=0/1 overrides, and a runtime
+fallback re-jits the XLA path if Mosaic rejects a shape).  Same-process v5e
+measurements: at A=512 x R=128 the kernel runs the read-conv stage in 151 ms
+vs XLA's 212 ms (1.40x).  Mosaic only accepts the full 128-lane width for
+the merged (L, R) reshape dims, so the kernel always runs 128 lanes:
+R >= 128 splits reads into revisited-output chunks; for R < 128 an
+allele-slot-packing variant (G = 128//R slots side by side, mask-matrix
+reduction) exists and is numerically verified, but measured 0.83x vs XLA on
+the whole model at the common 64/32-read buckets (host-side uint8 relayout
+overhead), so narrow buckets take the XLA path (hello_tpu/nn/moe.py
+read_reduce gates on the static bucket width).
 """
 
 from __future__ import annotations
@@ -216,17 +225,22 @@ def _stem_kernel(reads_ref, *rest, compute_dtype, num_weights):
     out_ref[0, 0] = _stem_block(x, weights).astype(out_ref.dtype)
 
 
-def _tail_kernel(stem_ref, mask_ref, *rest, compute_dtype, num_weights):
+def _tail_kernel(stem_ref, maskmat_ref, *rest, compute_dtype, num_weights):
     weight_refs = rest[:num_weights]
     out_ref = rest[num_weights]
     rc = pl.program_id(1)
-    chunk = stem_ref.shape[4]
-    x = stem_ref[0, 0].astype(compute_dtype)       # [32, 71, Rc]
+    x = stem_ref[0, 0].astype(compute_dtype)       # [32, 71, lanes]
     weights = [w[...].astype(compute_dtype) if w.ndim == 2 else w[...]
                for w in weight_refs]
-    feats = _residual_block_stack(x, weights)      # [64, 36, Rc]
-    mask = mask_ref[0, 0, pl.ds(rc * chunk, chunk)].astype(jnp.float32)
-    reduced = jnp.sum(feats.astype(jnp.float32) * mask[None, None, :], axis=2)
+    feats = _residual_block_stack(x, weights)      # [64, 36, lanes]
+    lanes = feats.shape[2]
+    mm = maskmat_ref[0, 0].astype(jnp.float32)     # [lanes, G]
+    # masked per-slot reduction as one contraction over the lane dim
+    reduced = jax.lax.dot_general(
+        feats.astype(jnp.float32).reshape(C_OUT * feats.shape[1], lanes), mm,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    reduced = reduced.reshape(C_OUT, feats.shape[1], mm.shape[1])
 
     @pl.when(rc == 0)
     def _():
@@ -239,19 +253,39 @@ def _tail_kernel(stem_ref, mask_ref, *rest, compute_dtype, num_weights):
 
 def fused_read_convolver(reads: jax.Array, read_mask: jax.Array,
                          weights: Sequence[jax.Array],
-                         read_chunk: int = 32,
-                         compute_dtype=jnp.float32) -> jax.Array:
+                         compute_dtype=jnp.float32,
+                         lanes: int = 128) -> jax.Array:
     """Fused read-convolver + masked reduction.
 
     reads: [A, R, 150, C] uint8; read_mask: [A, R]; weights: flattened
     effective conv weights (extract_read_conv_weights order).
     Returns reduced per-allele frames [A, 36, 64] float32 (NWC).
-    """
+
+    The kernel's lane dimension is always ``lanes`` (128 on hardware — Mosaic
+    only merges reshapes whose minor dim is the full 128-lane width):
+    ``R >= lanes`` splits reads into ``R // lanes`` revisited-output chunks;
+    ``R < lanes`` packs ``G = lanes // R`` allele slots side by side into the
+    lane dim, with the per-slot masked reduction expressed as one
+    ``[C*L, lanes] @ [lanes, G]`` contraction against a block-diagonal mask
+    matrix.  ``lanes`` is parameterised only for interpret-mode tests."""
     A, R, Lx, C = reads.shape
     assert Lx == L_IN, f"feature length {Lx} != {L_IN}"
-    chunk = min(read_chunk, R)
-    assert R % chunk == 0, f"R={R} not divisible by chunk={chunk}"
-    n_chunks = R // chunk
+    if R % lanes == 0:
+        G, n_chunks = 1, R // lanes
+    elif lanes % R == 0:
+        G, n_chunks = lanes // R, 1
+    else:
+        raise ValueError(f"R={R} incompatible with lane width {lanes}")
+
+    pad_a = (-A) % G
+    if pad_a:
+        reads = jnp.concatenate(
+            [reads, jnp.zeros((pad_a,) + reads.shape[1:], reads.dtype)])
+        read_mask = jnp.concatenate(
+            [read_mask, jnp.zeros((pad_a, R), read_mask.dtype)])
+    Ap = A + pad_a
+    B = Ap // G
+
     stem_weights = list(weights[:6])
     tail_weights = list(weights[6:])
 
@@ -268,46 +302,102 @@ def fused_read_convolver(reads: jax.Array, read_mask: jax.Array,
 
     inter_dtype = jnp.bfloat16 if compute_dtype == jnp.bfloat16 else jnp.float32
 
-    # pre-transpose on the host: the in-kernel [R, L, C] -> [C, L, R]
-    # relayout was the dominant VMEM cost
-    reads_t = jnp.transpose(reads, (0, 3, 2, 1))  # [A, C, L, R] uint8
+    # Host-side packing (XLA relayouts; the in-kernel [R, L, C] -> [C, L, R]
+    # relayout was the dominant VMEM cost): [Ap, C, L, R], then for G > 1
+    # group G allele slots into the lane dim -> [B, C, L, G*R].
+    reads_t = jnp.transpose(reads, (0, 3, 2, 1))
+    if G > 1:
+        reads_t = reads_t.reshape(B, G, C, L_IN, R).transpose(0, 2, 3, 1, 4) \
+                         .reshape(B, C, L_IN, G * R)
 
-    # stage 1: stem + pool -> [A, n_chunks, 32, 71, chunk]
+    # mask matrix [B, n_chunks, lanes, G]: column g selects slot g's reads
+    m3 = read_mask.astype(jnp.float32).reshape(B, G, n_chunks, lanes // G)
+    eye = jnp.eye(G, dtype=jnp.float32)
+    maskmat = jnp.einsum("bgnr,gh->bngrh", m3, eye) \
+                 .reshape(B, n_chunks, lanes, G)
+
+    # stage 1: stem + pool -> [B, n_chunks, 32, 71, lanes]
     stem = pl.pallas_call(
         functools.partial(_stem_kernel, compute_dtype=compute_dtype,
                           num_weights=len(stem_weights)),
-        grid=(A, n_chunks),
+        grid=(B, n_chunks),
         in_specs=[
-            pl.BlockSpec((1, C, L_IN, chunk), lambda a, rc: (a, 0, 0, rc),
+            pl.BlockSpec((1, C, L_IN, lanes), lambda a, rc: (a, 0, 0, rc),
                          memory_space=pltpu.VMEM),
         ] + weight_specs(stem_weights),
-        out_specs=pl.BlockSpec((1, 1, C_MID, L_POOL, chunk),
+        out_specs=pl.BlockSpec((1, 1, C_MID, L_POOL, lanes),
                                lambda a, rc: (a, rc, 0, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((A, n_chunks, C_MID, L_POOL, chunk),
+        out_shape=jax.ShapeDtypeStruct((B, n_chunks, C_MID, L_POOL, lanes),
                                        inter_dtype),
     )(reads_t, *stem_weights)
 
-    # stage 2: residual stacks + masked reduction -> [A, 64, 36]
+    # stage 2: residual stacks + masked reduction -> [B, 64, 36, G]
     out = pl.pallas_call(
         functools.partial(_tail_kernel, compute_dtype=compute_dtype,
                           num_weights=len(tail_weights)),
-        grid=(A, n_chunks),
+        grid=(B, n_chunks),
         in_specs=[
-            pl.BlockSpec((1, 1, C_MID, L_POOL, chunk),
+            pl.BlockSpec((1, 1, C_MID, L_POOL, lanes),
                          lambda a, rc: (a, rc, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            # full mask row per allele: TPU block shapes need the last two
-            # dims divisible by (8, 128) or equal to the array dims
-            pl.BlockSpec((1, 1, R), lambda a, rc: (a, 0, 0),
+            pl.BlockSpec((1, 1, lanes, G), lambda a, rc: (a, rc, 0, 0),
                          memory_space=pltpu.VMEM),
         ] + weight_specs(tail_weights),
-        out_specs=pl.BlockSpec((1, C_OUT, L_OUT), lambda a, rc: (a, 0, 0),
+        out_specs=pl.BlockSpec((1, C_OUT, L_OUT, G), lambda a, rc: (a, 0, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((A, C_OUT, L_OUT), jnp.float32),
-    )(stem, read_mask.reshape(A, 1, R), *tail_weights)
-    # NWC convention used by the rest of the model: [A, 36, 64]
-    return jnp.transpose(out, (0, 2, 1))
+        out_shape=jax.ShapeDtypeStruct((B, C_OUT, L_OUT, G), jnp.float32),
+    )(stem, maskmat, *tail_weights)
+    # [B, 64, 36, G] -> [A, 36, 64] (NWC convention of the rest of the model)
+    out = jnp.transpose(out, (0, 3, 2, 1)).reshape(Ap, L_OUT, C_OUT)
+    return out[:A]
+
+
+# expected per-conv (C_out, K*C_in/C_in_factor) shapes of the standard
+# width-1 read_convolver, with the stem's first conv checked separately
+# (its K depends on the 6/7 input channels)
+_EXPECTED_TAIL_SHAPES = [
+    (16, 48), (32, 48),                       # stem convs 2-3
+    (32, 96), (32, 96), (32, 96), (32, 96), (32, 96), (32, 96),  # 3x RB32
+    (64, 96), (64, 192), (64, 32),            # RBConv + shortcut
+    (64, 192), (64, 192), (64, 192), (64, 192), (64, 192), (64, 192),  # 3x RB64
+]
+
+
+def supports_network(model, params, name: str) -> bool:
+    """Whether `name` is a standard width-1 read_convolver the fused kernel
+    can run (wide/addendum variants fall back to the XLA path)."""
+    try:
+        weights = extract_read_conv_weights(model.nets[name], params[name])
+    except Exception:
+        return False
+    mats = [w for w in weights if w.ndim == 2]
+    if len(mats) != 1 + len(_EXPECTED_TAIL_SHAPES):
+        return False
+    if mats[0].shape[0] != 16 or mats[0].shape[1] not in (18, 21):
+        return False
+    return all(tuple(m.shape) == s
+               for m, s in zip(mats[1:], _EXPECTED_TAIL_SHAPES))
+
+
+def enable_pallas_read_convs(model, params, use_pallas=None) -> tuple:
+    """Tag `model` so inference uses the fused kernel for each supported
+    read-convolver.  ``use_pallas=None`` auto-enables on non-CPU backends;
+    HELLO_TPU_PALLAS=0/1 forces off/on.  Returns the enabled network names."""
+    import os
+
+    env = os.environ.get("HELLO_TPU_PALLAS", "")
+    if env in ("0", "1"):
+        use_pallas = env == "1"
+    if use_pallas is None:
+        use_pallas = jax.devices()[0].platform not in ("cpu",)
+    names = ()
+    if use_pallas:
+        names = tuple(name for name in ("read_conv0", "read_conv1")
+                      if model.nets.get(name) is not None
+                      and supports_network(model, params, name))
+    model.pallas_read_convs = names
+    return names
 
 
 def reduced_read_frames_pallas(model, params, name: str, reads, read_mask,

@@ -33,27 +33,56 @@ logger = logging.getLogger(__name__)
 
 
 class Scorer:
-    """Jitted batched model forward with shape-bucketed compilation caching."""
+    """Jitted batched model forward with shape-bucketed compilation caching.
 
-    def __init__(self, model: MoEAttention, params, state, donate: bool = False):
+    ``use_pallas=None`` (auto) enables the fused Pallas read-convolver kernel
+    on non-CPU backends for standard read-convolver topologies (measured 1.4x
+    over the XLA path on a v5e chip); HELLO_TPU_PALLAS=0/1 forces it off/on.
+    """
+
+    def __init__(self, model: MoEAttention, params, state, donate: bool = False,
+                 use_pallas: Optional[bool] = None):
         import jax
 
         self.model = model
         self.params = params
         self.state = state
 
+        from ..ops.read_conv import enable_pallas_read_convs
+        enabled = enable_pallas_read_convs(model, params, use_pallas)
+        if enabled:
+            logger.info("pallas read-convolver enabled for %s", enabled)
+
+        # the number of padded sites is carried by ref_segments' static shape;
+        # bucketed batch shapes keep recompiles rare
+        self._jax = jax
+        self._jitted = self._make_jitted()
+
+    def _make_jitted(self):
+        model = self.model
+
         def forward(params, state, batch):
             out, _ = model.apply(params, state, batch, train=False)
             return out
 
-        # the number of padded sites is carried by ref_segments' static shape;
-        # bucketed batch shapes keep recompiles rare
-        self._jitted = jax.jit(forward)
-        self._jax = jax
+        # fresh function object => fresh jit trace cache (needed when the
+        # pallas fallback re-tags the model)
+        return self._jax.jit(forward)
 
     def __call__(self, batch: PaddedBatch):
         d = batch.device_dict()
-        out = self._jitted(self.params, self.state, d)
+        try:
+            out = self._jitted(self.params, self.state, d)
+        except Exception:
+            if not getattr(self.model, "pallas_read_convs", ()):
+                raise
+            # Mosaic compile failures are shape/backend dependent; never let
+            # the fused-kernel fast path take down a calling run
+            logger.warning("pallas read-convolver failed; falling back to "
+                           "the XLA path for this run", exc_info=True)
+            self.model.pallas_read_convs = ()
+            self._jitted = self._make_jitted()
+            out = self._jitted(self.params, self.state, d)
         experts = np.asarray(out["experts"])
         meta = None if out["meta"] is None else np.asarray(out["meta"])
         return experts, meta
