@@ -453,10 +453,20 @@ class NativeWindow:
         n = self._lib.htpu_alleles_at(self._h, start, stop, buf, len(buf))
         return _split_strings(buf.raw, n)
 
+    # reusable query scratch (windows are queried single-threaded per
+    # process; allocating/zeroing MB-scale temporaries per call showed up
+    # in host-stage profiles)
+    _supports_scratch = None
+
     def supports_at(self, start: int, stop: int):
-        buf = ctypes.create_string_buffer(1 << 20)
-        counts = np.zeros(4096, np.int32)
-        ids = np.zeros(1 << 20, np.int32)
+        cls = NativeWindow
+        if cls._supports_scratch is None:
+            cls._supports_scratch = (
+                ctypes.create_string_buffer(1 << 20),
+                np.empty(4096, np.int32),
+                np.empty(1 << 20, np.int32),
+            )
+        buf, counts, ids = cls._supports_scratch
         n = self._lib.htpu_supports_at(
             self._h, start, stop, buf, len(buf),
             counts.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), 4096,
@@ -479,14 +489,16 @@ class NativeWindow:
                  include_hp: bool, max_rows: Optional[int] = None) -> np.ndarray:
         channels = 7 if include_hp else 6
         if max_rows is None:
-            # supports can never exceed the window's read count
-            max_rows = (len(self.reads) or getattr(self, "_num_reads", 0)) + 1
+            # exact row count: one row per supporting read of this platform
+            max_rows = self.num_supports(start, stop, allele, pacbio) + 1
         out = np.zeros((max_rows, feature_length, channels), np.uint8)
         n = self._lib.htpu_features(
             self._h, start, stop, allele.encode(), feature_length,
             int(pacbio), int(include_hp),
             out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), max_rows)
-        return out[:max(n, 1)].copy()
+        if n >= max_rows:
+            return out
+        return out[:max(n, 1)]
 
 
 def _split_strings(raw: bytes, n: int) -> List[str]:
