@@ -139,12 +139,28 @@ def determine_max_q_loss(shard_index_paths) -> float:
 
 def main(argv=None):
     parser = argparse.ArgumentParser(description="hello_tpu call-set evaluation")
-    parser.add_argument("--calls", required=True)
-    parser.add_argument("--truth", required=True)
-    parser.add_argument("--ref", required=True)
+    parser.add_argument("--calls")
+    parser.add_argument("--truth")
+    parser.add_argument("--ref")
     parser.add_argument("--highconf", default=None)
+    parser.add_argument("--max_q_shards", default=None,
+                        help="shard .lst/glob: print the dataset's theoretical "
+                             "minimum log-loss instead (determineMaxQLoss CLI)")
     args = parser.parse_args(argv)
     logging.basicConfig(level=logging.INFO)
+    if args.max_q_shards:
+        import glob
+
+        if args.max_q_shards.endswith(".lst"):
+            with open(args.max_q_shards) as fh:
+                shards = [l.strip() for l in fh if l.strip()]
+        else:
+            shards = sorted(glob.glob(args.max_q_shards))
+        value = determine_max_q_loss(shards)
+        print(json.dumps({"max_q_loss": value, "shards": len(shards)}))
+        return
+    if not (args.calls and args.truth and args.ref):
+        parser.error("--calls/--truth/--ref required (or use --max_q_shards)")
     result = evaluate(args.calls, args.truth, args.ref, args.highconf)
     print(json.dumps(result, indent=2))
 

@@ -204,3 +204,29 @@ if __name__ == "__main__":
            for r in read_vcf(str(tmp_path / "parallel.vcf"))]
     assert inline, "inline caller produced no records"
     assert par == inline
+
+
+def test_gen_dump_combinations(tmp_path):
+    """Random hybrid pairing generator emits one runnable dump command per
+    (base bam, chromosome), mixing platforms (reference
+    gen_random_dump_combinations.py role)."""
+    from hello_tpu.pipeline.gen_dump_combinations import main as gen_main
+
+    ds = sim.make_dataset(str(tmp_path), ref_length=4000, num_variants=4,
+                          coverage=10, read_length=100, seed=2,
+                          platforms=("illumina", "pacbio"),
+                          pacbio_read_length=800)
+    ibams = tmp_path / "ibams.lst"
+    pbams = tmp_path / "pbams.lst"
+    ibams.write_text(ds.bams["illumina"] + "\n")
+    pbams.write_text(ds.bams["pacbio"] + "\n")
+    work = tmp_path / "work"
+    commands = gen_main([
+        "--ibams", str(ibams), "--pbams", str(pbams), "--ref", ds.fasta,
+        "--truth", ds.truth_vcf, "--highconf", str(tmp_path / "conf.bed"),
+        "--workdir", str(work)])
+    assert len(commands) == 1          # 1 ibam x 1 chromosome
+    cmd = commands[0]
+    assert "hello_tpu.pipeline.dump" in cmd
+    assert f"--bam {ds.bams['illumina']},{ds.bams['pacbio']}" in cmd
+    assert (work / "commands.sh").exists()
