@@ -32,6 +32,9 @@ BGZF_EOF = bytes.fromhex(
 
 _CIGAR_OPS = "MIDNSHP=X"
 _SEQ_CODES = "=ACMGRSVTWYHKDBN"
+BAM_CREF_SKIP_OP = 3
+BAM_CSOFT_CLIP_OP = 4
+MAX_CIGAR_OPS = 65535          # uint16 n_cigar_op; beyond this the CG tag rules
 
 
 # ---------------------------------------------------------------------------
@@ -203,30 +206,56 @@ def _decode_seq(data: bytes, length: int) -> str:
     return "".join(out)
 
 
-def _parse_aux_hp(aux: bytes) -> int:
-    """Extract the HP:i tag from an aux blob; 0 when absent."""
+def _scan_aux(aux: bytes, want: bytes):
+    """Yield (tag, typ, payload offset, payload length) for each aux field;
+    stops early once every tag in ``want`` has been seen."""
     pos = 0
     n = len(aux)
     sizes = {b"c": 1, b"C": 1, b"s": 2, b"S": 2, b"i": 4, b"I": 4, b"f": 4, b"A": 1}
-    fmt = {b"c": "<b", b"C": "<B", b"s": "<h", b"S": "<H", b"i": "<i", b"I": "<I"}
+    found = set()
     while pos + 3 <= n:
         tag = aux[pos:pos + 2]
         typ = aux[pos + 2:pos + 3]
         pos += 3
         if typ in sizes:
-            if tag == b"HP" and typ in fmt:
-                return struct.unpack_from(fmt[typ], aux, pos)[0]
+            yield tag, typ, pos, sizes[typ]
             pos += sizes[typ]
         elif typ in (b"Z", b"H"):
             end = aux.index(b"\x00", pos)
+            yield tag, typ, pos, end - pos
             pos = end + 1
         elif typ == b"B":
             sub = aux[pos:pos + 1]
             count = struct.unpack_from("<I", aux, pos + 1)[0]
-            pos += 5 + sizes[sub] * count
+            length = 5 + sizes[sub] * count
+            yield tag, typ, pos, length
+            pos += length
         else:
-            break
+            return
+        found.add(bytes(tag))
+        if want and want <= found:
+            return
+
+
+def _parse_aux_hp(aux: bytes) -> int:
+    """Extract the HP:i tag from an aux blob; 0 when absent."""
+    fmt = {b"c": "<b", b"C": "<B", b"s": "<h", b"S": "<H", b"i": "<i", b"I": "<I"}
+    for tag, typ, pos, _length in _scan_aux(aux, {b"HP"}):
+        if tag == b"HP" and typ in fmt:
+            return struct.unpack_from(fmt[typ], aux, pos)[0]
     return 0
+
+
+def _parse_aux_cg_cigar(aux: bytes):
+    """The real cigar from a CG:B,I aux tag (SAM spec: alignments with more
+    than 65535 cigar ops store a kS/mN placeholder in the cigar field and the
+    true run here); None when absent."""
+    for tag, typ, pos, _length in _scan_aux(aux, {b"CG"}):
+        if tag == b"CG" and typ == b"B" and aux[pos:pos + 1] == b"I":
+            count = struct.unpack_from("<I", aux, pos + 1)[0]
+            vals = struct.unpack_from(f"<{count}I", aux, pos + 5)
+            return [(v & 0xF, v >> 4) for v in vals]
+    return None
 
 
 class BaiIndex:
@@ -361,6 +390,12 @@ def _parse_record(rec: bytes):
         quals = [30] * l_seq
     off += l_seq
     hp = _parse_aux_hp(rec[off:])
+    if (len(cigars) == 2 and cigars[0] == (BAM_CSOFT_CLIP_OP, l_seq)
+            and cigars[1][0] == BAM_CREF_SKIP_OP):
+        # >65535-op alignment: kS/mN placeholder, true cigar in CG:B,I
+        real = _parse_aux_cg_cigar(rec[off:])
+        if real is not None:
+            cigars = real
     return r_id, p, ref_span, flag, mapq, name, cigars, seq, quals, hp
 
 
@@ -581,17 +616,27 @@ def write_bam(path: str, references: Sequence[Tuple[str, int]],
     for read in reads:
         rid = ref_index[read.chromosome]
         name_b = read.name.encode() + b"\x00"
+        cigartuples = read.cigartuples
+        aux_b = b""
+        if len(cigartuples) > MAX_CIGAR_OPS:
+            # SAM spec long-cigar encoding: kS/mN placeholder in the cigar
+            # field, real run in the CG:B,I aux tag
+            ref_span = read.reference_end - read.reference_start
+            aux_b += b"CGBI" + struct.pack("<I", len(cigartuples)) + b"".join(
+                struct.pack("<I", (length << 4) | op)
+                for op, length in cigartuples)
+            cigartuples = [(BAM_CSOFT_CLIP_OP, len(read.sequence)),
+                           (BAM_CREF_SKIP_OP, ref_span)]
         cigar_b = b"".join(
-            struct.pack("<I", (length << 4) | op) for op, length in read.cigartuples)
+            struct.pack("<I", (length << 4) | op) for op, length in cigartuples)
         seq_b = _encode_seq(read.sequence)
         qual_b = bytes(min(q, 93) for q in read.qualities)
-        aux_b = b""
         if read.hp:
-            aux_b = b"HP" + b"i" + struct.pack("<i", read.hp)
+            aux_b += b"HP" + b"i" + struct.pack("<i", read.hp)
         bin_ = _reg2bin(read.reference_start, read.reference_end)
         rec = struct.pack(
             "<iiBBHHHiiii", rid, read.reference_start, len(name_b), read.mapq,
-            bin_, len(read.cigartuples), read.flag, len(read.sequence),
+            bin_, len(cigartuples), read.flag, len(read.sequence),
             -1, -1, 0)
         rec += name_b + cigar_b + seq_b + qual_b + aux_b
         begin = len(out)

@@ -237,6 +237,46 @@ struct BgzfCursor {
     }
 };
 
+// real cigar from a CG:B,I aux tag (SAM long-cigar encoding for alignments
+// with >65535 ops); returns false when absent
+bool parse_cg_cigar(const uint8_t* aux, size_t n, std::vector<uint32_t>& out) {
+    size_t pos = 0;
+    while (pos + 3 <= n) {
+        char t0 = (char)aux[pos], t1 = (char)aux[pos + 1];
+        char typ = (char)aux[pos + 2];
+        pos += 3;
+        size_t sz = 0;
+        switch (typ) {
+            case 'c': case 'C': case 'A': sz = 1; break;
+            case 's': case 'S': sz = 2; break;
+            case 'i': case 'I': case 'f': sz = 4; break;
+            case 'Z': case 'H': {
+                while (pos < n && aux[pos] != 0) pos++;
+                pos++;
+                continue;
+            }
+            case 'B': {
+                char sub = (char)aux[pos];
+                uint32_t count;
+                std::memcpy(&count, aux + pos + 1, 4);
+                size_t esz = (sub == 'c' || sub == 'C') ? 1
+                             : (sub == 's' || sub == 'S') ? 2 : 4;
+                if (t0 == 'C' && t1 == 'G' && sub == 'I') {
+                    out.resize(count);
+                    std::memcpy(out.data(), aux + pos + 5, (size_t)count * 4);
+                    return true;
+                }
+                pos += 5 + esz * count;
+                continue;
+            }
+            default:
+                return false;
+        }
+        pos += sz;
+    }
+    return false;
+}
+
 int8_t parse_hp(const uint8_t* aux, size_t n) {
     size_t pos = 0;
     while (pos + 3 <= n) {
@@ -302,16 +342,9 @@ void append_record(BamData& d, const uint8_t* rec, size_t block_size) {
     d.name_offsets.push_back((int64_t)d.names.size());
     off += l_read_name;
 
-    int64_t ref_span = 0;
-    for (uint16_t i = 0; i < n_cigar; i++) {
-        uint32_t v;
-        std::memcpy(&v, rec + off + 4 * i, 4);
-        d.cigars.push_back(v);
-        int op = v & 0xF;
-        if (op == 0 || op == 2 || op == 3 || op == 7 || op == 8)
-            ref_span += v >> 4;
-    }
-    d.cigar_offsets.push_back((int64_t)d.cigars.size());
+    std::vector<uint32_t> cigars(n_cigar);
+    if (n_cigar)
+        std::memcpy(cigars.data(), rec + off, (size_t)n_cigar * 4);
     off += 4 * (size_t)n_cigar;
 
     for (int32_t i = 0; i < l_seq; i++) {
@@ -326,6 +359,22 @@ void append_record(BamData& d, const uint8_t* rec, size_t block_size) {
     }
     off += (size_t)l_seq;
     d.seq_offsets.push_back((int64_t)d.seqs.size());
+
+    // >65535-op alignments: kS/mN placeholder, real cigar in CG:B,I
+    if (n_cigar == 2 && (cigars[0] & 0xF) == 4 &&
+        (int32_t)(cigars[0] >> 4) == l_seq && (cigars[1] & 0xF) == 3) {
+        std::vector<uint32_t> real;
+        if (parse_cg_cigar(rec + off, block_size - off, real))
+            cigars = std::move(real);
+    }
+    int64_t ref_span = 0;
+    for (uint32_t v : cigars) {
+        int op = v & 0xF;
+        if (op == 0 || op == 2 || op == 3 || op == 7 || op == 8)
+            ref_span += v >> 4;
+        d.cigars.push_back(v);
+    }
+    d.cigar_offsets.push_back((int64_t)d.cigars.size());
 
     d.hps.push_back(parse_hp(rec + off, block_size - off));
     d.ref_ids.push_back(rid);

@@ -235,3 +235,51 @@ def test_indexed_fetch_is_o_region(tmp_path):
     finally:
         bam_mod.BgzfFile.read_block = orig
     assert region_blocks < full_blocks / 5, (region_blocks, full_blocks)
+
+
+def test_long_cigar_cg_tag_roundtrip(tmp_path):
+    """Alignments with >65535 cigar ops use the SAM long-cigar encoding
+    (kS/mN placeholder + CG:B,I aux); both codecs must transparently
+    restore the real cigar."""
+    n_pairs = 40_000                                 # 80_001 ops total
+    cigars = []
+    seq_len = 0
+    ref_len = 0
+    for _ in range(n_pairs):
+        cigars.append((BAM_CMATCH, 2))
+        cigars.append((BAM_CINS, 1))
+        seq_len += 3
+        ref_len += 2
+    cigars.append((BAM_CMATCH, 4))
+    seq_len += 4
+    ref_len += 4
+    assert len(cigars) > 65535
+    rng = np.random.RandomState(0)
+    seq = "".join("ACGT"[b] for b in rng.randint(0, 4, seq_len))
+    read = AlignedRead("ultra", 0, "chr1", 100, 60, cigars, seq,
+                       [30] * seq_len, hp=2)
+    path = str(tmp_path / "long.bam")
+    write_bam(path, [("chr1", ref_len + 1000)], [read])
+
+    got = list(BamReader(path))
+    assert len(got) == 1
+    rt = got[0]
+    assert rt.cigartuples == cigars
+    assert rt.sequence == seq
+    assert rt.hp == 2                                # tags after CG still parse
+    assert rt.reference_end == 100 + ref_len
+
+    # indexed fetch sees the correct span
+    hits = list(BamReader(path).fetch("chr1", 100 + ref_len - 10,
+                                      100 + ref_len + 5))
+    assert [r.name for r in hits] == ["ultra"]
+
+    # native codec parity
+    from hello_tpu import native
+    if native.available():
+        nb = native.NativeBam(path)
+        nr = nb.read(0)
+        assert nr.cigartuples == cigars
+        assert nr.sequence == seq
+        assert nr.hp == 2
+        assert int(nb.ref_ends[0]) == 100 + ref_len
