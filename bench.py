@@ -192,10 +192,12 @@ def main():
     parser.add_argument("--pipeline_workers", type=int,
                         default=min(4, os.cpu_count() or 1),
                         help="host worker processes for the end-to-end leg")
-    # bf16 matches the inference default in pipeline/call.py (validated to
-    # give calls identical to fp32-highest on a sim A/B on a v5e chip).
+    # "bf16" (bf16 matmuls + bf16 conv activations) matches the inference
+    # default in pipeline/call.py: validated on a 700-variant sim A/B on a
+    # v5e chip to give identical sites+genotypes vs fp32 (qualities within
+    # 0.025 Q).
     parser.add_argument("--precision", default=os.environ.get(
-        "HELLO_TPU_PRECISION", "default"))
+        "HELLO_TPU_PRECISION", "bf16"))
     parser.add_argument("--skip-baseline", action="store_true")
     parser.add_argument("--skip-pipeline", action="store_true",
                         help="skip the end-to-end host+device pipeline leg")

@@ -38,15 +38,38 @@ _EPS_BN = 1e-5
 
 #: Matmul/conv precision. "highest" gives float32-accurate MXU passes (needed
 #: for VCF-level parity with the CPU reference); "default" allows bf16 MXU
-#: passes for maximum throughput. Switch with set_precision().
+#: passes for maximum throughput; "bf16" additionally carries conv activations
+#: in bfloat16 (the read-conv stack is HBM-bandwidth-bound at its small
+#: channel widths, so halving the materialised intermediates is the dominant
+#: win; MXU accumulation stays f32 and Linear outputs — the expert logits —
+#: stay f32).  Switch with set_precision().
 PRECISION = "highest"
+
+#: Conv activation dtype; None keeps float32 activations.
+ACT_DTYPE = None
 
 
 def set_precision(precision: str):
-    """Set global matmul/conv precision: 'highest' (fp32 parity) or 'default' (bf16 speed)."""
-    global PRECISION
-    assert precision in ("highest", "default", "high")
-    PRECISION = precision
+    """Set global matmul/conv precision: 'highest' (fp32 parity), 'default'
+    (bf16 MXU passes), or 'bf16' (bf16 MXU passes + bf16 conv activations)."""
+    global PRECISION, ACT_DTYPE
+    assert precision in ("highest", "default", "high", "bf16")
+    ACT_DTYPE = jnp.bfloat16 if precision == "bf16" else None
+    PRECISION = "default" if precision == "bf16" else precision
+
+
+def _conv_in(x):
+    """Cast conv inputs to the activation dtype (no-op in f32 modes)."""
+    if ACT_DTYPE is not None and x.dtype == jnp.float32:
+        return x.astype(ACT_DTYPE)
+    return x
+
+
+def _conv_out(y):
+    """Cast the f32-accumulated conv output back to the activation dtype."""
+    if ACT_DTYPE is not None:
+        return y.astype(ACT_DTYPE)
+    return y
 
 
 def _split(key, n):
@@ -113,8 +136,9 @@ class Conv1d(Layer):
         return params, {}, (out_l, self.out_channels)
 
     def _conv(self, x, w):
+        x = _conv_in(x)
         return jax.lax.conv_general_dilated(
-            x, w,
+            x, w.astype(x.dtype),
             window_strides=(self.stride,),
             padding=[(self.padding, self.padding)],
             rhs_dilation=(self.dilation,),
@@ -128,7 +152,7 @@ class Conv1d(Layer):
         y = self._conv(x, params["w"])
         if self.use_bias:
             y = y + params["b"]
-        return y, state
+        return _conv_out(y), state
 
 
 class WeightNormedConv1d(Conv1d):
@@ -151,7 +175,7 @@ class WeightNormedConv1d(Conv1d):
         y = self._conv(x, w)
         if self.use_bias:
             y = y + params["b"]
-        return y, state
+        return _conv_out(y), state
 
 
 class Linear(Layer):
@@ -238,7 +262,14 @@ class BatchNorm1d(Layer):
         else:
             mean, var = state["mean"], state["var"]
             new_state = state
-        y = (x - mean) * jax.lax.rsqrt(var + self.eps) * params["gamma"] + params["beta"]
+        if x.dtype != jnp.float32:
+            # fold into one scale/shift computed in f32, applied in x's dtype
+            # so bf16 activations stay bf16 (no f32 promotion between convs)
+            rs = jax.lax.rsqrt(var + self.eps) * params["gamma"]
+            y = x * rs.astype(x.dtype) + (params["beta"] - mean * rs).astype(x.dtype)
+        else:
+            y = (x - mean) * jax.lax.rsqrt(var + self.eps) * params["gamma"] \
+                + params["beta"]
         return y, new_state
 
 

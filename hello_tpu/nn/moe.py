@@ -51,9 +51,12 @@ def masked_read_sum(read_frames, read_mask):
 
     Equivalent to the reference's reduceSlots over reads
     (MixtureOfExpertsAdvanced.py:23-34) with direct (non-cumsum) summation.
+    The mask is cast to the frames' dtype so bf16-activation mode contracts
+    bf16 x bf16 (f32 accumulation) instead of promoting the whole frame
+    tensor back to f32 in HBM.
     """
-    return jnp.einsum("ar,arlc->alc", read_mask, read_frames,
-                      preferred_element_type=jnp.float32)
+    return jnp.einsum("ar,arlc->alc", read_mask.astype(read_frames.dtype),
+                      read_frames, preferred_element_type=jnp.float32)
 
 
 def site_segment_sum(allele_feats, site_onehot):
@@ -244,7 +247,8 @@ class MoEAttention:
                 return reduced_read_frames_pallas(
                     self, params, name, reads, mask.astype(jnp.float32))
             Ax, R, L, C = reads.shape
-            flat = reads.reshape(Ax * R, L, C).astype(jnp.float32)
+            from .layers import ACT_DTYPE
+            flat = reads.reshape(Ax * R, L, C).astype(ACT_DTYPE or jnp.float32)
             frames, ns = self._apply_net(name, params, state, flat, train, rng)
             if ns:
                 new_state[name] = ns

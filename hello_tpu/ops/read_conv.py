@@ -30,10 +30,16 @@ vs XLA's 212 ms (1.40x).  Mosaic only accepts the full 128-lane width for
 the merged (L, R) reshape dims, so the kernel always runs 128 lanes:
 R >= 128 splits reads into revisited-output chunks; for R < 128 an
 allele-slot-packing variant (G = 128//R slots side by side, mask-matrix
-reduction) exists and is numerically verified, but measured 0.83x vs XLA on
-the whole model at the common 64/32-read buckets (host-side uint8 relayout
-overhead), so narrow buckets take the XLA path (hello_tpu/nn/moe.py
-read_reduce gates on the static bucket width).
+reduction) exists and is numerically verified, but loses to XLA at the
+common 64/32-read buckets, so narrow buckets take the XLA path
+(hello_tpu/nn/moe.py read_reduce gates on the static bucket width).
+Same-process v5e A/B at A=1024 (bench workload, bf16 matmuls): R=64 XLA
+59.7 ms vs fused 82.1 ms vs fused-with-pre-packed-input 81.3 ms; R=32 XLA
+43.9 / 56.1 / 55.5 ms — pre-packing the lane layout outside the timed
+region does NOT close the gap, so the loss is intrinsic to the packed
+kernel's small revisited matmuls (not the input relayout), and host-side
+packing (``pack_reads_for_kernel``'s numpy path) is not worth plumbing into
+the batch assembler at current bucket widths.
 """
 
 from __future__ import annotations
@@ -251,6 +257,40 @@ def _tail_kernel(stem_ref, maskmat_ref, *rest, compute_dtype, num_weights):
         out_ref[0] = out_ref[0] + reduced
 
 
+def _lane_geometry(R: int, lanes: int):
+    """(G, n_chunks) for a read-bucket width R at the kernel lane width."""
+    if R % lanes == 0:
+        return 1, R // lanes
+    if lanes % R == 0:
+        return lanes // R, 1
+    raise ValueError(f"R={R} incompatible with lane width {lanes}")
+
+
+def pack_reads_for_kernel(reads, lanes: int = 128):
+    """[A, R, L, C] (any dtype) -> kernel lane layout [B, C, L, lanes*n_chunks].
+
+    This is the relayout the fused kernel needs (reads transposed so the read
+    axis is minor, G = lanes//R allele slots grouped into the lane dim).  It
+    can run in XLA on device (jnp input) or — preferably — on the host in
+    numpy at batch-assembly time, where it is a cheap memory copy instead of
+    a device transpose op on the critical path."""
+    xp = jnp if isinstance(reads, jax.Array) else np
+    A, R, Lx, C = reads.shape
+    G, n_chunks = _lane_geometry(R, lanes)
+    pad_a = (-A) % G
+    if pad_a:
+        reads = xp.concatenate(
+            [reads, xp.zeros((pad_a,) + reads.shape[1:], reads.dtype)])
+    B = (A + pad_a) // G
+    t = xp.transpose(reads, (0, 3, 2, 1))          # [Ap, C, L, R]
+    if G > 1:
+        t = t.reshape(B, G, C, Lx, R).transpose(0, 2, 3, 1, 4) \
+             .reshape(B, C, Lx, G * R)
+    if xp is np:
+        t = np.ascontiguousarray(t)
+    return t
+
+
 def fused_read_convolver(reads: jax.Array, read_mask: jax.Array,
                          weights: Sequence[jax.Array],
                          compute_dtype=jnp.float32,
@@ -268,23 +308,30 @@ def fused_read_convolver(reads: jax.Array, read_mask: jax.Array,
     lane dim, with the per-slot masked reduction expressed as one
     ``[C*L, lanes] @ [lanes, G]`` contraction against a block-diagonal mask
     matrix.  ``lanes`` is parameterised only for interpret-mode tests."""
-    A, R, Lx, C = reads.shape
-    assert Lx == L_IN, f"feature length {Lx} != {L_IN}"
-    if R % lanes == 0:
-        G, n_chunks = 1, R // lanes
-    elif lanes % R == 0:
-        G, n_chunks = lanes // R, 1
-    else:
-        raise ValueError(f"R={R} incompatible with lane width {lanes}")
+    reads_t = pack_reads_for_kernel(reads, lanes)
+    return fused_read_convolver_packed(reads_t, read_mask, weights,
+                                       compute_dtype=compute_dtype,
+                                       lanes=lanes)
 
+
+def fused_read_convolver_packed(reads_t: jax.Array, read_mask: jax.Array,
+                                weights: Sequence[jax.Array],
+                                compute_dtype=jnp.float32,
+                                lanes: int = 128) -> jax.Array:
+    """Fused kernel on pre-packed reads (see ``pack_reads_for_kernel``).
+
+    reads_t: [B, C, L, lanes*n_chunks]; read_mask: [A, R] with the ORIGINAL
+    (unpacked) allele/read axes — it defines A and R."""
+    A, R = read_mask.shape
+    G, n_chunks = _lane_geometry(R, lanes)
+    B, C, Lx, _ = reads_t.shape
+    assert Lx == L_IN, f"feature length {Lx} != {L_IN}"
     pad_a = (-A) % G
     if pad_a:
-        reads = jnp.concatenate(
-            [reads, jnp.zeros((pad_a,) + reads.shape[1:], reads.dtype)])
         read_mask = jnp.concatenate(
             [read_mask, jnp.zeros((pad_a, R), read_mask.dtype)])
     Ap = A + pad_a
-    B = Ap // G
+    assert B == Ap // G, (B, Ap, G)
 
     stem_weights = list(weights[:6])
     tail_weights = list(weights[6:])
@@ -301,14 +348,6 @@ def fused_read_convolver(reads: jax.Array, read_mask: jax.Array,
         return specs
 
     inter_dtype = jnp.bfloat16 if compute_dtype == jnp.bfloat16 else jnp.float32
-
-    # Host-side packing (XLA relayouts; the in-kernel [R, L, C] -> [C, L, R]
-    # relayout was the dominant VMEM cost): [Ap, C, L, R], then for G > 1
-    # group G allele slots into the lane dim -> [B, C, L, G*R].
-    reads_t = jnp.transpose(reads, (0, 3, 2, 1))
-    if G > 1:
-        reads_t = reads_t.reshape(B, G, C, L_IN, R).transpose(0, 2, 3, 1, 4) \
-                         .reshape(B, C, L_IN, G * R)
 
     # mask matrix [B, n_chunks, lanes, G]: column g selects slot g's reads
     m3 = read_mask.astype(jnp.float32).reshape(B, G, n_chunks, lanes // G)

@@ -77,14 +77,16 @@ class PaddedBatch:
         return d
 
 
+_ONE_HOT_LUT = np.full(256, 4, np.uint8)
+for _i, _b in enumerate(b"ACGT"):
+    _ONE_HOT_LUT[_b] = _i
+
+
 def one_hot_ref_segment(bases: str) -> np.ndarray:
     """One-hot encode a reference window [L, 5] — A,C,G,T,other
     (reference caller_calling.py:53-67)."""
-    idx = {"A": 0, "C": 1, "G": 2, "T": 3}
-    out = np.zeros((len(bases), 5), np.float32)
-    for i, b in enumerate(bases):
-        out[i, idx.get(b, 4)] = 1.0
-    return out
+    codes = _ONE_HOT_LUT[np.frombuffer(bases.encode(), np.uint8)]
+    return np.eye(5, dtype=np.float32)[codes]
 
 
 def pack_sites(

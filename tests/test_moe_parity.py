@@ -233,3 +233,38 @@ def test_hybrid_ensemble2_parity(rng):
     _assert_parity(t_experts[:, :2], j_experts[:, :2])
     assert np.allclose(j_experts[:, 2], 0.0)
     np.testing.assert_allclose(t_meta, j_meta, atol=3e-3)
+
+
+def test_bf16_activation_mode_close_to_f32(rng):
+    """`set_precision("bf16")` (bf16 conv activations for HBM-bound read
+    convs) must stay decision-grade close to fp32: logits within ~2e-2,
+    expert logits still f32 (Linear outputs are not down-cast)."""
+    from hello_tpu.nn import layers as L
+    from hello_tpu.nn.moe import create_model
+    from hello_tpu.pipeline.batching import SiteWork, pack_sites
+
+    sites = []
+    for si in range(4):
+        t0 = [rng.randint(0, 255, size=(6, 150, 6)).astype(np.uint8)
+              for _ in range(2)]
+        t1 = [rng.randint(0, 255, size=(4, 150, 6)).astype(np.uint8)
+              for _ in range(2)]
+        seg = np.eye(5, dtype=np.float32)[rng.randint(0, 5, size=150)]
+        sites.append(SiteWork("chr1", 100 + si, 101 + si, ["A", "C"],
+                              t0, t1, seg))
+    batch = pack_sites(sites, hybrid=True).device_dict()
+    model = create_model("hybrid")
+    params, state = model.init(jax.random.PRNGKey(7))
+    outs = {}
+    try:
+        for prec in ("highest", "bf16"):
+            L.set_precision(prec)
+            out, _ = model.apply(params, state, batch, train=False)
+            outs[prec] = (np.asarray(out["experts"], np.float32),
+                          np.asarray(out["meta"], np.float32))
+            assert np.asarray(out["experts"]).dtype == np.float32
+    finally:
+        L.set_precision("highest")
+    assert L.ACT_DTYPE is None and L.PRECISION == "highest"
+    np.testing.assert_allclose(outs["highest"][0], outs["bf16"][0], atol=5e-2)
+    np.testing.assert_allclose(outs["highest"][1], outs["bf16"][1], atol=1e-2)
