@@ -74,22 +74,106 @@ def host_sites_for_chunk(bam_paths, ref_path, chromosome, start, stop,
     return sites
 
 
-def _worker(job_queue, result_queue, bam_paths, ref_path, options):
-    """Worker loop: consume (chromosome, start, stop) jobs, emit site lists."""
+def _worker(job_queue, result_queue):
+    """Worker loop: consume (bam_paths, ref_path, options, chrom, start, stop)
+    jobs, emit site lists.  Workers are generic (the job carries the data
+    sources) so one pool serves a whole run; per-process BAM/index caches are
+    keyed by path and persist across jobs."""
     # workers never touch the accelerator
     os.environ.setdefault("JAX_PLATFORMS", "cpu")
+    # eager imports: charge module-import cost (jax + hello_tpu, seconds) to
+    # pool startup, not to the first job
+    from . import candidates as _c, hotspots as _h  # noqa: F401
+    from .. import native as _n
+    _n.load_library()
+    result_queue.put(("ready", None, None))
     while True:
         job = job_queue.get()
         if job == _SENTINEL:
-            result_queue.put(_SENTINEL)
             return
-        chromosome, start, stop = job
+        bam_paths, ref_path, options, chromosome, start, stop = job
+        region = (chromosome, start, stop)
         try:
             sites = host_sites_for_chunk(bam_paths, ref_path, chromosome,
                                          start, stop, options)
-            result_queue.put(("ok", job, sites))
+            result_queue.put(("ok", region, sites))
         except Exception as exc:  # report and continue: recovery = rerun shard
-            result_queue.put(("error", job, repr(exc)))
+            result_queue.put(("error", region, repr(exc)))
+
+
+def _require_importable_main():
+    # spawn requires an importable __main__; scripts piped via stdin hang here
+    import __main__ as _main
+    main_file = getattr(_main, "__file__", None)
+    importable = bool(getattr(_main, "__spec__", None)) or (
+        main_file is not None and os.path.exists(main_file))
+    if not importable:
+        raise RuntimeError(
+            "HostWorkerPool uses multiprocessing 'spawn', which needs an "
+            "importable __main__ — run from a file or module, not stdin")
+
+
+class HostWorkerPool:
+    """Persistent pool of host-stage worker processes.
+
+    Worker startup (process spawn + jax/hello_tpu imports) costs seconds per
+    worker; a production genome run pays it once and amortises it over
+    thousands of chunks.  Create the pool once, pass it to any number of
+    :func:`call_parallel` invocations, and ``shutdown()`` when done.
+
+    Single-consumer: one ``call_parallel`` drives the pool at a time.
+    """
+
+    def __init__(self, num_workers: int = 4):
+        _require_importable_main()
+        ctx = mp.get_context("spawn")
+        self.num_workers = num_workers
+        self._job_queue = ctx.Queue()
+        self._result_queue = ctx.Queue()
+        self._ready = 0
+        self._workers = [
+            ctx.Process(target=_worker,
+                        args=(self._job_queue, self._result_queue),
+                        daemon=True)
+            for _ in range(num_workers)]
+        for w in self._workers:
+            w.start()
+
+    def wait_ready(self, timeout: float = 300.0):
+        """Block until every worker has finished its imports."""
+        while self._ready < self.num_workers:
+            msg = self._result_queue.get(timeout=timeout)
+            assert msg[0] == "ready", msg
+            self._ready += 1
+
+    def submit(self, bam_paths, ref_path, options, chunk):
+        chromosome, start, stop = chunk
+        self._job_queue.put((list(bam_paths), ref_path, dict(options),
+                             chromosome, start, stop))
+
+    def results(self, n: int):
+        """Yield n ('ok'|'error', region, payload) messages as they arrive."""
+        got = 0
+        while got < n:
+            msg = self._result_queue.get()
+            if msg[0] == "ready":          # late startup acks interleave
+                self._ready += 1
+                continue
+            got += 1
+            yield msg
+
+    def shutdown(self):
+        for _ in self._workers:
+            self._job_queue.put(_SENTINEL)
+        for w in self._workers:
+            w.join(timeout=30)
+        self._workers = []
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.shutdown()
 
 
 def make_chunks(regions: Sequence[Tuple[str, int, int]],
@@ -111,11 +195,15 @@ def call_parallel(bam_paths: Sequence[str], ref_path: str, scorer: Scorer,
                   max_alleles_per_batch: int = 512,
                   include_hp: bool = False,
                   stats: Optional[dict] = None,
+                  pool: Optional[HostWorkerPool] = None,
                   **options) -> str:
     """Parallel genome calling into a sorted VCF.
 
     Worker processes produce SiteWork; the main process scores batches on the
     device as results stream in (device compute overlaps host production).
+
+    ``pool``: a :class:`HostWorkerPool` to reuse (caller owns shutdown);
+    without one, a transient pool of ``num_workers`` is created for the call.
     """
     ref = FastaFile(ref_path)
     if regions is None:
@@ -124,34 +212,16 @@ def call_parallel(bam_paths: Sequence[str], ref_path: str, scorer: Scorer,
     options.setdefault("include_hp", include_hp)
 
     jobs = list(make_chunks(regions, chunk_size))
-    # spawn requires an importable __main__; scripts piped via stdin hang here
-    import __main__ as _main
-    main_file = getattr(_main, "__file__", None)
-    importable = bool(getattr(_main, "__spec__", None)) or (
-        main_file is not None and os.path.exists(main_file))
-    if not importable:
-        raise RuntimeError(
-            "call_parallel uses multiprocessing 'spawn', which needs an "
-            "importable __main__ — run from a file or module, not stdin")
-    ctx = mp.get_context("spawn")
-    job_queue = ctx.Queue()
-    result_queue = ctx.Queue()
+    own_pool = pool is None
+    if own_pool:
+        pool = HostWorkerPool(num_workers)
     for job in jobs:
-        job_queue.put(job)
-    for _ in range(num_workers):
-        job_queue.put(_SENTINEL)
-    workers = [
-        ctx.Process(target=_worker, args=(job_queue, result_queue, list(bam_paths),
-                                          ref_path, options), daemon=True)
-        for _ in range(num_workers)]
-    for w in workers:
-        w.start()
+        pool.submit(bam_paths, ref_path, options, job)
 
     ref_lookup = lambda chrom, pos: ref.fetch(chrom, pos, pos + 1)
     hybrid_model = scorer.model.hybrid
     records: List[VcfRecord] = []
     failures = []
-    finished_workers = 0
     completed = 0
 
     # Pipelined scoring (as in call_region): dispatch ahead with jax async
@@ -186,12 +256,7 @@ def call_parallel(bam_paths: Sequence[str], ref_path: str, scorer: Scorer,
     # especially through remote-TPU tunnels.
     pending: List = []
     pending_alleles = 0
-    while finished_workers < num_workers:
-        msg = result_queue.get()
-        if msg == _SENTINEL:
-            finished_workers += 1
-            continue
-        status, job, payload = msg
+    for status, job, payload in pool.results(len(jobs)):
         if status == "error":
             failures.append((job, payload))
             logger.error("chunk %s failed: %s", job, payload)
@@ -217,8 +282,8 @@ def call_parallel(bam_paths: Sequence[str], ref_path: str, scorer: Scorer,
     while in_flight:
         _drain_one()
 
-    for w in workers:
-        w.join(timeout=30)
+    if own_pool:
+        pool.shutdown()
 
     if failures:
         raise RuntimeError(f"{len(failures)} chunks failed: {failures[:3]}")

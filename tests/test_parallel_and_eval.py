@@ -186,10 +186,17 @@ if __name__ == "__main__":
     scorer = load_scorer("illumina")
     call_genome([ds.bams["illumina"]], ds.fasta, scorer,
                 out_dir + "/inline.vcf", regions=[(ds.chromosome, 0, 30000)])
-    from hello_tpu.pipeline.parallel_call import call_parallel
+    from hello_tpu.pipeline.parallel_call import HostWorkerPool, call_parallel
     call_parallel([ds.bams["illumina"]], ds.fasta, scorer,
                   out_dir + "/parallel.vcf", num_workers=2, chunk_size=8000,
                   regions=[(ds.chromosome, 0, 30000)])
+    # persistent pool reused across two invocations (production amortisation)
+    with HostWorkerPool(2) as pool:
+        pool.wait_ready()
+        for name in ("pooled1.vcf", "pooled2.vcf"):
+            call_parallel([ds.bams["illumina"]], ds.fasta, scorer,
+                          out_dir + "/" + name, pool=pool, chunk_size=8000,
+                          regions=[(ds.chromosome, 0, 30000)])
     print("DRIVER_OK")
 """)
     env = dict(__import__('os').environ)
@@ -204,6 +211,10 @@ if __name__ == "__main__":
            for r in read_vcf(str(tmp_path / "parallel.vcf"))]
     assert inline, "inline caller produced no records"
     assert par == inline
+    for name in ("pooled1.vcf", "pooled2.vcf"):
+        pooled = [(r.chromosome, r.position, r.ref, tuple(r.alt), tuple(r.gt))
+                  for r in read_vcf(str(tmp_path / name))]
+        assert pooled == inline
 
 
 def test_gen_dump_combinations(tmp_path):
