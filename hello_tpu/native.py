@@ -105,6 +105,14 @@ def load_library():
         ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64, ctypes.c_char_p,
         ctypes.c_int32, ctypes.c_int, ctypes.c_int,
         ctypes.POINTER(ctypes.c_uint8), ctypes.c_int32]
+    lib.htpu_site_query.restype = ctypes.c_int32
+    lib.htpu_site_query.argtypes = [
+        ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
+        ctypes.c_int32, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.c_int32,
+        ctypes.c_char_p, ctypes.c_int64,
+        i32p, i32p, ctypes.c_int32,
+        ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64, i64p]
 
     lib.htpu_bam_open.restype = ctypes.c_void_p
     lib.htpu_bam_open.argtypes = [ctypes.c_char_p]
@@ -483,6 +491,53 @@ class NativeWindow:
                      pacbio: bool) -> int:
         return self._lib.htpu_num_supports(self._h, start, stop,
                                            allele.encode(), int(pacbio))
+
+    # site_query scratch: alleles, rows0, rows1, features (32 MB covers the
+    # 10k-read selection cap x 2 platforms at 150x7 bytes/row)
+    _site_scratch = None
+
+    def site_query(self, start: int, stop: int, feature_length: int,
+                   hybrid: bool, primary_pacbio: bool, include_hp: bool,
+                   max_allele_len: int):
+        """All supported alleles at the site with their feature tensors, in
+        one native call; returns {allele: (tensor0, tensor1|None)} or None
+        when the scratch buffers are too small (caller falls back to the
+        per-allele path)."""
+        cls = NativeWindow
+        if cls._site_scratch is None:
+            cls._site_scratch = (
+                ctypes.create_string_buffer(1 << 20),
+                np.empty(4096, np.int32),
+                np.empty(4096, np.int32),
+                np.empty(32 << 20, np.uint8),
+            )
+        names, rows0, rows1, feat = cls._site_scratch
+        used = ctypes.c_int64(0)
+        n = self._lib.htpu_site_query(
+            self._h, start, stop, feature_length, int(include_hp),
+            int(hybrid), int(primary_pacbio), max_allele_len,
+            names, len(names),
+            rows0.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            rows1.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            rows0.size,
+            feat.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), feat.size,
+            ctypes.byref(used))
+        if n < 0:
+            return None
+        channels = 7 if include_hp else 6
+        alleles = _split_strings(names.raw, n)
+        out = {}
+        view = feat[:used.value].reshape(-1, feature_length, channels)
+        row = 0
+        for i, allele in enumerate(alleles):
+            t0 = view[row:row + rows0[i]].copy()
+            row += int(rows0[i])
+            t1 = None
+            if hybrid:
+                t1 = view[row:row + rows1[i]].copy()
+                row += int(rows1[i])
+            out[allele] = (t0, t1)
+        return out
 
     def features(self, start: int, stop: int, allele: str,
                  feature_length: int, pacbio: bool,

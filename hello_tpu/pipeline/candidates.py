@@ -194,27 +194,23 @@ def _site_tensors(window: Window, record: CandidateRecord, hybrid: bool,
                   ) -> Optional[SiteWork]:
     """Tensors for one candidate record (reference trainDataTools.createTensors:880-977)."""
     start, stop = record.position, record.stop
-    window.assemble(start, stop)
+    # one batched backend query answers supports + features for every allele
+    # at the site (platform of "index 0" = the single platform's flag outside
+    # hybrid mode, reference AlleleSearcherLite.py:311 index mapping)
+    site = window.query_site(start, stop, max_allele_length)
 
     truth_alleles = set(record.alleles()[g] for g in record.gt if g >= 0)
 
     alleles, tensors0, tensors1, labels = [], [], [], []
-    # platform of "index 0": the single platform's flag outside hybrid mode
-    # (reference AlleleSearcherLite.py:311 index mapping)
-    primary_pacbio = window.pacbio
     for allele in record.alleles():
-        supports = window.num_reads_supporting_allele(allele, primary_pacbio)
-        if hybrid:
-            supports += window.num_reads_supporting_allele(allele, True)
-        if supports == 0:
-            continue
-        if len(allele) > max_allele_length:
+        hit = site.get(allele)
+        if hit is None:         # zero supports, or allele too long
             continue
         alleles.append(allele)
         labels.append(1 if allele in truth_alleles else 0)
-        tensors0.append(window.compute_features(allele, 0))
+        tensors0.append(hit[0])
         if hybrid:
-            tensors1.append(window.compute_features(allele, 1))
+            tensors1.append(hit[1])
 
     if not alleles:
         return None

@@ -16,6 +16,7 @@ from __future__ import annotations
 import logging
 import multiprocessing as mp
 import os
+import time
 from typing import List, Optional, Sequence, Tuple
 
 from ..constants import FEATURE_LENGTH
@@ -139,10 +140,31 @@ class HostWorkerPool:
         for w in self._workers:
             w.start()
 
+    def _check_alive(self):
+        dead = [w for w in self._workers if not w.is_alive()
+                and w.exitcode not in (0, None)]
+        if dead:
+            raise RuntimeError(
+                f"{len(dead)} pool worker(s) died "
+                f"(exitcodes {[w.exitcode for w in dead]}); see worker stderr")
+
+    def _get(self, timeout: float):
+        """Queue get that notices dead workers instead of blocking forever."""
+        import queue as _q
+        deadline = time.monotonic() + timeout
+        while True:
+            try:
+                return self._result_queue.get(timeout=5.0)
+            except _q.Empty:
+                self._check_alive()
+                if time.monotonic() > deadline:
+                    raise TimeoutError(
+                        f"no worker result within {timeout:.0f}s")
+
     def wait_ready(self, timeout: float = 300.0):
         """Block until every worker has finished its imports."""
         while self._ready < self.num_workers:
-            msg = self._result_queue.get(timeout=timeout)
+            msg = self._get(timeout)
             assert msg[0] == "ready", msg
             self._ready += 1
 
@@ -151,11 +173,11 @@ class HostWorkerPool:
         self._job_queue.put((list(bam_paths), ref_path, dict(options),
                              chromosome, start, stop))
 
-    def results(self, n: int):
+    def results(self, n: int, timeout: float = 3600.0):
         """Yield n ('ok'|'error', region, payload) messages as they arrive."""
         got = 0
         while got < n:
-            msg = self._result_queue.get()
+            msg = self._get(timeout)
             if msg[0] == "ready":          # late startup acks interleave
                 self._ready += 1
                 continue

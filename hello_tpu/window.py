@@ -124,6 +124,11 @@ class _NativeBackend:
         return self._w.features(start, stop, allele, feature_length, pacbio,
                                 include_hp)
 
+    def site_query(self, start, stop, feature_length, hybrid, primary_pacbio,
+                   include_hp, max_allele_len):
+        return self._w.site_query(start, stop, feature_length, hybrid,
+                                  primary_pacbio, include_hp, max_allele_len)
+
 
 def _native_available() -> bool:
     if os.environ.get("HELLO_TPU_NATIVE", "1") == "0":
@@ -341,3 +346,42 @@ class Window:
         return self._backend.features(
             self.assembly_start, self.assembly_stop, allele,
             self.feature_length, pacbio, self.include_hp)
+
+    def query_site(self, start: int, stop: int,
+                   max_allele_length: int) -> dict:
+        """All supported alleles at [start, stop) with their feature tensors
+        in one batched query: {allele: (tensor0, tensor1|None)}.
+
+        Emits every assembled allele no longer than ``max_allele_length``
+        with at least one supporting read (either platform in hybrid mode);
+        a platform with zero supports gets a single zero feature row, as in
+        :meth:`compute_features`.  The native backend answers this with a
+        single engine call; the generic path below (also the semantic
+        reference for it) composes the per-allele primitives."""
+        primary = self.pacbio
+        fast = getattr(self._backend, "site_query", None)
+        if fast is not None:
+            out = fast(start, stop, self.feature_length, self.hybrid,
+                       primary, self.include_hp, max_allele_length)
+            if out is not None:
+                return out
+        out = {}
+        for allele in sorted(self._backend.supports_at(start, stop)):
+            if len(allele) > max_allele_length:
+                continue
+            supports = self._backend.num_supports(start, stop, allele, primary)
+            if self.hybrid:
+                supports += self._backend.num_supports(start, stop, allele,
+                                                       True)
+            if supports == 0:
+                continue
+            t0 = self._backend.features(start, stop, allele,
+                                        self.feature_length, primary,
+                                        self.include_hp)
+            t1 = None
+            if self.hybrid:
+                t1 = self._backend.features(start, stop, allele,
+                                            self.feature_length, True,
+                                            self.include_hp)
+            out[allele] = (t0, t1)
+        return out

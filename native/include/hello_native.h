@@ -92,6 +92,26 @@ int32_t htpu_features(htpu_window* w, int64_t start, int64_t stop,
                       int pacbio, int include_hp,
                       uint8_t* out, int32_t max_rows);
 
+/* Batched per-site query: supported alleles at the assembled site
+ * [start, stop) with their feature tensors for one or two platforms, in a
+ * single call (replaces the per-allele num_supports+features round trips).
+ *
+ * Emits every allele in the site's support table with
+ * strlen(allele) <= max_allele_len and at least one supporting read of the
+ * primary platform (or, in hybrid mode, either platform), in lexicographic
+ * order.  Per allele i: rows0[i] rows of [feature_length x channels] uint8
+ * are appended to feat for the primary platform, then (hybrid) rows1[i]
+ * rows for PacBio; rows are >= 1 (single zero row when the platform has no
+ * support).  alleles_buf receives the \0-joined allele strings.
+ * Returns the number of alleles, or -1 if any output buffer is too small
+ * (caller falls back to per-allele queries). */
+int32_t htpu_site_query(htpu_window* w, int64_t start, int64_t stop,
+                        int32_t feature_length, int include_hp, int hybrid,
+                        int primary_pacbio, int32_t max_allele_len,
+                        char* alleles_buf, int64_t alleles_buf_len,
+                        int32_t* rows0, int32_t* rows1, int32_t max_alleles,
+                        uint8_t* feat, int64_t feat_len, int64_t* feat_used);
+
 /* ---- BAM loader ---- */
 
 typedef struct htpu_bam htpu_bam;

@@ -863,4 +863,60 @@ int32_t htpu_features(htpu_window* h, int64_t start, int64_t stop,
                          include_hp != 0, out, max_rows);
 }
 
+int32_t htpu_site_query(htpu_window* h, int64_t start, int64_t stop,
+                        int32_t feature_length, int include_hp, int hybrid,
+                        int primary_pacbio, int32_t max_allele_len,
+                        char* alleles_buf, int64_t alleles_buf_len,
+                        int32_t* rows0, int32_t* rows1, int32_t max_alleles,
+                        uint8_t* feat, int64_t feat_len, int64_t* feat_used) {
+    Window& w = h->w;
+    int channels = include_hp ? 7 : 6;
+    int64_t row_bytes = (int64_t)feature_length * channels;
+    bool primary = primary_pacbio != 0;
+
+    auto it = w.supports_in_region.find({start, stop});
+    int32_t n = 0;
+    int64_t name_used = 0, used = 0;
+    if (it != w.supports_in_region.end()) {
+        for (auto& kv : it->second) {
+            const std::string& allele = kv.first;
+            if ((int64_t)allele.size() > max_allele_len) continue;
+            int32_t c0 = 0, c1 = 0;
+            for (int32_t id : kv.second) {
+                if (w.reads[id].pacbio == primary) c0++;
+                else if (hybrid && w.reads[id].pacbio) c1++;
+            }
+            int32_t total = c0 + (hybrid ? c1 : 0);
+            if (total == 0) continue;
+            if (n >= max_alleles) return -1;
+            if (name_used + (int64_t)allele.size() + 1 > alleles_buf_len)
+                return -1;
+            // worst case rows: supports of each platform, or 1 zero row
+            int64_t need = (std::max(c0, 1) + (hybrid ? std::max(c1, 1) : 0))
+                           * row_bytes;
+            if (used + need > feat_len) return -1;
+            std::memcpy(alleles_buf + name_used, allele.c_str(),
+                        allele.size() + 1);
+            name_used += allele.size() + 1;
+            int32_t r0 = w.features(start, stop, allele, feature_length,
+                                    primary, include_hp != 0, feat + used,
+                                    std::max(c0, 1));
+            rows0[n] = r0;
+            used += (int64_t)r0 * row_bytes;
+            if (hybrid) {
+                int32_t r1 = w.features(start, stop, allele, feature_length,
+                                        true, include_hp != 0, feat + used,
+                                        std::max(c1, 1));
+                rows1[n] = r1;
+                used += (int64_t)r1 * row_bytes;
+            } else {
+                rows1[n] = 0;
+            }
+            n++;
+        }
+    }
+    *feat_used = used;
+    return n;
+}
+
 }  // extern "C"

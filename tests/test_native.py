@@ -88,6 +88,22 @@ def test_fuzz_native_vs_python(seed, hybrid):
                 fn = wn.compute_features(allele, index)
                 np.testing.assert_array_equal(fp, fn)
 
+        # batched site query: native single-call path == python generic path
+        # == the per-allele primitives above
+        sp = wp.query_site(region[0], region[1], 100)
+        sn = wn.query_site(region[0], region[1], 100)
+        assert sorted(sp) == sorted(sn)
+        for allele in sp:
+            np.testing.assert_array_equal(sp[allele][0], sn[allele][0])
+            if hybrid:
+                np.testing.assert_array_equal(sp[allele][1], sn[allele][1])
+            else:
+                assert sp[allele][1] is None and sn[allele][1] is None
+            if allele in ap:
+                wp.assemble(*region)
+                np.testing.assert_array_equal(
+                    sp[allele][0], wp.compute_features(allele, 0))
+
 
 def test_native_bam_matches_python(tmp_path):
     from hello_tpu.io.bam import BamReader
