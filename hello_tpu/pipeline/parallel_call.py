@@ -254,8 +254,14 @@ def call_parallel(bam_paths: Sequence[str], ref_path: str, scorer: Scorer,
     MAX_IN_FLIGHT = 3
     _dispatch = getattr(scorer, "score_async", scorer)
     _finalize = getattr(scorer, "finalize", lambda out: out)
+    # main-loop stage accounting (seconds), reported through ``stats``:
+    # wait = blocked on worker results (host-stage bound), pack/dispatch =
+    # batch assembly + device dispatch, drain = blocked on device results +
+    # genotype decode + record assembly (device/decode bound)
+    t_acc = {"wait_s": 0.0, "pack_s": 0.0, "dispatch_s": 0.0, "drain_s": 0.0}
 
     def _drain_one():
+        t0 = time.perf_counter()
         group, batch, out = in_flight.popleft()
         experts, meta = _finalize(out)
         calls = decode_batch(experts, meta, batch.allele_site_index, group)
@@ -263,12 +269,17 @@ def call_parallel(bam_paths: Sequence[str], ref_path: str, scorer: Scorer,
             rec = vcf_record_from_call(call, ref_lookup)
             if rec is not None:
                 records.append(rec)
+        t_acc["drain_s"] += time.perf_counter() - t0
 
     def score_group(group):
+        t0 = time.perf_counter()
         batch = pack_sites(group, hybrid=hybrid_model,
                            channels0=7 if include_hp else 6,
                            channels1=7 if include_hp else 6)
+        t1 = time.perf_counter()
+        t_acc["pack_s"] += t1 - t0
         in_flight.append((group, batch, _dispatch(batch)))
+        t_acc["dispatch_s"] += time.perf_counter() - t1
         if len(in_flight) > MAX_IN_FLIGHT:
             _drain_one()
 
@@ -278,7 +289,14 @@ def call_parallel(bam_paths: Sequence[str], ref_path: str, scorer: Scorer,
     # especially through remote-TPU tunnels.
     pending: List = []
     pending_alleles = 0
-    for status, job, payload in pool.results(len(jobs)):
+    _results = pool.results(len(jobs))
+    while True:
+        t0 = time.perf_counter()
+        msg = next(_results, None)
+        t_acc["wait_s"] += time.perf_counter() - t0
+        if msg is None:
+            break
+        status, job, payload = msg
         if status == "error":
             failures.append((job, payload))
             logger.error("chunk %s failed: %s", job, payload)
@@ -303,6 +321,8 @@ def call_parallel(bam_paths: Sequence[str], ref_path: str, scorer: Scorer,
         score_group(group)
     while in_flight:
         _drain_one()
+    if stats is not None:
+        stats.update(t_acc)
 
     if own_pool:
         pool.shutdown()
