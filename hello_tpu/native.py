@@ -42,6 +42,13 @@ class _Params(ctypes.Structure):
     ]
 
 
+# chunk-orchestrator callbacks: caller RNG draw per read selection, and
+# clamped reference-slice fetch (see native/src/chunk.cpp)
+SEED_FN = ctypes.CFUNCTYPE(ctypes.c_uint64)
+REF_FN = ctypes.CFUNCTYPE(ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+                          ctypes.POINTER(ctypes.c_char), ctypes.c_int64)
+
+
 def _try_build() -> bool:
     makefile = os.path.join(_NATIVE_DIR, "Makefile")
     if not os.path.exists(makefile):
@@ -132,6 +139,35 @@ def load_library():
         ctypes.c_int32, i32p, i32p,
         ctypes.c_char_p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
         ctypes.c_int64, ctypes.POINTER(_Params)]
+    lib.htpu_chunk_sites.restype = ctypes.c_void_p
+    lib.htpu_chunk_sites.argtypes = [
+        ctypes.POINTER(ctypes.c_void_p), ctypes.POINTER(ctypes.c_uint8),
+        i32p, ctypes.c_int32,
+        ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+        ctypes.c_int32, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+        ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.c_int32, ctypes.c_int32,
+        i32p, i32p, i32p,
+        ctypes.POINTER(_Params), SEED_FN, REF_FN]
+    lib.htpu_chunk_destroy.argtypes = [ctypes.c_void_p]
+    for name, restype in [
+        ("htpu_chunk_num_sites", ctypes.c_int64),
+        ("htpu_chunk_positions", i64p),
+        ("htpu_chunk_stops", i64p),
+        ("htpu_chunk_nalleles", i32p),
+        ("htpu_chunk_site_labels", ctypes.POINTER(ctypes.c_int8)),
+        ("htpu_chunk_alleles", ctypes.POINTER(ctypes.c_char)),
+        ("htpu_chunk_alleles_len", ctypes.c_int64),
+        ("htpu_chunk_rows0", i32p),
+        ("htpu_chunk_rows1", i32p),
+        ("htpu_chunk_labels", ctypes.POINTER(ctypes.c_int8)),
+        ("htpu_chunk_features", ctypes.POINTER(ctypes.c_uint8)),
+        ("htpu_chunk_features_len", ctypes.c_int64),
+    ]:
+        fn = getattr(lib, name)
+        fn.restype = restype
+        fn.argtypes = [ctypes.c_void_p]
+
     lib.htpu_bam_close.argtypes = [ctypes.c_void_p]
     lib.htpu_bam_num_refs.restype = ctypes.c_int32
     lib.htpu_bam_num_refs.argtypes = [ctypes.c_void_p]
@@ -554,6 +590,124 @@ class NativeWindow:
         if n >= max_rows:
             return out
         return out[:max(n, 1)]
+
+
+class ChunkSites:
+    """Raw output of the native chunk orchestrator (one call per genome
+    chunk; see native/src/chunk.cpp and htpu_chunk_sites in hello_native.h).
+
+    Arrays are copies — the native handle is freed before returning — and the
+    per-allele feature tensors are views into one contiguous buffer."""
+
+    def __init__(self, positions, stops, nalleles, site_labels, alleles,
+                 rows0, rows1, labels, features):
+        self.positions = positions
+        self.stops = stops
+        self.nalleles = nalleles
+        self.site_labels = site_labels
+        self.alleles = alleles          # flat list, \0-split, emission order
+        self.rows0 = rows0
+        self.rows1 = rows1
+        self.labels = labels
+        self.features = features        # flat uint8, all rows concatenated
+
+
+def chunk_sites(bams: Sequence["NativeBam"], chromosome: str,
+                chunk_start: int, chunk_stop: int, chrom_len: int,
+                ref_fetch, rng, *,
+                subchunk_size: int, hybrid: bool, pacbio: bool,
+                hybrid_hotspot: bool, include_hp: bool,
+                feature_length: int, max_allele_len: int,
+                hs_max_reads: Sequence[int],
+                cand_cap: Sequence[int], cand_per: Sequence[int],
+                q_threshold: int = 10, min_mapq: int = 10,
+                reassembly_size: int = 10,
+                min_distance: int = 30, flanking: int = 75,
+                max_items_per_group: int = 1024) -> ChunkSites:
+    """Run the whole per-chunk candidate pipeline natively.
+
+    ``ref_fetch(start, stop) -> str`` must implement FastaFile.fetch clamping;
+    ``rng`` supplies the selection seeds (one ``randrange(2**62)`` per BAM per
+    selection, identical to the Python driver's draw order)."""
+    lib = load_library()
+    assert lib is not None, "native library unavailable"
+    n_bams = len(bams)
+
+    params = _Params()
+    lib.htpu_default_params(ctypes.byref(params))
+    params.min_mapq = min_mapq
+    params.q_threshold = q_threshold
+    params.max_reassembly_region_size = reassembly_size
+
+    handles = (ctypes.c_void_p * n_bams)(*[b._h for b in bams])
+    pb_flags = np.asarray([1 if b.pacbio else 0 for b in bams], np.uint8)
+    rids = np.asarray([(-1 if b.ref_id(chromosome) is None
+                        else b.ref_id(chromosome)) for b in bams], np.int32)
+    hs_arr = np.asarray(hs_max_reads, np.int32)
+    cap_arr = np.asarray(cand_cap, np.int32)
+    per_arr = np.asarray(cand_per, np.int32)
+
+    # ctypes swallows callback exceptions (returning 0), which would corrupt
+    # results silently — record and re-raise after the native call instead
+    callback_errors: List[BaseException] = []
+
+    @SEED_FN
+    def _seed():
+        try:
+            return rng.randrange(2 ** 62)
+        except BaseException as exc:  # noqa: BLE001
+            callback_errors.append(exc)
+            return 0
+
+    @REF_FN
+    def _ref(start, stop, out, cap):
+        try:
+            data = ref_fetch(start, stop).encode()
+        except BaseException as exc:  # noqa: BLE001
+            callback_errors.append(exc)
+            return 0
+        n = min(len(data), cap)
+        ctypes.memmove(out, data, n)
+        return n
+
+    def ptr(arr, typ):
+        return arr.ctypes.data_as(ctypes.POINTER(typ))
+
+    h = lib.htpu_chunk_sites(
+        handles, ptr(pb_flags, ctypes.c_uint8), ptr(rids, ctypes.c_int32),
+        n_bams, chunk_start, chunk_stop, chrom_len,
+        subchunk_size, min_distance, flanking, max_items_per_group,
+        int(hybrid), int(pacbio), int(hybrid_hotspot), int(include_hp),
+        feature_length, max_allele_len,
+        ptr(hs_arr, ctypes.c_int32), ptr(cap_arr, ctypes.c_int32),
+        ptr(per_arr, ctypes.c_int32),
+        ctypes.byref(params), _seed, _ref)
+    if callback_errors:
+        if h:
+            lib.htpu_chunk_destroy(h)
+        raise callback_errors[0]
+    assert h, "native chunk orchestration failed"
+    try:
+        n = lib.htpu_chunk_num_sites(h)
+        positions = _as_array(lib.htpu_chunk_positions(h), n, np.int64).copy()
+        stops = _as_array(lib.htpu_chunk_stops(h), n, np.int64).copy()
+        nalleles = _as_array(lib.htpu_chunk_nalleles(h), n, np.int32).copy()
+        site_labels = _as_array(lib.htpu_chunk_site_labels(h), n,
+                                np.int8).copy()
+        total = int(nalleles.sum()) if n else 0
+        rows0 = _as_array(lib.htpu_chunk_rows0(h), total, np.int32).copy()
+        rows1 = _as_array(lib.htpu_chunk_rows1(h), total, np.int32).copy()
+        labels = _as_array(lib.htpu_chunk_labels(h), total, np.int8).copy()
+        a_len = lib.htpu_chunk_alleles_len(h)
+        raw = ctypes.string_at(lib.htpu_chunk_alleles(h), a_len) if a_len else b""
+        alleles = raw.decode().split("\0")[:-1] if a_len else []
+        f_len = lib.htpu_chunk_features_len(h)
+        features = _as_array(lib.htpu_chunk_features(h), f_len,
+                             np.uint8).copy()
+    finally:
+        lib.htpu_chunk_destroy(h)
+    return ChunkSites(positions, stops, nalleles, site_labels, alleles,
+                      rows0, rows1, labels, features)
 
 
 def _split_strings(raw: bytes, n: int) -> List[str]:

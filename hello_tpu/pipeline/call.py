@@ -157,34 +157,46 @@ def call_region(bam_paths: Sequence[str], ref: FastaFile, chromosome: str,
     hybrid = len(bam_paths) > 1
     rng = random.Random(seed)
 
-    with telemetry.stage("hotspot_detection"):
-        hotspot_sources = make_read_sources(bam_paths, pacbio, for_hotspots=True, rng=rng,
-                                            region=(chromosome, start, stop))
-        positions = detect_hotspots(
-            hotspot_sources, ref, chromosome, start, stop, pacbio=pacbio,
-            hybrid_hotspot=hybrid_hotspot, q_threshold=q_threshold, min_mapq=min_mapq)
-    logger.info("%s:%d-%d: %d hotspot positions", chromosome, start, stop, len(positions))
-    if not positions:
-        return []
+    # fast path: the whole host pipeline in one native call per region
+    # (identical output to the staged path below; tests/test_native_chunk.py)
+    from .candidates import native_chunk_site_work
+    with telemetry.stage("host_sites_native"):
+        sites = native_chunk_site_work(
+            [str(p) for p in bam_paths], ref, chromosome, start, stop,
+            dict(pacbio=pacbio, include_hp=include_hp,
+                 hybrid_hotspot=hybrid_hotspot, q_threshold=q_threshold,
+                 min_mapq=min_mapq, reassembly_size=reassembly_size,
+                 feature_length=feature_length), rng)
 
-    with telemetry.stage("candidate_intervals"):
-        active = cluster_hotspots(positions)
-        sources = make_read_sources(bam_paths, pacbio, rng=rng,
-                                    region=(chromosome, start, stop))
-        intervals, windows = candidate_intervals(
-            sources, ref, chromosome, active, pacbio=pacbio,
-            hybrid_hotspot=hybrid_hotspot, q_threshold=q_threshold,
-            min_mapq=min_mapq, include_hp=include_hp,
-            reassembly_size=reassembly_size, provide_windows=True)
-    logger.info("%s: %d candidate intervals", chromosome, len(intervals))
+    if sites is None:
+        with telemetry.stage("hotspot_detection"):
+            hotspot_sources = make_read_sources(bam_paths, pacbio, for_hotspots=True, rng=rng,
+                                                region=(chromosome, start, stop))
+            positions = detect_hotspots(
+                hotspot_sources, ref, chromosome, start, stop, pacbio=pacbio,
+                hybrid_hotspot=hybrid_hotspot, q_threshold=q_threshold, min_mapq=min_mapq)
+        logger.info("%s:%d-%d: %d hotspot positions", chromosome, start, stop, len(positions))
+        if not positions:
+            return []
 
-    with telemetry.stage("site_generation"):
-        sites = [s for s in generate_sites(
-        sources, ref, chromosome, intervals, windows=windows, pacbio=pacbio,
-        include_hp=include_hp, hybrid_hotspot=hybrid_hotspot,
-        feature_length=feature_length, q_threshold=q_threshold,
-            min_mapq=min_mapq, reassembly_size=reassembly_size)
-            if s is not None and s.alleles]
+        with telemetry.stage("candidate_intervals"):
+            active = cluster_hotspots(positions)
+            sources = make_read_sources(bam_paths, pacbio, rng=rng,
+                                        region=(chromosome, start, stop))
+            intervals, windows = candidate_intervals(
+                sources, ref, chromosome, active, pacbio=pacbio,
+                hybrid_hotspot=hybrid_hotspot, q_threshold=q_threshold,
+                min_mapq=min_mapq, include_hp=include_hp,
+                reassembly_size=reassembly_size, provide_windows=True)
+        logger.info("%s: %d candidate intervals", chromosome, len(intervals))
+
+        with telemetry.stage("site_generation"):
+            sites = [s for s in generate_sites(
+                sources, ref, chromosome, intervals, windows=windows, pacbio=pacbio,
+                include_hp=include_hp, hybrid_hotspot=hybrid_hotspot,
+                feature_length=feature_length, q_threshold=q_threshold,
+                min_mapq=min_mapq, reassembly_size=reassembly_size)
+                if s is not None and s.alleles]
     logger.info("%s: %d scorable sites", chromosome, len(sites))
     if stats is not None:
         stats["sites"] = stats.get("sites", 0) + len(sites)

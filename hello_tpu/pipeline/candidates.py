@@ -188,6 +188,106 @@ def generate_sites(read_sources: Sequence[ReadSource], ref: FastaFile,
                                     ref_view, channels)
 
 
+def native_chunk_site_work(bam_paths: Sequence[str], ref: FastaFile,
+                           chromosome: str, start: int, stop: int,
+                           options: Dict, rng) -> Optional[List[SiteWork]]:
+    """All host stages for one genome chunk in a single native call
+    (native/src/chunk.cpp), returning the same SiteWork list as the staged
+    Python pipeline (hotspots -> candidate intervals -> generate_sites) —
+    tests/test_native_chunk.py asserts exact equivalence.
+
+    Returns None when the native fast path is unavailable (library not built,
+    a non-native BAM reader, or ``HELLO_TPU_NATIVE_CHUNK=0``), in which case
+    the caller runs the staged pipeline."""
+    import os as _os
+    if _os.environ.get("HELLO_TPU_NATIVE_CHUNK", "1") == "0":
+        return None
+    try:
+        from .. import native
+        if not native.available():
+            return None
+    except Exception:
+        return None
+    from ..constants import (
+        CHUNK_SIZE_ILLUMINA, CHUNK_SIZE_PACBIO, MAX_ITEMS_PER_GROUP_CALL,
+        MAX_NUM_READS_ILLUMINA, MAX_NUM_READS_PACBIO, READ_RATE_ILLUMINA,
+        READ_RATE_PACBIO,
+    )
+    from .hotspots import REGION_OPEN_FLANK, _open_bam
+
+    pacbio = options.get("pacbio", False)
+    hybrid = len(bam_paths) > 1
+    region = (chromosome, max(int(start) - REGION_OPEN_FLANK, 0),
+              int(stop) + REGION_OPEN_FLANK)
+    bams, hs_max, cap, per = [], [], [], []
+    for i, path in enumerate(bam_paths):
+        is_pb = (i > 0) if hybrid else pacbio
+        bam = _open_bam(path, is_pb, region=region)
+        if not isinstance(bam, native.NativeBam):
+            return None
+        bams.append(bam)
+        hs_max.append(MAX_NUM_READS_PACBIO if is_pb else MAX_NUM_READS_ILLUMINA)
+        rate = READ_RATE_PACBIO if is_pb else READ_RATE_ILLUMINA
+        cap.append(rate[0])
+        per.append(rate[1])
+
+    feature_length = options.get("feature_length", FEATURE_LENGTH)
+    include_hp = options.get("include_hp", False)
+    channels = 7 if include_hp else 6
+    row_bytes = feature_length * channels
+
+    out = native.chunk_sites(
+        bams, chromosome, start, stop, ref.length(chromosome),
+        lambda a, b: ref.fetch(chromosome, a, b), rng,
+        subchunk_size=(CHUNK_SIZE_PACBIO if (pacbio or hybrid)
+                       else CHUNK_SIZE_ILLUMINA),
+        hybrid=hybrid, pacbio=pacbio,
+        hybrid_hotspot=options.get("hybrid_hotspot", False),
+        include_hp=include_hp,
+        feature_length=feature_length, max_allele_len=MAX_ALLELE_LENGTH,
+        hs_max_reads=hs_max, cand_cap=cap, cand_per=per,
+        q_threshold=options.get("q_threshold", 10),
+        min_mapq=options.get("min_mapq", 10),
+        reassembly_size=options.get("reassembly_size", 10),
+        min_distance=MIN_DISTANCE, flanking=FLANKING_BASES,
+        max_items_per_group=MAX_ITEMS_PER_GROUP_CALL)
+
+    feat = out.features
+    sites: List[SiteWork] = []
+    a_off = 0
+    f_off = 0
+    L = feature_length
+    for si in range(len(out.positions)):
+        na = int(out.nalleles[si])
+        alleles = out.alleles[a_off:a_off + na]
+        tensors0, tensors1 = [], []
+        labels = []
+        for k in range(na):
+            r0 = int(out.rows0[a_off + k])
+            tensors0.append(feat[f_off:f_off + r0 * row_bytes]
+                            .reshape(r0, L, channels))
+            f_off += r0 * row_bytes
+            if hybrid:
+                r1 = int(out.rows1[a_off + k])
+                tensors1.append(feat[f_off:f_off + r1 * row_bytes]
+                                .reshape(r1, L, channels))
+                f_off += r1 * row_bytes
+            labels.append(int(out.labels[a_off + k]))
+        pos = int(out.positions[si])
+        site_stop = int(out.stops[si])
+        mid = (pos + site_stop) // 2
+        left = mid - L // 2
+        seg = one_hot_ref_segment(ref.fetch(chromosome, left, left + L))
+        sites.append(SiteWork(
+            chromosome=chromosome, start=pos, stop=site_stop,
+            alleles=alleles, tensors0=tensors0,
+            tensors1=tensors1 if hybrid else None,
+            ref_segment=seg, labels=labels,
+            site_label=int(out.site_labels[si])))
+        a_off += na
+    return sites
+
+
 def _site_tensors(window: Window, record: CandidateRecord, hybrid: bool,
                   include_hp: bool, feature_length: int,
                   max_allele_length: int, ref_view, channels: int

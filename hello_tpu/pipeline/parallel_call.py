@@ -41,6 +41,15 @@ def host_sites_for_chunk(bam_paths, ref_path, chromosome, start, stop,
 
     ref = FastaFile(ref_path)
     rng = random.Random(options.get("seed", 13))
+
+    # fast path: the entire chunk pipeline in one native call (identical
+    # output to the staged pipeline below — see tests/test_native_chunk.py)
+    from .candidates import native_chunk_site_work
+    fast = native_chunk_site_work([str(p) for p in bam_paths], ref,
+                                  chromosome, start, stop, options, rng)
+    if fast is not None:
+        return fast
+
     pacbio = options.get("pacbio", False)
     kwargs = dict(
         pacbio=pacbio,

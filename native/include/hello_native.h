@@ -168,6 +168,53 @@ htpu_window* htpu_window_create_from_bam(
 int32_t htpu_bam_selection_bounds(htpu_bam* b, const int32_t* idx, int32_t n,
                                   int64_t* min_start, int64_t* max_end);
 
+/* ---- chunk-level orchestrator ---- */
+
+/* Caller-supplied RNG draw for a read selection (one call per BAM per
+ * selection, in driver order — keeps reservoir sampling bit-identical to the
+ * Python orchestration). */
+typedef uint64_t (*htpu_seed_fn)(void);
+/* Reference slice [start, stop) with FastaFile.fetch clamping; writes at most
+ * cap bytes into out and returns the number written. */
+typedef int64_t (*htpu_ref_fn)(int64_t start, int64_t stop, char* out,
+                               int64_t cap);
+
+typedef struct htpu_chunk htpu_chunk;
+
+/* The whole per-chunk candidate pipeline (hotspots -> active regions ->
+ * candidate intervals -> assembly -> per-site featurization) in one call.
+ * Mirrors hello_tpu/pipeline/{hotspots,candidates}.py exactly (fuzz-verified);
+ * see chunk.cpp.  Returns a result handle (never NULL). */
+htpu_chunk* htpu_chunk_sites(
+    htpu_bam** bams, const uint8_t* bam_pacbio, const int32_t* bam_rids,
+    int32_t n_bams,
+    int64_t chunk_start, int64_t chunk_stop, int64_t chrom_len,
+    int32_t subchunk_size, int32_t min_distance, int32_t flanking,
+    int32_t max_items_per_group,
+    int hybrid, int pacbio, int hybrid_hotspot, int include_hp,
+    int32_t feature_length, int32_t max_allele_len,
+    const int32_t* hs_max_reads,
+    const int32_t* cand_cap, const int32_t* cand_per,
+    const htpu_params* params,
+    htpu_seed_fn next_seed, htpu_ref_fn ref_fetch);
+
+void htpu_chunk_destroy(htpu_chunk* r);
+int64_t htpu_chunk_num_sites(htpu_chunk* r);
+const int64_t* htpu_chunk_positions(htpu_chunk* r);  /* [n_sites] */
+const int64_t* htpu_chunk_stops(htpu_chunk* r);      /* [n_sites] */
+const int32_t* htpu_chunk_nalleles(htpu_chunk* r);   /* [n_sites] */
+const int8_t* htpu_chunk_site_labels(htpu_chunk* r); /* [n_sites] */
+/* per emitted allele (total = sum(nalleles)), in emission order: */
+const char* htpu_chunk_alleles(htpu_chunk* r);       /* \0-joined strings */
+int64_t htpu_chunk_alleles_len(htpu_chunk* r);
+const int32_t* htpu_chunk_rows0(htpu_chunk* r);
+const int32_t* htpu_chunk_rows1(htpu_chunk* r);
+const int8_t* htpu_chunk_labels(htpu_chunk* r);
+/* feature rows, per allele: rows0 then (hybrid) rows1 rows of
+ * [feature_length x channels] uint8 */
+const uint8_t* htpu_chunk_features(htpu_chunk* r);
+int64_t htpu_chunk_features_len(htpu_chunk* r);
+
 #ifdef __cplusplus
 }
 #endif
