@@ -20,6 +20,18 @@ namespace {
 
 static const char SEQ_CODES[] = "=ACMGRSVTWYHKDBN";
 
+// byte -> two decoded bases (high nibble first), for bulk seq decode
+struct SeqLut {
+    char pair[256][2];
+    SeqLut() {
+        for (int b = 0; b < 256; b++) {
+            pair[b][0] = SEQ_CODES[b >> 4];
+            pair[b][1] = SEQ_CODES[b & 0xF];
+        }
+    }
+};
+static const SeqLut SEQ_LUT;
+
 struct BamData {
     std::vector<std::string> ref_names;
     std::vector<int64_t> ref_lens;
@@ -37,6 +49,11 @@ struct BamData {
     std::vector<int8_t> hps;
     std::string names;
     std::vector<int64_t> name_offsets{0};
+
+    // select fast path: with coordinate-sorted records, overlap queries
+    // binary-search [start - max_span, stop) instead of scanning every read
+    bool pos_sorted = true;
+    int64_t max_span = 0;
 };
 
 bool bgzf_decompress(const char* path, std::vector<uint8_t>& out) {
@@ -342,20 +359,29 @@ void append_record(BamData& d, const uint8_t* rec, size_t block_size) {
     d.name_offsets.push_back((int64_t)d.names.size());
     off += l_read_name;
 
-    std::vector<uint32_t> cigars(n_cigar);
+    static thread_local std::vector<uint32_t> cigars;  // per-record scratch
+    cigars.resize(n_cigar);
     if (n_cigar)
         std::memcpy(cigars.data(), rec + off, (size_t)n_cigar * 4);
     off += 4 * (size_t)n_cigar;
 
-    for (int32_t i = 0; i < l_seq; i++) {
-        uint8_t byte = rec[off + i / 2];
-        int code = (i % 2 == 0) ? (byte >> 4) : (byte & 0xF);
-        d.seqs.push_back(SEQ_CODES[code]);
+    {   // bulk nibble decode: two bases per input byte via LUT
+        size_t base = d.seqs.size();
+        d.seqs.resize(base + (size_t)l_seq);
+        char* dst = &d.seqs[base];
+        int32_t pairs = l_seq / 2;
+        for (int32_t i = 0; i < pairs; i++)
+            std::memcpy(dst + 2 * i, SEQ_LUT.pair[rec[off + i]], 2);
+        if (l_seq & 1)
+            dst[l_seq - 1] = SEQ_LUT.pair[rec[off + pairs]][0];
     }
     off += (size_t)(l_seq + 1) / 2;
-    for (int32_t i = 0; i < l_seq; i++) {
-        uint8_t q = rec[off + i];
-        d.quals.push_back(q == 0xFF ? 30 : q);
+    {   // bulk qual copy; 0xFF ("missing") -> 30 patched after the copy
+        size_t base = d.quals.size();
+        d.quals.insert(d.quals.end(), rec + off, rec + off + l_seq);
+        uint8_t* q = d.quals.data() + base;
+        for (int32_t i = 0; i < l_seq; i++)
+            if (q[i] == 0xFF) q[i] = 30;
     }
     off += (size_t)l_seq;
     d.seq_offsets.push_back((int64_t)d.seqs.size());
@@ -377,6 +403,12 @@ void append_record(BamData& d, const uint8_t* rec, size_t block_size) {
     d.cigar_offsets.push_back((int64_t)d.cigars.size());
 
     d.hps.push_back(parse_hp(rec + off, block_size - off));
+    if (!d.ref_ids.empty()) {
+        int32_t prid = d.ref_ids.back();
+        if (rid < prid || (rid == prid && p < d.ref_starts.back()))
+            d.pos_sorted = false;
+    }
+    d.max_span = std::max(d.max_span, ref_span);
     d.ref_ids.push_back(rid);
     d.ref_starts.push_back(p);
     d.ref_ends.push_back(p + ref_span);
@@ -557,7 +589,30 @@ int32_t htpu_bam_select(htpu_bam* b, int32_t ref_id, int64_t start,
     std::unordered_set<std::string> seen;
     std::mt19937_64 rng(seed);
     int64_t encountered = 0;
-    for (int64_t i = 0; i < (int64_t)d.ref_ids.size(); i++) {
+    // coordinate-sorted records: binary-search the candidate index range
+    // (ref_id, ref_start) in [(ref_id, start - max_span), (ref_id, stop))
+    int64_t lo = 0, hi = (int64_t)d.ref_ids.size();
+    if (d.pos_sorted) {
+        auto key_less = [&](int64_t i, int32_t rid, int64_t pos) {
+            return d.ref_ids[i] != rid ? d.ref_ids[i] < rid
+                                       : d.ref_starts[i] < pos;
+        };
+        int64_t a = 0, b2 = hi;
+        while (a < b2) {
+            int64_t m = (a + b2) / 2;
+            if (key_less(m, ref_id, start - d.max_span)) a = m + 1;
+            else b2 = m;
+        }
+        lo = a;
+        b2 = hi;
+        while (a < b2) {
+            int64_t m = (a + b2) / 2;
+            if (key_less(m, ref_id, stop)) a = m + 1;
+            else b2 = m;
+        }
+        hi = a;
+    }
+    for (int64_t i = lo; i < hi; i++) {
         if (d.ref_ids[i] != ref_id) continue;
         if (!(d.ref_starts[i] < stop && d.ref_ends[i] > start)) continue;
         uint16_t f = d.flags[i];

@@ -26,10 +26,11 @@ enum { OP_M = 0, OP_I = 1, OP_D = 2, OP_N = 3, OP_S = 4, OP_H = 5, OP_P = 6,
 
 using AlleleKey = std::pair<std::string, std::string>;
 
+// Sparse per-position alt/partial tables: only positions where some read
+// disagrees with the reference own one (a few per hundred bases), so the
+// dense per-position triple-map layout this replaces paid ~160 bytes of
+// construction + destruction per position per platform for nothing.
 struct AlleleCounts {
-    int64_t pos = 0;
-    int32_t ref_count = 0;
-    int32_t total = 0;
     std::map<AlleleKey, int32_t> alt;
     std::map<AlleleKey, int32_t> left_partial;
     std::map<AlleleKey, int32_t> right_partial;
@@ -101,8 +102,15 @@ struct ReadAlignment {
     int32_t read_id;
     const ReadView* rv;
     int64_t base_pos = 0;               // rv->ref_start - 1 (leading-INS anchor)
-    std::vector<std::string> pair_vec;
-    std::vector<int32_t> qual_vec;
+    // dense per-position entries (index = pos - base_pos): bytes live
+    // concatenated in `buf`, each position holding (offset, length) into it.
+    // One heap buffer per read instead of a std::string per position — the
+    // per-position string headers dominated assemble-time profiles.  The
+    // int arrays share one uninitialized allocation (present_vec gates every
+    // read, so only it needs zero-fill).
+    std::string buf;
+    std::unique_ptr<int32_t[]> scratch;
+    int32_t *ent_off = nullptr, *ent_len = nullptr, *qual_vec = nullptr;
     std::vector<uint8_t> present_vec;
     int64_t last_position = -1;
     bool partial_start = false, partial_stop = false;
@@ -127,13 +135,20 @@ struct ReadAlignment {
         }
         base_pos = rv->ref_start - 1;
         size_t span = (size_t)ref_span + 2;
-        pair_vec.resize(span);
-        qual_vec.assign(span, 0);
+        buf.clear();
+        buf.reserve((size_t)rv->seq_len + 8);
+        scratch.reset(new int32_t[3 * span]);
+        ent_off = scratch.get();
+        ent_len = ent_off + span;
+        qual_vec = ent_len + span;
         present_vec.assign(span, 0);
 
-        auto set_pair = [&](int64_t pos, std::string&& s, int32_t q) {
+        auto set_pair = [&](int64_t pos, const char* s, size_t len,
+                            int32_t q) {
             size_t i = (size_t)(pos - base_pos);
-            pair_vec[i] = std::move(s);
+            ent_off[i] = (int32_t)buf.size();
+            ent_len[i] = (int32_t)len;
+            if (len) buf.append(s, len);
             qual_vec[i] = q;
             present_vec[i] = 1;
         };
@@ -147,8 +162,7 @@ struct ReadAlignment {
             switch (op) {
                 case OP_M: case OP_EQ: case OP_X:
                     for (int64_t i = 0; i < len; i++) {
-                        set_pair(ref_ptr + i,
-                                 std::string(1, rv->seq[rd_ptr + i]),
+                        set_pair(ref_ptr + i, rv->seq + rd_ptr + i, 1,
                                  rv->qual[rd_ptr + i]);
                         last_position = ref_ptr + i;
                     }
@@ -156,7 +170,7 @@ struct ReadAlignment {
                     break;
                 case OP_D:
                     for (int64_t i = 0; i < len; i++) {
-                        set_pair(ref_ptr + i, std::string(), 60);
+                        set_pair(ref_ptr + i, nullptr, 0, 60);
                         last_position = ref_ptr + i;
                     }
                     ref_ptr += len;
@@ -165,17 +179,26 @@ struct ReadAlignment {
                     ref_ptr += len;
                     break;
                 case OP_I: {
-                    std::string ins(rv->seq + rd_ptr, (size_t)len);
                     int64_t anchor = ref_ptr - 1;
                     size_t ai = (size_t)(anchor - base_pos);
                     int32_t mq = 255;
                     for (int64_t i = 0; i < len; i++)
                         mq = std::min(mq, (int32_t)rv->qual[rd_ptr + i]);
                     if (!present_vec[ai]) {
-                        set_pair(anchor, std::move(ins), mq);
+                        set_pair(anchor, rv->seq + rd_ptr, (size_t)len, mq);
                         partial_start = true;
                     } else {
-                        pair_vec[ai] += ins;
+                        // append to the anchor's entry: it is at the buffer
+                        // tail in CIGAR order except after an N skip —
+                        // relocate to the tail first in that (rare) case
+                        if (ent_off[ai] + ent_len[ai] != (int32_t)buf.size()) {
+                            std::string tmp = buf.substr(
+                                (size_t)ent_off[ai], (size_t)ent_len[ai]);
+                            ent_off[ai] = (int32_t)buf.size();
+                            buf += tmp;
+                        }
+                        buf.append(rv->seq + rd_ptr, (size_t)len);
+                        ent_len[ai] += (int32_t)len;
                         qual_vec[ai] = std::min(qual_vec[ai], mq);
                         if (ci == rv->n_cigars - 1) partial_stop = true;
                     }
@@ -205,14 +228,15 @@ struct ReadAlignment {
         else if (!has_pair(stop - 1)) status = 2;
         else if (!has_pair(stop)) status = partial_stop ? 2 : 0;
         else status = 0;
-        if (has_pair(start) && pair_vec[(size_t)(start - base_pos)].empty())
+        if (has_pair(start) && ent_len[(size_t)(start - base_pos)] == 0)
             status = 3;
-        if (has_pair(stop - 1) && pair_vec[(size_t)(stop - 1 - base_pos)].empty())
+        if (has_pair(stop - 1) && ent_len[(size_t)(stop - 1 - base_pos)] == 0)
             status = 3;
         for (int64_t i = start; i < stop; i++) {
             if (has_pair(i)) {
-                bases += pair_vec[(size_t)(i - base_pos)];
-                min_q = std::min(min_q, qual_vec[(size_t)(i - base_pos)]);
+                size_t k = (size_t)(i - base_pos);
+                bases.append(buf.data() + ent_off[k], (size_t)ent_len[k]);
+                min_q = std::min(min_q, qual_vec[k]);
             }
         }
         return status;
@@ -240,11 +264,19 @@ struct Window {
     htpu_params params;
 
     std::vector<ReadView> reads;
-    std::vector<std::string> seq_store;       // owned copies
-    std::vector<std::vector<uint8_t>> qual_store;
-    std::vector<std::vector<uint32_t>> cigar_store;
+    // owned read payloads, contiguous (ReadViews point into these; filled
+    // completely before views are built, so no reallocation invalidates them)
+    std::string seqs_buf;
+    std::vector<uint8_t> quals_buf;
+    std::vector<uint32_t> cigars_buf;
 
-    std::vector<AlleleCounts> counts_i, counts_p;
+    // per-platform counts: dense ref/total coverage + sparse alt tables
+    struct PlatformCounts {
+        std::vector<int32_t> total;                     // [ref len + 1]
+        std::unordered_map<int64_t, AlleleCounts> sparse;  // window-rel idx
+        bool any = false;                                // any read counted
+    };
+    PlatformCounts counts_i, counts_p;
     std::vector<std::unique_ptr<ReadAlignment>> alignments;
     std::map<std::pair<int64_t, int64_t>, std::set<std::string>> alleles_in_regions;
     std::map<std::pair<int64_t, int64_t>,
@@ -274,46 +306,64 @@ struct Window {
     }
 
     void count_reads() {
-        counts_i.resize(reference.size());
-        counts_p.resize(reference.size());
-        for (size_t i = 0; i < reference.size(); i++) {
-            counts_i[i].pos = (int64_t)i + window_start;
-            counts_p[i].pos = (int64_t)i + window_start;
-        }
+        // `total` is accumulated as a difference array (one +1/-1 per M run
+        // instead of one increment per base) and prefix-summed once at the
+        // end; match/mismatch detection compares 8 reference bytes at a time
+        // (mismatches are ~1% of bases).
         for (auto& rv : reads) {
             if (rv.mapq < params.min_mapq) continue;
             auto& counts = rv.pacbio ? counts_p : counts_i;
+            if (!counts.any) {
+                counts.total.assign(reference.size() + 1, 0);
+                counts.any = true;
+            }
             int inc = rv.pacbio ? 1 : 2;
             int64_t rf = rv.ref_start - window_start;
             int64_t rd = 0;
             if (rf <= 0) continue;  // unanchorable at the window edge
+            auto alt_at = [&](int64_t i) -> AlleleCounts& {
+                return counts.sparse[i];
+            };
             for (int64_t ci = 0; ci < rv.n_cigars; ci++) {
                 uint32_t c = rv.cigars[ci];
                 int op = c & 0xF;
                 int64_t len = c >> 4;
                 switch (op) {
-                    case OP_M: case OP_EQ: case OP_X:
-                        for (int64_t j = 0; j < len; j++) {
-                            AlleleCounts& cnt = counts[rf + j];
-                            if (rv.seq[rd + j] != reference[rf + j]) {
-                                add_to_count(cnt, std::string(1, reference[rf + j]),
-                                             std::string(1, rv.seq[rd + j]),
-                                             rv.qual, rd + j, 1, false, false, 1);
-                            } else {
-                                cnt.ref_count++;
+                    case OP_M: case OP_EQ: case OP_X: {
+                        counts.total[rf]++;
+                        counts.total[rf + len]--;
+                        const char* s = rv.seq + rd;
+                        const char* r = reference.data() + rf;
+                        int64_t j = 0;
+                        while (j < len) {
+                            while (j + 8 <= len) {
+                                uint64_t a, b;
+                                std::memcpy(&a, s + j, 8);
+                                std::memcpy(&b, r + j, 8);
+                                if (a != b) break;
+                                j += 8;
                             }
-                            cnt.total++;
+                            int64_t lim = std::min(j + 8, len);
+                            if (j >= len) break;
+                            for (; j < lim; j++) {
+                                if (s[j] != r[j])
+                                    add_to_count(alt_at(rf + j),
+                                                 std::string(1, r[j]),
+                                                 std::string(1, s[j]),
+                                                 rv.qual, rd + j, 1,
+                                                 false, false, 1);
+                            }
                         }
                         rd += len; rf += len;
                         break;
+                    }
                     case OP_D: {
-                        AlleleCounts& cnt = counts[rf - 1];
                         std::string ref_allele = reference.substr(rf - 1, len + 1);
                         std::string read_allele = rd > 0
                             ? std::string(1, rv.seq[rd - 1])
                             : std::string(1, reference[rf - 1]);
-                        add_to_count(cnt, ref_allele, read_allele, rv.qual,
-                                     rd - 1, 1, false, false, inc);
+                        add_to_count(alt_at(rf - 1), ref_allele, read_allele,
+                                     rv.qual, rd - 1, 1, false, false, inc);
                         rf += len;
                         break;
                     }
@@ -321,23 +371,23 @@ struct Window {
                         rf += len;
                         break;
                     case OP_I: {
-                        AlleleCounts& cnt = counts[rf - 1];
                         std::string ref_allele(1, reference[rf - 1]);
                         if (ci == 0) {
-                            add_to_count(cnt, ref_allele,
+                            add_to_count(alt_at(rf - 1), ref_allele,
                                          std::string(rv.seq + rd, (size_t)len),
                                          rv.qual, rd, len, true, true, inc);
-                            cnt.total++;
+                            counts.total[rf - 1]++;
+                            counts.total[rf]--;
                         } else if (ci == rv.n_cigars - 1 && rd > 0) {
-                            add_to_count(cnt, ref_allele,
+                            add_to_count(alt_at(rf - 1), ref_allele,
                                          std::string(rv.seq + rd - 1, (size_t)len + 1),
                                          rv.qual, rd - 1, len + 1, true, false, inc);
                         } else if (rd > 0) {
-                            add_to_count(cnt, ref_allele,
+                            add_to_count(alt_at(rf - 1), ref_allele,
                                          std::string(rv.seq + rd - 1, (size_t)len + 1),
                                          rv.qual, rd - 1, len + 1, false, false, inc);
                         } else {
-                            add_to_count(cnt, ref_allele,
+                            add_to_count(alt_at(rf - 1), ref_allele,
                                          ref_allele + std::string(rv.seq + rd, (size_t)len),
                                          rv.qual, rd, len, false, false, inc);
                         }
@@ -352,32 +402,42 @@ struct Window {
                 }
             }
         }
-        for (auto& c : counts_i) c.resolve_partials();
-        for (auto& c : counts_p) c.resolve_partials();
+        for (auto* pc : {&counts_i, &counts_p}) {
+            if (!pc->any) continue;
+            int32_t run = 0;
+            for (size_t i = 0; i < pc->total.size(); i++) {
+                run += pc->total[i];
+                pc->total[i] = run;
+            }
+            for (auto& kv : pc->sparse) kv.second.resolve_partials();
+        }
     }
 
     // ---- hotspot detection ----
 
-    void differing_locations(const std::vector<AlleleCounts>& counts,
+    void differing_locations(const PlatformCounts& counts,
                              int min_snv, int min_indel,
                              std::set<int64_t>& out) const {
-        for (auto& item : counts) {
-            if (item.total == 0) continue;
-            for (auto& kv : item.alt) {
+        for (auto& entry : counts.sparse) {
+            int64_t idx = entry.first;
+            int32_t total = counts.total[(size_t)idx];
+            if (total == 0) continue;
+            int64_t pos = idx + window_start;
+            for (auto& kv : entry.second.alt) {
                 const std::string& rb = kv.first.first;
                 const std::string& ab = kv.first.second;
                 double value = kv.second;
                 if (rb.size() == 1 && ab.size() == 1) {
-                    if (value / item.total >= params.snv_threshold &&
+                    if (value / total >= params.snv_threshold &&
                         value >= min_snv)
-                        out.insert(item.pos);
+                        out.insert(pos);
                 } else {
                     if ((int64_t)std::max(rb.size(), ab.size()) >
                         params.max_allele_size) continue;
-                    if (value / item.total >= params.indel_threshold &&
+                    if (value / total >= params.indel_threshold &&
                         value >= min_indel)
-                        for (int64_t i = item.pos;
-                             i < item.pos + (int64_t)rb.size() + 1; i++)
+                        for (int64_t i = pos;
+                             i < pos + (int64_t)rb.size() + 1; i++)
                             out.insert(i);
                 }
             }
@@ -385,28 +445,35 @@ struct Window {
     }
 
     void differing_locations_hybrid(std::set<int64_t>& out) const {
-        for (size_t idx = 0; idx < counts_i.size(); idx++) {
-            const auto& ci = counts_i[idx];
-            const auto& cp = counts_p[idx];
-            double total = ci.total + cp.total;
+        static const AlleleCounts kEmpty;
+        // intentionally only Illumina allele keys (reference quirk)
+        for (auto& entry : counts_i.sparse) {
+            int64_t idx = entry.first;
+            double total = counts_i.total[(size_t)idx] +
+                (counts_p.any ? counts_p.total[(size_t)idx] : 0);
             if (total == 0) continue;
-            // intentionally only Illumina allele keys (reference quirk)
-            for (auto& kv : ci.alt) {
+            int64_t pos = idx + window_start;
+            const AlleleCounts* cp = &kEmpty;
+            if (counts_p.any) {
+                auto pit = counts_p.sparse.find(idx);
+                if (pit != counts_p.sparse.end()) cp = &pit->second;
+            }
+            for (auto& kv : entry.second.alt) {
                 const std::string& rb = kv.first.first;
                 const std::string& ab = kv.first.second;
                 double vi = kv.second;
                 double vp = 0;
-                auto it = cp.alt.find(kv.first);
-                if (it != cp.alt.end()) vp = it->second;
+                auto it = cp->alt.find(kv.first);
+                if (it != cp->alt.end()) vp = it->second;
                 if (rb.size() == 1 && ab.size() == 1) {
                     if ((vi + vp) / total >= params.snv_threshold &&
                         (vi + vp) >= params.min_count)
-                        out.insert(ci.pos);
+                        out.insert(pos);
                 } else {
                     double alt_count = vi / 2 + vp;
                     if ((vi + vp) / total >= params.indel_threshold &&
                         alt_count >= params.min_count)
-                        for (int64_t i = ci.pos; i < ci.pos + (int64_t)rb.size(); i++)
+                        for (int64_t i = pos; i < pos + (int64_t)rb.size(); i++)
                             out.insert(i);
                 }
             }
@@ -758,20 +825,22 @@ htpu_window* htpu_window_create(
     if (params) w.params = *params;
     else htpu_default_params(&w.params);
 
-    w.seq_store.reserve(num_reads);
-    w.qual_store.reserve(num_reads);
-    w.cigar_store.reserve(num_reads);
+    // the inputs are contiguous concatenated buffers: one bulk copy each,
+    // then views at the recorded offsets (no per-read allocations)
+    int64_t seq_total = seq_offsets[num_reads];
+    int64_t cig_total = cigar_offsets[num_reads];
+    w.seqs_buf.assign(seqs, (size_t)seq_total);
+    w.quals_buf.assign(quals, quals + seq_total);
+    w.cigars_buf.assign(cigars, cigars + cig_total);
+    w.reads.reserve(num_reads);
     for (int32_t i = 0; i < num_reads; i++) {
         int64_t s0 = seq_offsets[i], s1 = seq_offsets[i + 1];
         int64_t c0 = cigar_offsets[i], c1 = cigar_offsets[i + 1];
-        w.seq_store.emplace_back(seqs + s0, (size_t)(s1 - s0));
-        w.qual_store.emplace_back(quals + s0, quals + s1);
-        w.cigar_store.emplace_back(cigars + c0, cigars + c1);
         ReadView rv;
-        rv.seq = w.seq_store.back().c_str();
-        rv.qual = w.qual_store.back().data();
+        rv.seq = w.seqs_buf.data() + s0;
+        rv.qual = w.quals_buf.data() + s0;
         rv.seq_len = s1 - s0;
-        rv.cigars = w.cigar_store.back().data();
+        rv.cigars = w.cigars_buf.data() + c0;
         rv.n_cigars = c1 - c0;
         rv.ref_start = ref_starts[i];
         rv.mapq = mapq[i];
