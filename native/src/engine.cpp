@@ -707,26 +707,32 @@ struct Window {
             };
             int64_t rf = rv.ref_start, rd = 0;
             for (int64_t ci = 0; ci < rv.n_cigars; ci++) {
+                // all later ops fall past the window (D/I anchor at rf - 1,
+                // so rf == fend can still write the last column)
+                if (rf > fend) break;
                 uint32_t c = rv.cigars[ci];
                 int op = c & 0xF;
                 int64_t len = c >> 4;
                 switch (op) {
-                    case OP_M: case OP_EQ: case OP_X:
-                        for (int64_t j = 0; j < len; j++) {
+                    case OP_M: case OP_EQ: case OP_X: {
+                        // clamp to the feature window (long reads span far
+                        // beyond the 150 bp view)
+                        int64_t j0 = std::max<int64_t>(0, fstart - rf);
+                        int64_t j1 = std::min<int64_t>(len, fend - rf);
+                        for (int64_t j = j0; j < j1; j++) {
                             int64_t p = rf + j;
-                            if (fstart <= p && p < fend) {
-                                int64_t fi = p - fstart;
-                                cell(fi, 0) = base_color(rv.seq[rd + j]);
-                                cell(fi, 1) = base_color(ref_at(p));
-                                cell(fi, 2) = qual_color(rv.qual[rd + j], 40);
-                                cell(fi, 3) = mapq_color;
-                                cell(fi, 4) = strand_color;
-                                cell(fi, 5) = pos_color(p);
-                                if (include_hp) cell(fi, 6) = hp_color;
-                            }
+                            int64_t fi = p - fstart;
+                            cell(fi, 0) = base_color(rv.seq[rd + j]);
+                            cell(fi, 1) = base_color(ref_at(p));
+                            cell(fi, 2) = qual_color(rv.qual[rd + j], 40);
+                            cell(fi, 3) = mapq_color;
+                            cell(fi, 4) = strand_color;
+                            cell(fi, 5) = pos_color(p);
+                            if (include_hp) cell(fi, 6) = hp_color;
                         }
                         rf += len; rd += len;
                         break;
+                    }
                     case OP_D:
                         if (fstart <= rf - 1 && rf - 1 < fend &&
                             rf - 1 >= window_start) {
