@@ -120,6 +120,11 @@ def load_library():
         ctypes.c_char_p, ctypes.c_int64,
         i32p, i32p, ctypes.c_int32,
         ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64, i64p]
+    lib.htpu_compact_rows.restype = None
+    lib.htpu_compact_rows.argtypes = [
+        ctypes.POINTER(ctypes.c_uint8), i32p, ctypes.c_int32,
+        ctypes.c_int32, ctypes.c_int32,
+        ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_uint8)]
 
     lib.htpu_bam_open.restype = ctypes.c_void_p
     lib.htpu_bam_open.argtypes = [ctypes.c_char_p]
@@ -202,6 +207,28 @@ def load_library():
 
 def available() -> bool:
     return load_library() is not None
+
+
+def compact_rows(reads: np.ndarray, rows: np.ndarray,
+                 packed: np.ndarray, scalars: np.ndarray) -> bool:
+    """Native channel split for the compact wire format: gather `rows` of the
+    dense [AR, L, C] uint8 tensor into packed [n, L, 3] (ch0, ch2, ch4 != 0)
+    + per-row scalar maxima (pipeline/compact.py).  The byte-strided channel
+    extraction is ~10x slower in numpy.  Returns False when the library is
+    unavailable (caller falls back to numpy)."""
+    lib = load_library()
+    if lib is None:
+        return False
+    assert reads.dtype == np.uint8 and reads.flags.c_contiguous
+    rows = np.ascontiguousarray(rows, np.int32)
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    lib.htpu_compact_rows(
+        reads.ctypes.data_as(u8p), rows.ctypes.data_as(i32p),
+        np.int32(len(rows)), np.int32(reads.shape[1]),
+        np.int32(reads.shape[2]),
+        packed.ctypes.data_as(u8p), scalars.ctypes.data_as(u8p))
+    return True
 
 
 def _as_array(ptr, count, dtype):

@@ -41,7 +41,8 @@ class Scorer:
     """
 
     def __init__(self, model: MoEAttention, params, state, donate: bool = False,
-                 use_pallas: Optional[bool] = None):
+                 use_pallas: Optional[bool] = None,
+                 compact: Optional[bool] = None):
         import jax
 
         self.model = model
@@ -53,6 +54,18 @@ class Scorer:
         if enabled:
             logger.info("pallas read-convolver enabled for %s", enabled)
 
+        # Compact wire format (pipeline/compact.py): ship only the varying
+        # feature channels of real read rows and rebuild the dense tensor on
+        # device.  ~3x fewer host->device bytes — decisive through remote-TPU
+        # tunnels where the caller is transfer-bound, mildly useful over
+        # PCIe, pure overhead on the CPU backend (transfer is free there).
+        env = os.environ.get("HELLO_TPU_COMPACT", "")
+        if env in ("0", "1"):
+            compact = env == "1"
+        if compact is None:
+            compact = jax.devices()[0].platform not in ("cpu",)
+        self.compact = compact
+
         # the number of padded sites is carried by ref_segments' static shape;
         # bucketed batch shapes keep recompiles rare
         self._jax = jax
@@ -60,8 +73,10 @@ class Scorer:
 
     def _make_jitted(self):
         model = self.model
+        from .compact import expand_compact
 
         def forward(params, state, batch):
+            batch = expand_compact(batch)   # no-op for dense batches
             out, _ = model.apply(params, state, batch, train=False)
             return out
 
@@ -74,7 +89,11 @@ class Scorer:
         jax's async dispatch lets the host pack/decode other batches while
         the device executes this one (see the pipelined loop in
         ``call_region``)."""
-        d = batch.device_dict()
+        if self.compact:
+            from .compact import compact_batch
+            d = compact_batch(batch)
+        else:
+            d = batch.device_dict()
         try:
             return self._jitted(self.params, self.state, d)
         except Exception:
@@ -339,7 +358,7 @@ def call_genome(bam_paths: Sequence[str], ref_path: str, scorer: Scorer,
 
 
 def load_scorer(model_name: str, checkpoint: Optional[str] = None,
-                seed: int = 0) -> Scorer:
+                seed: int = 0, compact: Optional[bool] = None) -> Scorer:
     """Build a Scorer from a named config, optionally loading a converted
     reference checkpoint (.wrapper.dnn) or a saved pytree checkpoint."""
     import jax
@@ -353,7 +372,7 @@ def load_scorer(model_name: str, checkpoint: Optional[str] = None,
     else:
         from ..train.checkpoint import load_checkpoint
         params, state = load_checkpoint(checkpoint)
-    return Scorer(model, params, state)
+    return Scorer(model, params, state, compact=compact)
 
 
 def main(argv=None):

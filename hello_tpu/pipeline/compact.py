@@ -1,0 +1,168 @@
+"""Compact device transfer for padded pileup batches.
+
+Through a remote-TPU tunnel (and, milder, over PCIe) the end-to-end caller is
+transfer-bound: a 512-allele batch of dense uint8 features is ~30 MB and the
+tunnel moves ~60 MB/s while the forward itself takes ~30 ms.  But most of the
+dense tensor is reconstructable:
+
+  * only ch0 (read base color) and ch2 (base quality color) vary per cell;
+  * ch1 (reference base color) is a palette projection of the site's one-hot
+    reference segment, which is already on device and covers the exact same
+    mid-centred window (candidates.py _site_tensors / featurize.py
+    render_read_row both use ``mid = (start+stop)//2; left = mid - L//2``);
+  * ch3 (mapq), ch4 (strand) and ch6 (haplotag) are per-read constants;
+  * ch5 (in-allele-region marker) depends only on the site's region bounds;
+  * padded read rows (the read-bucket tail) carry no information at all.
+
+So the wire format is: per real read row, ``[L, 3]`` uint8 (ch0, ch2, and the
+cell-presence mask — a cell is present iff ch4 != 0, since strand color is 70
+or 240 on every written cell) plus per-row scalars, a row -> (allele, read)
+slot index, and per-site region bounds.  ``expand_compact`` rebuilds the full
+``[A, R, L, C]`` uint8 tensor inside the jitted forward with one scatter and
+a few masked broadcasts, which XLA fuses into the model's input conversion.
+Reconstruction is byte-exact (tests/test_compact.py); at typical ~60% read
+bucket occupancy the transfer shrinks ~3x.
+
+Rows whose read_mask is 0 are not shipped: the model multiplies their frames
+by 0 (masked_read_sum / the Pallas mask matrix), and the dense packer zero
+fills them, so reconstructing them as zeros is exact.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional, Sequence
+
+import numpy as np
+
+from .batching import PaddedBatch
+
+# geometric ladder for the packed-row count (compiles once per bucket)
+ROW_BUCKETS = (128, 256, 512, 1024, 2048, 4096, 8192, 16384, 32768,
+               65536, 131072, 262144)
+
+# base_color palette in one-hot order A, C, G, T, other
+# (featurize.base_color / engine.cpp base_color)
+REF_COLOR_PALETTE = (250.0, 30.0, 180.0, 100.0, 0.0)
+
+
+def _bucket(n: int, cap: int) -> int:
+    for b in ROW_BUCKETS:
+        if n <= b:
+            return min(b, cap)
+    return cap
+
+
+def _pack_platform(reads: np.ndarray, mask: np.ndarray) -> Dict[str, np.ndarray]:
+    """Pack one platform's real rows: [A,R,L,C] + [A,R] -> wire arrays."""
+    A, R, L, C = reads.shape
+    rows = np.flatnonzero(mask.reshape(-1) > 0).astype(np.int32)
+    n = len(rows)
+    nb = _bucket(max(n, 1), A * R)
+    nscal = 3 if C == 7 else 2
+    packed = np.zeros((nb, L, 3), np.uint8)
+    scalars = np.zeros((nb, nscal), np.uint8)
+    flat_in = np.ascontiguousarray(reads).reshape(A * R, L, C)
+    from .. import native
+    if not native.compact_rows(flat_in, rows, packed, scalars):
+        # numpy fallback (byte-strided channel split; ~10x the native cost)
+        flat = flat_in[rows]
+        packed[:n, :, 0] = flat[..., 0]
+        packed[:n, :, 1] = flat[..., 2]
+        packed[:n, :, 2] = flat[..., 4] > 0
+        # per-row constants: any present cell carries them; max over the row
+        # is exact (the channels are 0 on absent cells)
+        scalars[:n, 0] = flat[..., 3].max(axis=1)
+        scalars[:n, 1] = flat[..., 4].max(axis=1)
+        if C == 7:
+            scalars[:n, 2] = flat[..., 6].max(axis=1)
+    slots = np.full(nb, A * R, np.int32)   # padding scatters to the dummy row
+    slots[:n] = rows
+    return {"packed": packed, "scalars": scalars, "slots": slots}
+
+
+def compact_batch(batch: PaddedBatch) -> Dict[str, np.ndarray]:
+    """Compact wire dict for a padded batch (replaces ``device_dict()``)."""
+    d = {
+        "site_ids": batch.site_ids,
+        "allele_mask": batch.allele_mask,
+        "ref_segments": batch.ref_segments,
+        "read_mask0": batch.read_mask0,
+    }
+    p0 = _pack_platform(batch.reads0, batch.read_mask0)
+    d["packed0"], d["row_scalars0"], d["row_slots0"] = (
+        p0["packed"], p0["scalars"], p0["slots"])
+    if batch.reads1 is not None:
+        d["read_mask1"] = batch.read_mask1
+        p1 = _pack_platform(batch.reads1, batch.read_mask1)
+        d["packed1"], d["row_scalars1"], d["row_slots1"] = (
+            p1["packed"], p1["scalars"], p1["slots"])
+    # per-site allele-region bounds relative to the feature window
+    S = batch.ref_segments.shape[0]
+    L = batch.reads0.shape[2]
+    rel = np.zeros((S, 2), np.int32)
+    for i, site in enumerate(batch.sites):
+        mid = (site.start + site.stop) // 2
+        fstart = mid - L // 2
+        rel[i, 0] = site.start - fstart
+        rel[i, 1] = site.stop - fstart
+    d["relbounds"] = rel
+    return d
+
+
+def _expand_platform(packed, scalars, slots, mask, ref_colors, pos_colors,
+                     site_ids):
+    """Rebuild [A,R,L,C] uint8 reads from one platform's wire arrays."""
+    import jax.numpy as jnp
+
+    A, R = mask.shape
+    L = packed.shape[1]
+    buf = jnp.zeros((A * R + 1, L, 3), jnp.uint8).at[slots].set(packed)
+    buf = buf[:A * R].reshape(A, R, L, 3)
+    ch0 = buf[..., 0]
+    ch2 = buf[..., 1]
+    m = buf[..., 2]                                        # {0,1} uint8
+    scal = jnp.zeros((A * R + 1, scalars.shape[1]), jnp.uint8) \
+              .at[slots].set(scalars)[:A * R] \
+              .reshape(A, R, scalars.shape[1])
+    ch1 = ref_colors[site_ids][:, None, :] * m             # [A,R,L]
+    ch3 = scal[..., 0:1] * m
+    ch4 = scal[..., 1:2] * m
+    ch5 = pos_colors[site_ids][:, None, :] * m
+    chans = [ch0, ch1, ch2, ch3, ch4, ch5]
+    if scalars.shape[1] == 3:
+        chans.append(scal[..., 2:3] * m)
+    return jnp.stack(chans, axis=-1)
+
+
+def expand_compact(batch: Dict) -> Dict:
+    """Device-side inverse of ``compact_batch`` (inside jit): returns a batch
+    dict with dense ``reads0``/``reads1``.  No-op for dense batches."""
+    if "packed0" not in batch:
+        return batch
+    import jax.numpy as jnp
+
+    ref_segments = batch["ref_segments"]
+    L = ref_segments.shape[1]
+    palette = jnp.asarray(REF_COLOR_PALETTE, jnp.float32)
+    ref_colors = jnp.dot(ref_segments.astype(jnp.float32),
+                         palette).astype(jnp.uint8)        # [S, L]
+    rel = batch["relbounds"]
+    idx = jnp.arange(L, dtype=jnp.int32)[None, :]
+    pos_colors = jnp.where((idx >= rel[:, 0:1]) & (idx < rel[:, 1:2]),
+                           np.uint8(240), np.uint8(70)).astype(jnp.uint8)
+
+    out = {
+        "site_ids": batch["site_ids"],
+        "allele_mask": batch["allele_mask"],
+        "ref_segments": ref_segments,
+        "read_mask0": batch["read_mask0"],
+        "reads0": _expand_platform(
+            batch["packed0"], batch["row_scalars0"], batch["row_slots0"],
+            batch["read_mask0"], ref_colors, pos_colors, batch["site_ids"]),
+    }
+    if "packed1" in batch:
+        out["read_mask1"] = batch["read_mask1"]
+        out["reads1"] = _expand_platform(
+            batch["packed1"], batch["row_scalars1"], batch["row_slots1"],
+            batch["read_mask1"], ref_colors, pos_colors, batch["site_ids"])
+    return out

@@ -267,17 +267,21 @@ def call_parallel(bam_paths: Sequence[str], ref_path: str, scorer: Scorer,
     # wait = blocked on worker results (host-stage bound), pack/dispatch =
     # batch assembly + device dispatch, drain = blocked on device results +
     # genotype decode + record assembly (device/decode bound)
-    t_acc = {"wait_s": 0.0, "pack_s": 0.0, "dispatch_s": 0.0, "drain_s": 0.0}
+    t_acc = {"wait_s": 0.0, "pack_s": 0.0, "dispatch_s": 0.0, "drain_s": 0.0,
+             "fetch_s": 0.0, "decode_s": 0.0}
 
     def _drain_one():
         t0 = time.perf_counter()
         group, batch, out = in_flight.popleft()
         experts, meta = _finalize(out)
+        t1 = time.perf_counter()
+        t_acc["fetch_s"] += t1 - t0
         calls = decode_batch(experts, meta, batch.allele_site_index, group)
         for call in calls:
             rec = vcf_record_from_call(call, ref_lookup)
             if rec is not None:
                 records.append(rec)
+        t_acc["decode_s"] += time.perf_counter() - t1
         t_acc["drain_s"] += time.perf_counter() - t0
 
     def score_group(group):

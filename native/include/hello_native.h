@@ -112,6 +112,18 @@ int32_t htpu_site_query(htpu_window* w, int64_t start, int64_t stop,
                         int32_t* rows0, int32_t* rows1, int32_t max_alleles,
                         uint8_t* feat, int64_t feat_len, int64_t* feat_used);
 
+/* ---- compact device-transfer packing (pipeline/compact.py host side) ----
+ *
+ * Gather the real read rows of a dense uint8 feature tensor [AR, L, C]
+ * (C = 6 or 7) into the compact wire layout: per row, [L, 3] holding
+ * (ch0, ch2, ch4 != 0), plus per-row scalar maxima of ch3, ch4 (and ch6 when
+ * C == 7).  packed must hold n_rows*L*3 bytes, scalars n_rows*nscal with
+ * nscal = C == 7 ? 3 : 2.  A tight native loop: the byte-strided channel
+ * split is pathological for numpy. */
+void htpu_compact_rows(const uint8_t* reads, const int32_t* rows,
+                       int32_t n_rows, int32_t feature_length, int32_t channels,
+                       uint8_t* packed, uint8_t* scalars);
+
 /* ---- BAM loader ---- */
 
 typedef struct htpu_bam htpu_bam;

@@ -994,4 +994,30 @@ int32_t htpu_site_query(htpu_window* h, int64_t start, int64_t stop,
     return n;
 }
 
+void htpu_compact_rows(const uint8_t* reads, const int32_t* rows,
+                       int32_t n_rows, int32_t feature_length,
+                       int32_t channels, uint8_t* packed, uint8_t* scalars) {
+    const int32_t L = feature_length, C = channels;
+    const int32_t nscal = (C == 7) ? 3 : 2;
+    const size_t row_bytes = (size_t)L * C;
+    for (int32_t r = 0; r < n_rows; r++) {
+        const uint8_t* src = reads + (size_t)rows[r] * row_bytes;
+        uint8_t* dst = packed + (size_t)r * L * 3;
+        uint8_t m3 = 0, m4 = 0, m6 = 0;
+        for (int32_t i = 0; i < L; i++) {
+            const uint8_t* cell = src + (size_t)i * C;
+            dst[3 * i] = cell[0];
+            dst[3 * i + 1] = cell[2];
+            dst[3 * i + 2] = cell[4] != 0;
+            m3 = std::max(m3, cell[3]);
+            m4 = std::max(m4, cell[4]);
+            if (C == 7) m6 = std::max(m6, cell[6]);
+        }
+        uint8_t* sc = scalars + (size_t)r * nscal;
+        sc[0] = m3;
+        sc[1] = m4;
+        if (C == 7) sc[2] = m6;
+    }
+}
+
 }  // extern "C"

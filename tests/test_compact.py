@@ -1,0 +1,97 @@
+"""Compact device-transfer format: byte-exact reconstruction.
+
+The compact wire format (pipeline/compact.py) ships only the varying feature
+channels of real read rows; everything else (reference colors, per-read
+constants, the in-region marker, padding) is rebuilt on device.  These tests
+run REAL featurizer output (simulated BAMs through the production host path)
+through compact -> expand and require byte equality with the dense tensors,
+then identical Scorer logits.
+"""
+
+import numpy as np
+import pytest
+
+from hello_tpu import sim
+from hello_tpu.io.fasta import FastaFile
+from hello_tpu.pipeline.batching import pack_sites
+from hello_tpu.pipeline.compact import compact_batch, expand_compact
+from hello_tpu.pipeline.parallel_call import host_sites_for_chunk
+
+
+def _sites(tmp_path, platforms=("illumina",), hp_tags=False, **opts):
+    ds = sim.make_dataset(str(tmp_path), ref_length=30_000, num_variants=60,
+                          coverage=30, read_length=120, seed=7,
+                          platforms=platforms, hp_tags=hp_tags)
+    bams = [ds.bams[p] for p in platforms]
+    options = dict(opts)
+    if platforms == ("pacbio",):
+        options["pacbio"] = True
+    sites = host_sites_for_chunk(bams, ds.fasta, ds.chromosome, 0, 30_000,
+                                 options)
+    assert len(sites) >= 40
+    return sites
+
+
+def _expand_np(batch):
+    """Run the jax-side expansion eagerly and pull back to numpy."""
+    d = compact_batch(batch)
+    out = expand_compact({k: np.asarray(v) for k, v in d.items()})
+    return {k: np.asarray(v) for k, v in out.items()}
+
+
+def _assert_exact(batch):
+    out = _expand_np(batch)
+    np.testing.assert_array_equal(out["reads0"], batch.reads0)
+    if batch.reads1 is not None:
+        np.testing.assert_array_equal(out["reads1"], batch.reads1)
+    np.testing.assert_array_equal(out["read_mask0"], batch.read_mask0)
+
+
+def test_compact_roundtrip_illumina(tmp_path):
+    sites = _sites(tmp_path / "ill")
+    batch = pack_sites(sites, hybrid=False)
+    assert batch.read_mask0.sum() > 0
+    _assert_exact(batch)
+
+
+def test_compact_roundtrip_hybrid(tmp_path):
+    sites = _sites(tmp_path / "hyb", platforms=("illumina", "pacbio"))
+    batch = pack_sites(sites, hybrid=True)
+    _assert_exact(batch)
+
+
+def test_compact_roundtrip_hp_channel(tmp_path):
+    sites = _sites(tmp_path / "hp", platforms=("pacbio",), hp_tags=True,
+                   include_hp=True)
+    batch = pack_sites(sites, hybrid=False, channels0=7)
+    assert batch.reads0.shape[-1] == 7
+    # the dataset must actually exercise nonzero haplotags
+    assert batch.reads0[..., 6].max() > 0
+    _assert_exact(batch)
+
+
+def test_native_compact_matches_numpy(tmp_path, monkeypatch):
+    from hello_tpu import native
+    from hello_tpu.pipeline import compact as C
+
+    sites = _sites(tmp_path / "nc", platforms=("illumina", "pacbio"))
+    batch = pack_sites(sites, hybrid=True)
+    assert native.available()
+    fast = C.compact_batch(batch)
+    monkeypatch.setattr(native, "compact_rows", lambda *a: False)
+    slow = C.compact_batch(batch)
+    for k in fast:
+        np.testing.assert_array_equal(fast[k], slow[k], err_msg=k)
+
+
+def test_scorer_logits_match_dense(tmp_path):
+    from hello_tpu.pipeline.call import load_scorer
+
+    sites = _sites(tmp_path / "sc")
+    batch = pack_sites(sites, hybrid=False)
+    dense = load_scorer("illumina", compact=False)
+    compact = load_scorer("illumina", compact=True)
+    # same weights: both initialise from the same fixed seed
+    e_dense, _ = dense(batch)
+    e_compact, _ = compact(batch)
+    np.testing.assert_array_equal(e_compact, e_dense)
