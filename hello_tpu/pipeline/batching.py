@@ -89,6 +89,25 @@ def one_hot_ref_segment(bases: str) -> np.ndarray:
     return np.eye(5, dtype=np.float32)[codes]
 
 
+def padded_ref_segment(bases: str, left: int, length: int) -> np.ndarray:
+    """One-hot ref segment, zero-padded to ``length`` when the fetch was
+    clamped at a chromosome edge.
+
+    The reference pipeline never sees this case (it DROPS whole chunks
+    touching position 0, a quirk this framework deliberately fixes by
+    clamping windows instead); all-zero rows are the faithful encoding of
+    "no reference base here" — the featurizer paints no channels at
+    positions no read covers, and the meta expert sees zeros, not a fake
+    'other' base."""
+    seg = one_hot_ref_segment(bases)
+    if seg.shape[0] == length:
+        return seg
+    out = np.zeros((length, 5), np.float32)
+    front = max(0, -left)
+    out[front:front + seg.shape[0]] = seg[:max(0, length - front)]
+    return out
+
+
 def pack_sites(
     sites: Sequence[SiteWork],
     hybrid: bool,

@@ -17,7 +17,7 @@ from ..constants import (
 )
 from ..io.fasta import ChromView, FastaFile
 from ..window import LocationOutOfBounds, Window
-from .batching import SiteWork, one_hot_ref_segment
+from .batching import SiteWork, padded_ref_segment
 from .hotspots import ReadSource, build_window
 
 
@@ -277,7 +277,8 @@ def native_chunk_site_work(bam_paths: Sequence[str], ref: FastaFile,
         site_stop = int(out.stops[si])
         mid = (pos + site_stop) // 2
         left = mid - L // 2
-        seg = one_hot_ref_segment(ref.fetch(chromosome, left, left + L))
+        seg = padded_ref_segment(ref.fetch(chromosome, left, left + L),
+                                 left, L)
         sites.append(SiteWork(
             chromosome=chromosome, start=pos, stop=site_stop,
             alleles=alleles, tensors0=tensors0,
@@ -317,7 +318,8 @@ def _site_tensors(window: Window, record: CandidateRecord, hybrid: bool,
 
     mid = (start + stop) // 2
     left = mid - feature_length // 2
-    seg = one_hot_ref_segment(ref_view[left:left + feature_length])
+    seg = padded_ref_segment(ref_view[left:left + feature_length],
+                             left, feature_length)
 
     site_label = 0 if sum(labels) <= 1 else 1
     return SiteWork(

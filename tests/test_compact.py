@@ -70,6 +70,25 @@ def test_compact_roundtrip_hp_channel(tmp_path):
     _assert_exact(batch)
 
 
+def test_padded_ref_segment_at_chromosome_edge():
+    """A feature window clamped at position 0 must still produce an [L, 5]
+    segment (zero rows for the out-of-range positions) — the reference drops
+    such chunks outright; this framework clamps windows instead, so the
+    segment path has to cope."""
+    from hello_tpu.io.fasta import FastaFile
+    from hello_tpu.pipeline.batching import padded_ref_segment
+
+    bases = "ACGTACGTAC"  # pretend fetch(-140, 10) returned 10 bases
+    seg = padded_ref_segment(bases, -140, 150)
+    assert seg.shape == (150, 5)
+    assert seg[:140].sum() == 0          # clipped positions are all-zero
+    assert seg[140:].sum() == 10         # the real bases are one-hot
+    # right-edge clamp: fetch(n-10, n+140) returned 10 bases
+    seg = padded_ref_segment(bases, 0, 150)
+    assert seg.shape == (150, 5)
+    assert seg[:10].sum() == 10 and seg[10:].sum() == 0
+
+
 def test_native_compact_matches_numpy(tmp_path, monkeypatch):
     from hello_tpu import native
     from hello_tpu.pipeline import compact as C
