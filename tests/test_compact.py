@@ -114,3 +114,22 @@ def test_scorer_logits_match_dense(tmp_path):
     e_dense, _ = dense(batch)
     e_compact, _ = compact(batch)
     np.testing.assert_array_equal(e_compact, e_dense)
+
+
+def test_call_region_compact_vcf_identical(tmp_path):
+    """Whole caller (BAM -> ... -> VCF records) with the compact wire format
+    produces exactly the dense path's records."""
+    from hello_tpu.io.fasta import FastaFile
+    from hello_tpu.pipeline.call import call_region, load_scorer
+
+    ds = sim.make_dataset(str(tmp_path / "cr"), ref_length=30_000,
+                          num_variants=60, coverage=30, read_length=120,
+                          seed=11)
+    ref = FastaFile(ds.fasta)
+    recs = {}
+    for mode in (False, True):
+        scorer = load_scorer("illumina", compact=mode)
+        recs[mode] = call_region([ds.bams["illumina"]], ref, ds.chromosome,
+                                 0, 30_000, scorer)
+    assert [str(r) for r in recs[True]] == [str(r) for r in recs[False]]
+    assert len(recs[True]) >= 40
