@@ -89,6 +89,46 @@ def bench_tpu(sites, iters, precision, num_rotations=2):
     return len(sites) / statistics.median(times)
 
 
+def bench_train(sites, iters=10):
+    """Sharded training-step throughput on the local device(s): windows/s
+    through forward + EM MoE loss + backward + psum + optimizer update.
+
+    Uses the production train step (train/trainer.py shard_map over a
+    1-device mesh here; the same code scales over real meshes) on a
+    device-resident batch, synced per step by the host readback of the loss.
+    """
+    import statistics
+
+    import jax
+    from hello_tpu.nn.moe import create_model
+    from hello_tpu.parallel.mesh import data_mesh
+    from hello_tpu.pipeline.batching import (pack_sites, stack_device_batches,
+                                             training_dict)
+    from hello_tpu.train.trainer import TrainConfig, Trainer
+
+    # training runs f32 activations (the bf16 activation mode is an
+    # inference-only optimisation; the scoring leg may have enabled it)
+    from hello_tpu.nn import layers
+    layers.set_precision("default")
+
+    for s in sites:
+        s.labels = [i % 2 for i in range(len(s.alleles))]
+        s.site_label = 0
+    model = create_model("hybrid")
+    trainer = Trainer(model, TrainConfig(entropy_regularizer=0.1),
+                      mesh=data_mesh(1))
+    batch = pack_sites(sites, hybrid=True)
+    db = jax.device_put(stack_device_batches([training_dict(batch)]))
+    trainer.train_batch(db)              # compile + first step
+    times = []
+    for _ in range(iters):
+        t0 = time.perf_counter()
+        metrics = trainer.train_batch(db)   # returns host floats => synced
+        times.append(time.perf_counter() - t0)
+        assert np.isfinite(metrics["loss"])
+    return len(sites) / statistics.median(times)
+
+
 def bench_torch_baseline(sites, iters=5):
     """Reference execution model: torch CPU, one thread, ragged batches.
 
@@ -215,12 +255,21 @@ def main():
     parser.add_argument("--skip-baseline", action="store_true")
     parser.add_argument("--skip-pipeline", action="store_true",
                         help="skip the end-to-end host+device pipeline leg")
+    parser.add_argument("--skip-train", action="store_true",
+                        help="skip the training-step throughput leg")
     args = parser.parse_args()
 
     rng = np.random.RandomState(0)
     sites = build_workload(rng, args.sites, args.alleles, args.reads0, args.reads1)
 
     tpu_rate = bench_tpu(sites, args.iters, args.precision)
+
+    train_rate = None
+    if not args.skip_train:
+        try:
+            train_rate = bench_train(sites)
+        except Exception as exc:
+            sys.stderr.write(f"train leg failed: {exc!r}\n")
 
     baseline_rate = None
     if not args.skip_baseline:
@@ -252,6 +301,9 @@ def main():
                                      if e2e_rate is not None else None),
         "end_to_end_workers": (args.pipeline_workers
                                if e2e_rate is not None else None),
+        # full sharded train step (fwd + EM loss + bwd + psum + optimizer)
+        "train_windows_per_s": (round(train_rate, 2)
+                                if train_rate is not None else None),
         "baseline_windows_per_s": (round(baseline_rate, 3)
                                    if baseline_rate else None),
     }))
