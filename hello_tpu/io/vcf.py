@@ -157,7 +157,8 @@ def read_vcf(path: str) -> List[VcfRecord]:
                         vals = vals * 2
                     gt = tuple(vals[:2])
             alts = [] if alt in (".", "") else alt.split(",")
-            records.append(VcfRecord(chrom, pos, ref, alts, gt, qual=qual, filter=filt))
+            records.append(VcfRecord(chrom, pos, ref, alts, gt, qual=qual,
+                                     filter=filt, info=fields[7]))
     return records
 
 

@@ -55,11 +55,27 @@ def batch_sharded(mesh: Mesh) -> NamedSharding:
 
 
 def shard_regions(regions: Sequence[Tuple[str, int, int]], process_index: int,
-                  process_count: int) -> list:
+                  process_count: int, granularity: int = 0) -> list:
     """Deterministic round-robin region assignment for multi-host inference.
 
     Every host computes the same global ordering and takes its slice — no
     coordination needed (the reference shards analogously by handing
-    different shard files to different worker processes)."""
+    different shard files to different worker processes).
+
+    ``granularity`` > 0 splits regions into granule-sized pieces before the
+    round robin, so hosts get near-equal base counts even when region sizes
+    are wildly uneven (human chr1 is 5.4x chr21; whole-chromosome round
+    robin would idle hosts).  Pieces inherit the chunked-calling semantics
+    the per-host worker pool already uses, and the final VCF merge sorts, so
+    piece boundaries behave exactly like worker chunk boundaries."""
+    if granularity > 0:
+        pieces = []
+        for chrom, start, stop in regions:
+            pos = start
+            while pos < stop:
+                end = min(pos + granularity, stop)
+                pieces.append((chrom, pos, end))
+                pos = end
+        regions = pieces
     ordered = sorted(regions)
     return [r for i, r in enumerate(ordered) if i % process_count == process_index]

@@ -456,8 +456,11 @@ def main(argv=None):
         ref = FastaFile(args.ref)
         if regions is None:
             regions = [(c, 0, ref.length(c)) for c in ref.chromosomes()]
-        regions = shard_regions(regions, args.process_index, args.process_count)
-        logger.info("host %d/%d handles %d regions", args.process_index,
+        # 4 Mb granules: hosts get near-equal base counts regardless of
+        # chromosome size skew (see shard_regions)
+        regions = shard_regions(regions, args.process_index,
+                                args.process_count, granularity=4_000_000)
+        logger.info("host %d/%d handles %d region pieces", args.process_index,
                     args.process_count, len(regions))
 
     if args.num_workers > 0:
