@@ -217,6 +217,55 @@ if __name__ == "__main__":
         assert pooled == inline
 
 
+def test_call_parallel_hybrid_multichrom(tmp_path):
+    """Worker-pool soak on the heaviest configuration: hybrid
+    Illumina+PacBio input spanning two chromosomes, sub-chromosome chunks,
+    compared against the inline caller record-for-record."""
+    import subprocess
+    import sys
+
+    script = tmp_path / "driver.py"
+    script.write_text(f"""
+import sys; sys.path.insert(0, {repr(str(__import__('os').path.dirname(__import__('os').path.dirname(__import__('os').path.abspath(__file__)))))})
+import jax
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_test_cache")
+from hello_tpu import sim
+from hello_tpu.io.fasta import FastaFile
+from hello_tpu.pipeline.call import call_genome, load_scorer
+
+if __name__ == "__main__":
+    out_dir = {repr(str(tmp_path))}
+    ds = sim.make_dataset(out_dir, ref_length=40000, num_variants=60,
+                          coverage=28, read_length=120, seed=91,
+                          platforms=("illumina", "pacbio"),
+                          pacbio_read_length=1200, num_chromosomes=2)
+    ref = FastaFile(ds.fasta)
+    regions = [(c, 0, ref.length(c)) for c in ref.chromosomes()]
+    bams = [ds.bams["illumina"], ds.bams["pacbio"]]
+    scorer = load_scorer("hybrid")
+    call_genome(bams, ds.fasta, scorer, out_dir + "/inline.vcf",
+                regions=regions)
+    from hello_tpu.pipeline.parallel_call import call_parallel
+    call_parallel(bams, ds.fasta, scorer, out_dir + "/parallel.vcf",
+                  num_workers=2, chunk_size=9000, regions=regions)
+    print("DRIVER_OK")
+""")
+    env = dict(__import__('os').environ)
+    res = subprocess.run([sys.executable, str(script)], capture_output=True,
+                         text=True, timeout=900, env=env)
+    assert "DRIVER_OK" in res.stdout, res.stderr[-3000:]
+
+    from hello_tpu.io.vcf import read_vcf
+    key = lambda r: (r.chromosome, r.position, r.ref, tuple(r.alt),
+                     tuple(r.gt))
+    inline = [key(r) for r in read_vcf(str(tmp_path / "inline.vcf"))]
+    par = [key(r) for r in read_vcf(str(tmp_path / "parallel.vcf"))]
+    chroms = {c for c, *_ in inline}
+    assert len(chroms) == 2 and len(inline) >= 40
+    assert par == inline
+
+
 def test_gen_dump_combinations(tmp_path):
     """Random hybrid pairing generator emits one runnable dump command per
     (base bam, chromosome), mixing platforms (reference
