@@ -87,12 +87,40 @@ def _haplotype_columns(ref: str, variants: Sequence[Variant], hap: int):
     return columns
 
 
+def _inject_errors(cols, rng: random.Random, sub_rate: float,
+                   ins_rate: float, del_rate: float):
+    """Apply a sequencing-error model to a read's columns.
+
+    Substitutions replace the base of an aligned (M) column; insertion errors
+    add a ref-less column; deletion errors drop an M column (the CIGAR
+    builder turns the reference jump into a D op).  Error bases keep the
+    read's quality string — matching real data, where miscalled bases are
+    not always low-quality."""
+    out = []
+    for col in cols:
+        p, b = col
+        if p is not None and rng.random() < del_rate:
+            continue                                    # deletion error
+        if p is not None and rng.random() < sub_rate:
+            b = rng.choice([x for x in "ACGT" if x != b])
+        out.append((p, b))
+        if rng.random() < ins_rate:
+            out.append((None, rng.choice("ACGT")))      # insertion error
+    return out
+
+
 def _read_from_columns(columns, start_col: int, length: int, name: str,
                        chromosome: str, qual: int, mapq: int, reverse: bool,
-                       pacbio: bool, hp: int) -> Optional[AlignedRead]:
+                       pacbio: bool, hp: int,
+                       rng: Optional[random.Random] = None,
+                       sub_rate: float = 0.0,
+                       indel_rate: float = 0.0) -> Optional[AlignedRead]:
     cols = columns[start_col:start_col + length]
     if len(cols) < length:
         return None
+    if rng is not None and (sub_rate or indel_rate):
+        cols = _inject_errors(cols, rng, sub_rate, indel_rate / 2,
+                              indel_rate / 2)
     # trim leading/trailing insertion columns so alignments start/end on M
     while cols and cols[0][0] is None:
         cols = cols[1:]
@@ -129,7 +157,9 @@ def _read_from_columns(columns, start_col: int, length: int, name: str,
 def simulate_reads(ref: str, variants: Sequence[Variant], chromosome: str,
                    coverage: float, read_length: int, rng: random.Random,
                    qual: int = 30, mapq: int = 60, pacbio: bool = False,
-                   hp_tags: bool = False, name_prefix: str = "read") -> List[AlignedRead]:
+                   hp_tags: bool = False, name_prefix: str = "read",
+                   sub_error_rate: float = 0.0,
+                   indel_error_rate: float = 0.0) -> List[AlignedRead]:
     columns = [_haplotype_columns(ref, variants, h) for h in (0, 1)]
     num_reads = int(coverage * len(ref) / read_length)
     reads = []
@@ -139,7 +169,8 @@ def simulate_reads(ref: str, variants: Sequence[Variant], chromosome: str,
         read = _read_from_columns(
             columns[hap], start, read_length, f"{name_prefix}{i}", chromosome,
             qual, mapq, reverse=bool(i % 2), pacbio=pacbio,
-            hp=(hap + 1) if hp_tags else 0)
+            hp=(hap + 1) if hp_tags else 0,
+            rng=rng, sub_rate=sub_error_rate, indel_rate=indel_error_rate)
         if read is not None:
             reads.append(read)
     reads.sort(key=lambda r: r.reference_start)
@@ -164,11 +195,15 @@ def make_dataset(outdir: str, ref_length: int = 8000, num_variants: int = 20,
                  platforms: Sequence[str] = ("illumina",),
                  pacbio_read_length: int = 1500,
                  hp_tags: bool = False,
-                 num_chromosomes: int = 1) -> SimulatedDataset:
+                 num_chromosomes: int = 1,
+                 sub_error_rate: float = 0.0,
+                 indel_error_rate: float = 0.0) -> SimulatedDataset:
     """Write a complete simulated dataset into ``outdir``.
 
     With ``num_chromosomes`` > 1 the dataset spans several chromosomes
-    (``<chromosome>``, ``<chromosome>2``, ...), each with its own variants."""
+    (``<chromosome>``, ``<chromosome>2``, ...), each with its own variants.
+    ``sub_error_rate`` / ``indel_error_rate`` add per-base sequencing errors
+    (indel errors split evenly between 1 bp insertions and deletions)."""
     import os
     os.makedirs(outdir, exist_ok=True)
     rng = random.Random(seed)
@@ -195,7 +230,9 @@ def make_dataset(outdir: str, ref_length: int = 8000, num_variants: int = 20,
             all_reads.extend(simulate_reads(
                 chromosomes[name], variants_by_chrom[name], name, coverage,
                 min(rlen, ref_length // 2), rng, pacbio=pacbio,
-                hp_tags=hp_tags and pacbio, name_prefix=f"{platform}_{name}_"))
+                hp_tags=hp_tags and pacbio, name_prefix=f"{platform}_{name}_",
+                sub_error_rate=sub_error_rate,
+                indel_error_rate=indel_error_rate))
         path = os.path.join(outdir, f"{platform}.bam")
         write_bam(path, list(contigs.items()), all_reads)
         bams[platform] = path

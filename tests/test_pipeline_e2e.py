@@ -81,6 +81,60 @@ def test_end_to_end_oracle_calls_match_truth(tmp_path, seed):
             f"genotype mismatch at {key}: {called[key]} vs {truth_map[key]}"
 
 
+def test_end_to_end_with_sequencing_errors(tmp_path):
+    """Candidate generation must be robust to realistic read noise: 1%
+    substitution + 0.1% indel errors at 35x.  Noise allele fractions sit far
+    below the 12% hotspot threshold, so the oracle-scored call set should
+    still recover the truth exactly (this exercises the frequency/min-count
+    thresholds doing their actual job, which error-free reads never do)."""
+    ds = sim.make_dataset(str(tmp_path), ref_length=20_000, num_variants=40,
+                          coverage=35, read_length=120, seed=5,
+                          sub_error_rate=0.01, indel_error_rate=0.001)
+    ref = FastaFile(ds.fasta)
+    records = call_region(
+        [ds.bams["illumina"]], ref, ds.chromosome, 0,
+        ref.length(ds.chromosome), OracleScorer())
+
+    truth_map = canonical_map(read_vcf(ds.truth_vcf), ref)
+    # ignore homozygous-ref records (sites surfaced but called 0/0)
+    called = {k: gt for k, gt in canonical_map(records, ref).items()
+              if gt != (0, 0)}
+    assert len(truth_map) >= 30
+    missing = set(truth_map) - set(called)
+    extra = set(called) - set(truth_map)
+    wrong_gt = {k for k in truth_map if k in called
+                and called[k] != truth_map[k]}
+    assert not missing and not extra and not wrong_gt, (
+        missing, extra, wrong_gt)
+
+
+def test_noisy_pacbio_recall(tmp_path):
+    """PacBio-style noise (1% indel + 0.5% substitution errors on 1.2 kb
+    reads) must not break long-read candidate generation: every true variant
+    is still recovered with the right genotype, and spurious non-ref calls
+    stay rare (noise can occasionally assemble into a surfaced allele, but
+    the thresholds keep it exceptional)."""
+    ds = sim.make_dataset(str(tmp_path), ref_length=20_000, num_variants=40,
+                          coverage=28, read_length=120, seed=9,
+                          platforms=("pacbio",), pacbio_read_length=1200,
+                          sub_error_rate=0.005, indel_error_rate=0.01)
+    ref = FastaFile(ds.fasta)
+    records = call_region(
+        [ds.bams["pacbio"]], ref, ds.chromosome, 0,
+        ref.length(ds.chromosome), OracleScorer(), pacbio=True)
+
+    truth_map = canonical_map(read_vcf(ds.truth_vcf), ref)
+    called = {k: gt for k, gt in canonical_map(records, ref).items()
+              if gt != (0, 0)}
+    missing = set(truth_map) - set(called)
+    wrong_gt = {k for k in truth_map if k in called
+                and called[k] != truth_map[k]}
+    extra = set(called) - set(truth_map)
+    assert not missing, f"missed under noise: {missing}"
+    assert not wrong_gt, f"genotype errors under noise: {wrong_gt}"
+    assert len(extra) <= max(2, len(truth_map) // 20), f"spurious: {extra}"
+
+
 def test_quality_is_capped_and_positive(tmp_path):
     ds = sim.make_dataset(str(tmp_path), ref_length=3000, num_variants=5,
                           coverage=30, read_length=120, seed=3)
