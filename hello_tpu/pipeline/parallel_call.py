@@ -39,6 +39,13 @@ def host_sites_for_chunk(bam_paths, ref_path, chromosome, start, stop,
     """Host-side stages for one genome chunk; returns SiteWork list."""
     import random
 
+    # fault injection for recovery tests: the first chunk to observe a
+    # missing marker file creates it and fails (a transient, once-only fault)
+    marker = options.get("fail_once_marker")
+    if marker and not os.path.exists(marker):
+        open(marker, "w").close()
+        raise RuntimeError("injected transient fault")
+
     ref = FastaFile(ref_path)
     rng = random.Random(options.get("seed", 13))
 
@@ -330,6 +337,24 @@ def call_parallel(bam_paths: Sequence[str], ref_path: str, scorer: Scorer,
         if completed % 20 == 0:
             logger.info("completed %d/%d chunks (%d records)",
                         completed, len(jobs), len(records))
+    # recovery = rerun failed shard (the reference's model): failed chunks
+    # get one retry — a transient worker fault (OOM kill, IO hiccup) should
+    # not abort a genome-scale run; a deterministic fault still raises
+    if failures:
+        retry = [job for job, _ in failures]
+        logger.warning("retrying %d failed chunk(s)", len(retry))
+        failures = []
+        for job in retry:
+            pool.submit(bam_paths, ref_path, options, job)
+        for status, job, payload in pool.results(len(retry)):
+            if status == "error":
+                failures.append((job, payload))
+                continue
+            if stats is not None:
+                stats["sites"] = stats.get("sites", 0) + len(payload)
+            pending.extend(payload)
+            pending_alleles += sum(len(s.alleles) for s in payload)
+
     for group in group_sites_for_batching(pending, max_alleles_per_batch):
         score_group(group)
     while in_flight:
@@ -341,7 +366,8 @@ def call_parallel(bam_paths: Sequence[str], ref_path: str, scorer: Scorer,
         pool.shutdown()
 
     if failures:
-        raise RuntimeError(f"{len(failures)} chunks failed: {failures[:3]}")
+        raise RuntimeError(f"{len(failures)} chunks failed twice: "
+                           f"{failures[:3]}")
 
     contigs = {c: ref.length(c) for c in ref.chromosomes()}
     write_vcf(out_vcf, records, contigs=contigs, sort=True)

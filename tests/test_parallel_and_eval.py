@@ -217,6 +217,49 @@ if __name__ == "__main__":
         assert pooled == inline
 
 
+def test_call_parallel_retries_transient_chunk_failure(tmp_path):
+    """Recovery model parity: a chunk that fails once (injected transient
+    fault) is retried and the run completes with the full call set."""
+    import subprocess
+    import sys
+
+    script = tmp_path / "driver.py"
+    script.write_text(f"""
+import sys; sys.path.insert(0, {repr(str(__import__('os').path.dirname(__import__('os').path.dirname(__import__('os').path.abspath(__file__)))))})
+import jax
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_test_cache")
+from hello_tpu import sim
+from hello_tpu.pipeline.call import call_genome, load_scorer
+
+if __name__ == "__main__":
+    out_dir = {repr(str(tmp_path))}
+    ds = sim.make_dataset(out_dir, ref_length=24000, num_variants=30,
+                          coverage=30, read_length=120, seed=55)
+    scorer = load_scorer("illumina")
+    call_genome([ds.bams["illumina"]], ds.fasta, scorer,
+                out_dir + "/inline.vcf", regions=[(ds.chromosome, 0, 24000)])
+    from hello_tpu.pipeline.parallel_call import call_parallel
+    call_parallel([ds.bams["illumina"]], ds.fasta, scorer,
+                  out_dir + "/retried.vcf", num_workers=2, chunk_size=8000,
+                  regions=[(ds.chromosome, 0, 24000)],
+                  fail_once_marker=out_dir + "/fault.marker")
+    print("DRIVER_OK")
+""")
+    env = dict(__import__('os').environ)
+    res = subprocess.run([sys.executable, str(script)], capture_output=True,
+                         text=True, timeout=600, env=env)
+    assert "DRIVER_OK" in res.stdout, res.stderr[-3000:]
+    assert (tmp_path / "fault.marker").exists()   # the fault actually fired
+
+    from hello_tpu.io.vcf import read_vcf
+    key = lambda r: (r.chromosome, r.position, r.ref, tuple(r.alt),
+                     tuple(r.gt))
+    inline = [key(r) for r in read_vcf(str(tmp_path / "inline.vcf"))]
+    retried = [key(r) for r in read_vcf(str(tmp_path / "retried.vcf"))]
+    assert inline and sorted(retried) == sorted(inline)
+
+
 def test_call_parallel_hybrid_multichrom(tmp_path):
     """Worker-pool soak on the heaviest configuration: hybrid
     Illumina+PacBio input spanning two chromosomes, sub-chromosome chunks,
