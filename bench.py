@@ -107,7 +107,9 @@ def bench_train(sites, iters=10):
     from hello_tpu.train.trainer import TrainConfig, Trainer
 
     # training runs f32 activations (the bf16 activation mode is an
-    # inference-only optimisation; the scoring leg may have enabled it)
+    # inference-only optimisation; the scoring leg may have enabled it).
+    # Restored in main() right after this leg so the pipeline leg still
+    # measures the requested --precision.
     from hello_tpu.nn import layers
     layers.set_precision("default")
 
@@ -270,6 +272,11 @@ def main():
             train_rate = bench_train(sites)
         except Exception as exc:
             sys.stderr.write(f"train leg failed: {exc!r}\n")
+        finally:
+            # bench_train switches to f32 activations; the pipeline leg must
+            # measure the requested precision again
+            from hello_tpu.nn import layers
+            layers.set_precision(args.precision)
 
     baseline_rate = None
     if not args.skip_baseline:

@@ -61,6 +61,28 @@ def _try_build() -> bool:
         return False
 
 
+def _stale() -> bool:
+    """True when any native source is newer than the built library — loading
+    a stale .so would miss newer C API symbols (ctypes setup would crash)."""
+    try:
+        so_mtime = os.path.getmtime(_LIB_PATH)
+    except OSError:
+        return True
+    for sub in ("src", "include"):
+        d = os.path.join(_NATIVE_DIR, sub)
+        try:
+            names = os.listdir(d)
+        except OSError:
+            continue
+        for f in names:
+            if f.startswith("profile_"):     # gprof harness, not in the .so
+                continue
+            if f.endswith((".cpp", ".h")):
+                if os.path.getmtime(os.path.join(d, f)) > so_mtime:
+                    return True
+    return False
+
+
 def load_library():
     """Load (building if needed) the native library; None if unavailable."""
     global _lib
@@ -68,9 +90,14 @@ def load_library():
         return _lib
     if os.environ.get("HELLO_TPU_NATIVE", "1") == "0":
         return None
-    if not os.path.exists(_LIB_PATH) and not _try_build():
+    if (not os.path.exists(_LIB_PATH) or _stale()) and not _try_build():
         return None
     lib = ctypes.CDLL(_LIB_PATH)
+    # final guard: an .so still missing the newest C API symbol (e.g. make
+    # unavailable on this host) must degrade to the pure-Python engine, not
+    # crash the ctypes setup below
+    if not hasattr(lib, "htpu_compact_rows"):
+        return None
 
     i64p = ctypes.POINTER(ctypes.c_int64)
     i32p = ctypes.POINTER(ctypes.c_int32)

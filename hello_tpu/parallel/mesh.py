@@ -69,13 +69,17 @@ def shard_regions(regions: Sequence[Tuple[str, int, int]], process_index: int,
     the per-host worker pool already uses, and the final VCF merge sorts, so
     piece boundaries behave exactly like worker chunk boundaries."""
     if granularity > 0:
-        pieces = []
-        for chrom, start, stop in regions:
-            pos = start
-            while pos < stop:
-                end = min(pos + granularity, stop)
-                pieces.append((chrom, pos, end))
-                pos = end
-        regions = pieces
+        regions = list(split_regions(regions, granularity))
     ordered = sorted(regions)
     return [r for i, r in enumerate(ordered) if i % process_count == process_index]
+
+
+def split_regions(regions: Sequence[Tuple[str, int, int]], size: int):
+    """Split regions into at-most-``size``-base pieces (the single region
+    splitter behind both worker chunking and granular host sharding)."""
+    for chrom, start, stop in regions:
+        pos = start
+        while pos < stop:
+            end = min(pos + size, stop)
+            yield (chrom, pos, end)
+            pos = end

@@ -59,11 +59,13 @@ class Scorer:
         # device.  ~3x fewer host->device bytes — decisive through remote-TPU
         # tunnels where the caller is transfer-bound, mildly useful over
         # PCIe, pure overhead on the CPU backend (transfer is free there).
-        env = os.environ.get("HELLO_TPU_COMPACT", "")
-        if env in ("0", "1"):
-            compact = env == "1"
+        # explicit caller intent wins; the env var only steers the default
         if compact is None:
-            compact = jax.devices()[0].platform not in ("cpu",)
+            env = os.environ.get("HELLO_TPU_COMPACT", "")
+            if env in ("0", "1"):
+                compact = env == "1"
+            else:
+                compact = jax.devices()[0].platform not in ("cpu",)
         self.compact = compact
 
         # the number of padded sites is carried by ref_segments' static shape;

@@ -46,6 +46,8 @@ REF_COLOR_PALETTE = (250.0, 30.0, 180.0, 100.0, 0.0)
 
 
 def _bucket(n: int, cap: int) -> int:
+    # like batching._bucket, but clamped to cap (= A*R) AND never smaller
+    # than n: packed rows must not be truncated past the ladder's top
     for b in ROW_BUCKETS:
         if n <= b:
             return min(b, cap)

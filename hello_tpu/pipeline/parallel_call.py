@@ -217,12 +217,8 @@ class HostWorkerPool:
 def make_chunks(regions: Sequence[Tuple[str, int, int]],
                 chunk_size: int = 200_000):
     """Split regions into worker-sized genome chunks."""
-    for chrom, start, stop in regions:
-        pos = start
-        while pos < stop:
-            end = min(pos + chunk_size, stop)
-            yield (chrom, pos, end)
-            pos = end
+    from ..parallel.mesh import split_regions
+    return split_regions(regions, chunk_size)
 
 
 def call_parallel(bam_paths: Sequence[str], ref_path: str, scorer: Scorer,
