@@ -42,12 +42,29 @@ class Scorer:
 
     def __init__(self, model: MoEAttention, params, state, donate: bool = False,
                  use_pallas: Optional[bool] = None,
-                 compact: Optional[bool] = None):
+                 compact: Optional[bool] = None,
+                 devices: Optional[Sequence] = None):
         import jax
 
         self.model = model
         self.params = params
         self.state = state
+
+        # Multi-chip hosts: batches round-robin across all local devices of
+        # the default backend in one process (weights replicated per device
+        # on first use).  The pipelined caller keeps several batches in
+        # flight, so N local chips execute N batches concurrently.
+        # ``devices=[...]`` pins explicitly; default = every local
+        # accelerator (on the CPU backend, just device 0 — "multiple CPU
+        # devices" are a virtual test construct, not parallel hardware).
+        if devices is not None:
+            self.devices = list(devices)
+        elif jax.local_devices()[0].platform == "cpu":
+            self.devices = [jax.local_devices()[0]]
+        else:
+            self.devices = list(jax.local_devices())
+        self._per_device = {}     # device -> (params, state) resident copies
+        self._next_device = 0
 
         from ..ops.read_conv import enable_pallas_read_convs
         enabled = enable_pallas_read_convs(model, params, use_pallas)
@@ -96,8 +113,15 @@ class Scorer:
             d = compact_batch(batch)
         else:
             d = batch.device_dict()
+        dev = self.devices[self._next_device % len(self.devices)]
+        self._next_device += 1
+        if dev not in self._per_device:
+            self._per_device[dev] = self._jax.device_put(
+                (self.params, self.state), dev)
+        params, state = self._per_device[dev]
+        d = self._jax.device_put(d, dev)   # jit dispatches on input placement
         try:
-            return self._jitted(self.params, self.state, d)
+            return self._jitted(params, state, d)
         except Exception:
             if not getattr(self.model, "pallas_read_convs", ()):
                 raise
@@ -107,7 +131,7 @@ class Scorer:
                            "the XLA path for this run", exc_info=True)
             self.model.pallas_read_convs = ()
             self._jitted = self._make_jitted()
-            return self._jitted(self.params, self.state, d)
+            return self._jitted(params, state, d)
 
     @staticmethod
     def finalize(out):
@@ -232,8 +256,9 @@ def call_region(bam_paths: Sequence[str], ref: FastaFile, chromosome: str,
 
     # Pipelined scoring: dispatch up to MAX_IN_FLIGHT batches ahead (jax
     # async dispatch), decode behind — host packing/decoding overlaps device
-    # execution.  In-flight inputs stay alive in HBM, so the window is small.
-    MAX_IN_FLIGHT = 3
+    # execution.  In-flight inputs stay alive in HBM, so the window is small;
+    # with multiple local chips it scales so every chip holds work.
+    MAX_IN_FLIGHT = max(3, 2 * len(getattr(scorer, "devices", ())))
     from collections import deque
     pending: deque = deque()
     # duck-typed scorers (tests, oracles) may only implement __call__;

@@ -263,7 +263,9 @@ def call_parallel(bam_paths: Sequence[str], ref_path: str, scorer: Scorer,
     # decode AND worker result collection.
     from collections import deque
     in_flight: deque = deque()
-    MAX_IN_FLIGHT = 3
+    # deep enough that every local chip holds work (scorer round-robins
+    # batches across devices)
+    MAX_IN_FLIGHT = max(3, 2 * len(getattr(scorer, "devices", ())))
     _dispatch = getattr(scorer, "score_async", scorer)
     _finalize = getattr(scorer, "finalize", lambda out: out)
     # main-loop stage accounting (seconds), reported through ``stats``:

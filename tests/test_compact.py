@@ -116,6 +116,39 @@ def test_scorer_logits_match_dense(tmp_path):
     np.testing.assert_array_equal(e_compact, e_dense)
 
 
+def test_multi_device_round_robin_scoring(tmp_path):
+    """One process, N local devices: batches round-robin across every device
+    (weights replicated on first use) and the call set is identical to the
+    single-device run."""
+    import jax
+
+    from hello_tpu.io.fasta import FastaFile
+    from hello_tpu.pipeline.call import call_region, load_scorer
+
+    devices = jax.devices()
+    assert len(devices) >= 8   # virtual CPU mesh from conftest
+
+    ds = sim.make_dataset(str(tmp_path / "md"), ref_length=30_000,
+                          num_variants=60, coverage=30, read_length=120,
+                          seed=13)
+    ref = FastaFile(ds.fasta)
+
+    single = load_scorer("illumina")
+    assert len(single.devices) == 1      # CPU default: one device
+    recs_single = call_region([ds.bams["illumina"]], ref, ds.chromosome,
+                              0, 30_000, single,
+                              max_alleles_per_batch=8)    # force many batches
+
+    multi = load_scorer("illumina")
+    multi.devices = list(devices)
+    recs_multi = call_region([ds.bams["illumina"]], ref, ds.chromosome,
+                             0, 30_000, multi, max_alleles_per_batch=8)
+
+    assert len(multi._per_device) == len(devices), \
+        "round robin did not reach every device"
+    assert [str(r) for r in recs_multi] == [str(r) for r in recs_single]
+
+
 def test_call_region_compact_vcf_identical(tmp_path):
     """Whole caller (BAM -> ... -> VCF records) with the compact wire format
     produces exactly the dense path's records."""
