@@ -77,6 +77,14 @@ def train_from_shards(
     val_files = files[:n_val]
     train_files = files[n_val:] or files
 
+    # a grouping budget above the fixed allele bucket can never pack; widen
+    # the bucket (and the site bucket proportionally) instead of crashing
+    if batch_alleles > allele_bucket:
+        logger.info("raising allele_bucket %d -> %d to fit batch_alleles",
+                    allele_bucket, batch_alleles)
+        site_bucket = max(site_bucket,
+                          site_bucket * batch_alleles // allele_bucket)
+        allele_bucket = batch_alleles
     fixed = {"read_bucket": read_bucket, "allele_bucket": allele_bucket,
              "site_bucket": site_bucket}
     best_val = float("inf")
