@@ -307,6 +307,8 @@ NAMED_CONFIGS = {
     "hybrid": lambda: config_hybrid_full(),
     "hybrid_no_ensemble": lambda: config_hybrid_no_ensemble(),
     "hybrid_no_ensemble_wide": lambda: config_hybrid_no_ensemble(width=2),
+    "hybrid_no_ensemble_addendum":
+        lambda: config_hybrid_no_ensemble(addendum=True),
     "illumina_wide": lambda: config_single_tech(width=2),
     "illumina_addendum": lambda: config_single_tech(addendum=True),
     "illumina_layer_norm": lambda: config_single_tech_layer_norm(),

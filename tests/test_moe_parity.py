@@ -268,3 +268,33 @@ def test_bf16_activation_mode_close_to_f32(rng):
     assert L.ACT_DTYPE is None and L.PRECISION == "highest"
     np.testing.assert_allclose(outs["highest"][0], outs["bf16"][0], atol=5e-2)
     np.testing.assert_allclose(outs["highest"][1], outs["bf16"][1], atol=1e-2)
+
+
+def test_every_named_config_builds_and_forwards():
+    """All reference model-config files have a named equivalent that
+    initialises and runs a forward (the per-variant numerics are covered by
+    the dedicated parity tests above)."""
+    import jax
+
+    from hello_tpu.nn.archs import NAMED_CONFIGS
+    from hello_tpu.nn.moe import create_model
+
+    rng = np.random.RandomState(0)
+    for name in NAMED_CONFIGS:
+        model = create_model(name)
+        params, state = model.init(jax.random.PRNGKey(0))
+        C = 7 if name == "pacbio_hp" else 6
+        batch = {
+            "reads0": rng.randint(0, 255, (4, 3, 150, C)).astype(np.uint8),
+            "read_mask0": np.ones((4, 3), np.float32),
+            "site_ids": np.array([0, 0, 1, 1], np.int32),
+            "allele_mask": np.ones(4, np.float32),
+            "ref_segments": np.eye(5, dtype=np.float32)[
+                rng.randint(0, 5, (2, 150))],
+        }
+        if model.hybrid:
+            batch["reads1"] = rng.randint(0, 255, (4, 3, 150, C)).astype(np.uint8)
+            batch["read_mask1"] = np.ones((4, 3), np.float32)
+        out, _ = model.apply(params, state, batch, train=False)
+        experts = np.asarray(out["experts"])
+        assert experts.shape[0] == 4 and np.isfinite(experts).all(), name
