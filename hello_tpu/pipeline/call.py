@@ -90,6 +90,12 @@ class Scorer:
         self._jax = jax
         self._jitted = self._make_jitted()
 
+    @property
+    def max_in_flight(self) -> int:
+        """Pipelining depth for the async scoring loops: deep enough that
+        every local chip holds work."""
+        return max(3, 2 * len(self.devices))
+
     def _make_jitted(self):
         model = self.model
         from .compact import expand_compact
@@ -115,6 +121,12 @@ class Scorer:
             d = batch.device_dict()
         dev = self.devices[self._next_device % len(self.devices)]
         self._next_device += 1
+        # hot-swapping scorer.params/state (e.g. loading a new checkpoint
+        # into an existing Scorer) must invalidate the per-device copies
+        src = (id(self.params), id(self.state))
+        if getattr(self, "_per_device_src", None) != src:
+            self._per_device = {}
+            self._per_device_src = src
         if dev not in self._per_device:
             self._per_device[dev] = self._jax.device_put(
                 (self.params, self.state), dev)
@@ -257,8 +269,8 @@ def call_region(bam_paths: Sequence[str], ref: FastaFile, chromosome: str,
     # Pipelined scoring: dispatch up to MAX_IN_FLIGHT batches ahead (jax
     # async dispatch), decode behind — host packing/decoding overlaps device
     # execution.  In-flight inputs stay alive in HBM, so the window is small;
-    # with multiple local chips it scales so every chip holds work.
-    MAX_IN_FLIGHT = max(3, 2 * len(getattr(scorer, "devices", ())))
+    # Scorer.max_in_flight scales it so every local chip holds work.
+    MAX_IN_FLIGHT = getattr(scorer, "max_in_flight", 3)
     from collections import deque
     pending: deque = deque()
     # duck-typed scorers (tests, oracles) may only implement __call__;

@@ -265,7 +265,7 @@ def call_parallel(bam_paths: Sequence[str], ref_path: str, scorer: Scorer,
     in_flight: deque = deque()
     # deep enough that every local chip holds work (scorer round-robins
     # batches across devices)
-    MAX_IN_FLIGHT = max(3, 2 * len(getattr(scorer, "devices", ())))
+    MAX_IN_FLIGHT = getattr(scorer, "max_in_flight", 3)
     _dispatch = getattr(scorer, "score_async", scorer)
     _finalize = getattr(scorer, "finalize", lambda out: out)
     # main-loop stage accounting (seconds), reported through ``stats``:

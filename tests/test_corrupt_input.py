@@ -27,25 +27,25 @@ def corrupt_dir(tmp_path_factory):
     return d, ds
 
 
+@pytest.mark.skipif(not native.available(), reason="native engine not built")
 @pytest.mark.parametrize("name", ["trunc.bam", "garbage.bam", "empty.bam",
                                   "bitflip.bam"])
 def test_native_codec_raises_cleanly(corrupt_dir, name):
     d, _ds = corrupt_dir
-    assert native.available()
-    with pytest.raises(Exception) as exc:
+    with pytest.raises((OSError, ValueError)):
         b = native.NativeBam(str(d / name))
-        b.num_reads()
-    assert not isinstance(exc.value, (SystemExit, KeyboardInterrupt))
+        assert b.num_reads >= 0    # attribute, set at open
 
 
 @pytest.mark.parametrize("name", ["trunc.bam", "garbage.bam", "empty.bam",
                                   "bitflip.bam"])
 def test_python_codec_raises_cleanly(corrupt_dir, name):
+    import zlib
+
     d, _ds = corrupt_dir
-    with pytest.raises(Exception) as exc:
+    with pytest.raises((OSError, ValueError, EOFError, zlib.error)):
         r = BamReader(str(d / name))
         list(r.fetch("chrS", 0, 10 ** 9))
-    assert not isinstance(exc.value, (SystemExit, KeyboardInterrupt))
 
 
 def test_caller_surfaces_corrupt_bam(corrupt_dir):

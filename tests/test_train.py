@@ -354,3 +354,44 @@ def test_mid_epoch_resume_replays_identical_run(tmp_path):
                       resume=mid, **kw)
     _params_equal(str(tmp_path / "full.final.ckpt"),
                   str(tmp_path / "resumed.final.ckpt"))
+
+
+def test_batch_alleles_above_fixed_bucket_widens(tmp_path):
+    """A grouping budget above the fixed allele bucket can never pack; the
+    trainer widens the buckets instead of crashing mid-epoch."""
+    from hello_tpu.train.cli import train_from_shards
+
+    shards = _resume_fixture(tmp_path)
+    train_from_shards(shards, "illumina", str(tmp_path / "wide"),
+                      num_epochs=1, lr=1e-3, num_devices=2,
+                      batch_alleles=64, allele_bucket=8, site_bucket=4,
+                      read_bucket=32, max_reads_per_site=16,
+                      val_fraction=0.0)
+    import os
+    assert os.path.exists(str(tmp_path / "wide") + ".final.ckpt")
+
+
+def test_scorer_params_hot_swap_invalidate(tmp_path):
+    """Reassigning scorer.params after use must invalidate the per-device
+    weight copies (multi-chip runs would otherwise mix old and new weights)."""
+    import jax
+
+    from hello_tpu.pipeline.batching import SiteWork, pack_sites
+    from hello_tpu.pipeline.call import load_scorer
+
+    rng = np.random.RandomState(0)
+    site = SiteWork("c", 0, 1, ["A"],
+                    [rng.randint(0, 255, (3, 150, 6)).astype(np.uint8)],
+                    None, np.eye(5, dtype=np.float32)[rng.randint(0, 5, 150)])
+    batch = pack_sites([site], hybrid=False)
+
+    s0 = load_scorer("illumina", seed=0)
+    e0, _ = s0(batch)
+    s1 = load_scorer("illumina", seed=1)
+    e1, _ = s1(batch)
+    assert not np.array_equal(e0, e1)
+
+    # swap seed-1 weights into the used seed-0 scorer: must now match seed-1
+    s0.params, s0.state = s1.params, s1.state
+    e_swapped, _ = s0(batch)
+    np.testing.assert_array_equal(e_swapped, e1)
