@@ -124,19 +124,44 @@ struct ReadAlignment {
         return i >= 0 && i < (int64_t)present_vec.size() && present_vec[i];
     }
 
-    void expand() {
-        int64_t ref_span = 0;
-        for (int64_t ci = 0; ci < rv->n_cigars; ci++) {
-            uint32_t c = rv->cigars[ci];
-            int op = c & 0xF;
-            if (op == OP_M || op == OP_EQ || op == OP_X || op == OP_D ||
-                op == OP_N)
-                ref_span += c >> 4;
+    // Materialise aligned pairs only for positions in [clip_lo, clip_hi):
+    // extraction queries touch a small assembly span, but reads (PacBio
+    // especially) cover orders of magnitude more reference — full expansion
+    // dominated assembly profiles.  Observable behavior inside the clip is
+    // identical to full expansion (assemble_region sizes the clip one
+    // position beyond every query it will make); last_position saturates at
+    // clip_hi - 1, which preserves every comparison made against positions
+    // inside the clip.
+    void expand(int64_t clip_lo, int64_t clip_hi) {
+        // re-expansion (a later assemble widening the clip) must not carry
+        // stale walk state; extraction results (alleles, extracted) are
+        // deliberately preserved — the engine's one-shot extraction contract
+        partial_start = partial_stop = false;
+        // last_position is the read's final aligned (M/D) position — a pure
+        // function of the CIGAR, independent of the clip.  It gates
+        // reassembly membership and extraction reachability for reads that
+        // may lie entirely OUTSIDE the clip (the engine attributes matched
+        // haplotype alleles even to reads covering no differing region, via
+        // reference-filled haplotype strings), so it must not saturate.
+        last_position = -1;
+        {
+            int64_t pos = rv->ref_start;
+            for (int64_t ci = 0; ci < rv->n_cigars; ci++) {
+                uint32_t c = rv->cigars[ci];
+                int op = c & 0xF;
+                int64_t len = c >> 4;
+                if (op == OP_M || op == OP_EQ || op == OP_X || op == OP_D) {
+                    last_position = pos + len - 1;
+                    pos += len;
+                } else if (op == OP_N) {
+                    pos += len;
+                }
+            }
         }
-        base_pos = rv->ref_start - 1;
-        size_t span = (size_t)ref_span + 2;
+        base_pos = std::max(rv->ref_start - 1, clip_lo);
+        size_t span = (size_t)std::max<int64_t>(clip_hi - base_pos, 0) + 2;
         buf.clear();
-        buf.reserve((size_t)rv->seq_len + 8);
+        buf.reserve(std::min<size_t>((size_t)rv->seq_len, span) + 8);
         scratch.reset(new int32_t[3 * span]);
         ent_off = scratch.get();
         ent_len = ent_off + span;
@@ -152,34 +177,46 @@ struct ReadAlignment {
             qual_vec[i] = q;
             present_vec[i] = 1;
         };
+        auto in_clip = [&](int64_t pos) {
+            return pos >= clip_lo && pos < clip_hi;
+        };
 
         int64_t ref_ptr = rv->ref_start;
         int64_t rd_ptr = 0;
         for (int64_t ci = 0; ci < rv->n_cigars; ci++) {
+            if (ref_ptr > clip_hi) break;  // later ops cannot touch the clip
             uint32_t c = rv->cigars[ci];
             int op = c & 0xF;
             int64_t len = c >> 4;
             switch (op) {
-                case OP_M: case OP_EQ: case OP_X:
-                    for (int64_t i = 0; i < len; i++) {
+                case OP_M: case OP_EQ: case OP_X: {
+                    int64_t j0 = std::max<int64_t>(0, clip_lo - ref_ptr);
+                    int64_t j1 = std::min<int64_t>(len, clip_hi - ref_ptr);
+                    for (int64_t i = j0; i < j1; i++) {
                         set_pair(ref_ptr + i, rv->seq + rd_ptr + i, 1,
                                  rv->qual[rd_ptr + i]);
-                        last_position = ref_ptr + i;
                     }
                     rd_ptr += len; ref_ptr += len;
                     break;
-                case OP_D:
-                    for (int64_t i = 0; i < len; i++) {
+                }
+                case OP_D: {
+                    int64_t j0 = std::max<int64_t>(0, clip_lo - ref_ptr);
+                    int64_t j1 = std::min<int64_t>(len, clip_hi - ref_ptr);
+                    for (int64_t i = j0; i < j1; i++) {
                         set_pair(ref_ptr + i, nullptr, 0, 60);
-                        last_position = ref_ptr + i;
                     }
                     ref_ptr += len;
                     break;
+                }
                 case OP_N:
                     ref_ptr += len;
                     break;
                 case OP_I: {
                     int64_t anchor = ref_ptr - 1;
+                    if (!in_clip(anchor)) {
+                        rd_ptr += len;
+                        break;
+                    }
                     size_t ai = (size_t)(anchor - base_pos);
                     int32_t mq = 255;
                     for (int64_t i = 0; i < len; i++)
@@ -512,13 +549,29 @@ struct Window {
 
     // ---- assembly (mirror of assembly.AssemblyEngine) ----
 
-    void prep_alignments() {
-        if (!alignments.empty()) return;
+    int64_t aligned_lo = 0, aligned_hi = -1;   // expansion clip of `alignments`
+
+    void prep_alignments(int64_t clip_lo, int64_t clip_hi) {
+        if (!alignments.empty()) {
+            if (clip_lo >= aligned_lo && clip_hi <= aligned_hi)
+                return;                        // cached expansion covers it
+            // a later assemble widened the clip: re-expand the PAIRS for the
+            // union span, but keep each read's extraction state — alleles
+            // are extracted once per window (extract_alleles short-circuits
+            // on `extracted`, mirroring the Python engine)
+            aligned_lo = std::min(clip_lo, aligned_lo);
+            aligned_hi = std::max(clip_hi, aligned_hi);
+            for (auto& ra : alignments)
+                ra->expand(aligned_lo, aligned_hi);
+            return;
+        }
+        aligned_lo = clip_lo;
+        aligned_hi = clip_hi;
         for (size_t i = 0; i < reads.size(); i++) {
             auto ra = std::make_unique<ReadAlignment>();
             ra->read_id = (int32_t)i;
             ra->rv = &reads[i];
-            ra->expand();
+            ra->expand(clip_lo, clip_hi);
             alignments.push_back(std::move(ra));
         }
     }
@@ -586,9 +639,12 @@ struct Window {
     void assemble_region(const std::vector<std::pair<int64_t, int64_t>>& regions,
                          bool reassemble) {
         if (regions.empty()) return;
-        prep_alignments();
         int64_t start = regions.front().first - params.band_margin;
         int64_t stop = regions.back().second + params.band_margin;
+        // every pair query this call makes lies in [start+1, stop-1]; the
+        // clip keeps one position of slack on each side for the boundary
+        // has_pair probes (get_aligned_bases consults qs-1 and qe)
+        prep_alignments(start - 1, stop + 1);
 
         for (auto& ra : alignments) ra->extract_alleles(regions);
 

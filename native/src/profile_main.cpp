@@ -5,7 +5,8 @@
 // plain C++ binary so gprof / perf can attribute time inside the engine.
 // Not part of the shipped library; build with `make -C native profile`.
 //
-// Usage: profile_chunk <bam> <fasta> <chrom> <start> <stop> <chunk_size> [iters]
+// Usage: profile_chunk <bam> <fasta> <chrom> <start> <stop> <chunk_size>
+//                      [iters] [pacbio(0|1)]
 
 #include "hello_native.h"
 
@@ -64,6 +65,7 @@ int main(int argc, char** argv) {
     int64_t stop = atoll(argv[5]);
     int64_t chunk_size = atoll(argv[6]);
     int iters = argc > 7 ? atoi(argv[7]) : 1;
+    int pacbio = argc > 8 ? atoi(argv[8]) : 0;
 
     g_ref = load_fasta_chrom(fasta_path, chrom);
     if (g_ref.empty()) { fprintf(stderr, "chrom not found\n"); return 1; }
@@ -84,13 +86,18 @@ int main(int argc, char** argv) {
             int32_t rid = -1;
             for (int32_t i = 0; i < htpu_bam_num_refs(bam); i++)
                 if (strcmp(htpu_bam_ref_name(bam, i), chrom) == 0) rid = i;
-            uint8_t pacbio = 0;
-            int32_t hs_max = 10000, cap = 10000, per = 400;
+            uint8_t pb = (uint8_t)pacbio;
+            // constants.py: hotspot caps 10000/1000; prorating rates
+            // (1000, 30) Illumina / (100, 100) PacBio
+            int32_t hs_max = pacbio ? 1000 : 10000;
+            int32_t cap = pacbio ? 100 : 1000;
+            int32_t per = pacbio ? 100 : 30;
             auto t0 = std::chrono::steady_clock::now();
             htpu_chunk* ch = htpu_chunk_sites(
-                &bam, &pacbio, &rid, 1, pos, end, (int64_t)g_ref.size(),
-                /*subchunk=*/400, /*min_distance=*/30, /*flanking=*/75,
-                /*max_items=*/1024, /*hybrid=*/0, /*pacbio=*/0,
+                &bam, &pb, &rid, 1, pos, end, (int64_t)g_ref.size(),
+                /*subchunk=*/pacbio ? 10000 : 400,
+                /*min_distance=*/30, /*flanking=*/75,
+                /*max_items=*/1024, /*hybrid=*/0, /*pacbio=*/pacbio,
                 /*hybrid_hotspot=*/0, /*include_hp=*/0,
                 /*feature_length=*/150, /*max_allele_len=*/100,
                 &hs_max, &cap, &per, &params, seed_fn, ref_fetch);
