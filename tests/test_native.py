@@ -190,3 +190,38 @@ def test_native_region_open_matches_whole_file(tmp_path):
         names_r = {region.read(int(i)).name for i in sel_r.indices}
         names_w = {whole.read(int(i)).name for i in sel_w.indices}
         assert names_r == names_w
+
+
+@pytest.mark.parametrize("seed", [1, 5])
+def test_repeated_assemble_with_disjoint_regions(seed):
+    """A second assemble_region over different (wider/disjoint) regions must
+    behave identically in both engines.  The native engine expands aligned
+    pairs clipped to the first call's span and re-expands for the union on a
+    later, wider call — this exercises that re-expansion path directly
+    (extraction stays one-shot in BOTH engines, so alleles come from the
+    first call's regions; supports/features for the new span must still
+    agree)."""
+    ref, reads = random_window(seed, True)
+    wp, wn = build_windows(ref, reads, True)
+    regions = wp.differing_regions()
+    if len(regions) < 3:
+        pytest.skip("need several regions")
+
+    # first assemble: a narrow span (the middle region only)
+    mid = [regions[len(regions) // 2]]
+    wp._backend.assemble_region(mid, False)
+    wn._backend.assemble_region(mid, False)
+
+    # second assemble: the full span (forces the native union re-expansion)
+    wp._backend.assemble_region(regions, True)
+    wn._backend.assemble_region(regions, True)
+
+    for region in regions:
+        wp.assemble(*region)
+        wn.assemble(*region)
+        assert sorted(wp.alleles_at_site) == sorted(wn.alleles_at_site), region
+        for allele in sorted(wp.alleles_at_site):
+            for pacbio in (False, True):
+                assert wp.num_reads_supporting_allele(allele, pacbio) == \
+                    wn.num_reads_supporting_allele(allele, pacbio), \
+                    (region, allele, pacbio)
