@@ -21,6 +21,18 @@ matmuls in bf16 passes, giving XLA-default-precision-class accuracy — full
 hybrid-model A/B on a v5e measured max sigmoid-probability difference 0.009
 vs the XLA bf16 path).
 
+MFU accounting (why utilisation is structurally low): the read_convolver
+costs ~10 MFLOPs/read (sum over its 17 convs), i.e. ~0.8 GFLOP per
+80-read window; at the measured ~8.4k windows/s that is ~7 TFLOP/s against
+a v5e's ~394 bf16 TFLOP/s peak — ~2% MFU.  The ceiling is architectural,
+not scheduling: every contraction dimension is K*C_in = 18..192 against
+the MXU's 128-lane systolic depth, so even perfect tiling caps out around
+K/128 per pass (~15-50% depending on the layer), and the 6..64-channel
+model (inherited from the reference, whose checkpoints must convert) cannot
+use wider contractions without changing the network.  The fused kernel
+below recovers lane (not depth) utilisation by packing positions x reads
+into the column dimension.
+
 STATUS: wired into the inference path for read buckets that are multiples of
 128 reads (Scorer auto-enables on non-CPU backends for standard
 read-convolver topologies; HELLO_TPU_PALLAS=0/1 overrides, and a runtime
