@@ -101,7 +101,7 @@ struct SiteRec {
 struct ReadAlignment {
     int32_t read_id;
     const ReadView* rv;
-    int64_t base_pos = 0;               // rv->ref_start - 1 (leading-INS anchor)
+    int64_t base_pos = 0;   // index origin: max(rv->ref_start - 1, clip_lo)
     // dense per-position entries (index = pos - base_pos): bytes live
     // concatenated in `buf`, each position holding (offset, length) into it.
     // One heap buffer per read instead of a std::string per position — the
@@ -136,30 +136,47 @@ struct ReadAlignment {
         // re-expansion (a later assemble widening the clip) must not carry
         // stale walk state; extraction results (alleles, extracted) are
         // deliberately preserved — the engine's one-shot extraction contract
-        partial_start = partial_stop = false;
-        // last_position is the read's final aligned (M/D) position — a pure
-        // function of the CIGAR, independent of the clip.  It gates
-        // reassembly membership and extraction reachability for reads that
-        // may lie entirely OUTSIDE the clip (the engine attributes matched
-        // haplotype alleles even to reads covering no differing region, via
-        // reference-filled haplotype strings), so it must not saturate.
+        // last_position (the read's final aligned M/D position) and the
+        // partial_start/partial_stop flags are pure functions of the CIGAR,
+        // independent of the clip: they gate extraction reachability and
+        // reassembly membership for reads that may lie partly or entirely
+        // OUTSIDE the clip (the engine attributes matched-haplotype alleles
+        // even to reads covering no differing region, via reference-filled
+        // haplotype strings), so they must match full expansion exactly —
+        // including insertions after N skips and at read edges.
         last_position = -1;
+        partial_start = partial_stop = false;
         {
             int64_t pos = rv->ref_start;
+            bool anchor_written = false;   // would full expansion have a pair
+                                           // at pos - 1 right now?
             for (int64_t ci = 0; ci < rv->n_cigars; ci++) {
                 uint32_t c = rv->cigars[ci];
                 int op = c & 0xF;
                 int64_t len = c >> 4;
+                if (len == 0) continue;    // zero-length ops change nothing
                 if (op == OP_M || op == OP_EQ || op == OP_X || op == OP_D) {
                     last_position = pos + len - 1;
                     pos += len;
+                    anchor_written = true;
                 } else if (op == OP_N) {
                     pos += len;
+                    anchor_written = false;
+                } else if (op == OP_I) {
+                    if (!anchor_written) {
+                        partial_start = true;
+                        anchor_written = true;   // the insertion set the pair
+                    } else if (ci == rv->n_cigars - 1) {
+                        partial_stop = true;
+                    }
                 }
             }
         }
         base_pos = std::max(rv->ref_start - 1, clip_lo);
-        size_t span = (size_t)std::max<int64_t>(clip_hi - base_pos, 0) + 2;
+        // cap the span at the read's own extent: short reads in a wide
+        // assembly span must not allocate/zero the full clip width
+        int64_t hi = std::min(clip_hi, last_position + 2);
+        size_t span = (size_t)std::max<int64_t>(hi - base_pos, 0) + 2;
         buf.clear();
         buf.reserve(std::min<size_t>((size_t)rv->seq_len, span) + 8);
         scratch.reset(new int32_t[3 * span]);
@@ -222,8 +239,8 @@ struct ReadAlignment {
                     for (int64_t i = 0; i < len; i++)
                         mq = std::min(mq, (int32_t)rv->qual[rd_ptr + i]);
                     if (!present_vec[ai]) {
+                        // partial_start already derived by the CIGAR scan
                         set_pair(anchor, rv->seq + rd_ptr, (size_t)len, mq);
-                        partial_start = true;
                     } else {
                         // append to the anchor's entry: it is at the buffer
                         // tail in CIGAR order except after an N skip —
@@ -237,7 +254,7 @@ struct ReadAlignment {
                         buf.append(rv->seq + rd_ptr, (size_t)len);
                         ent_len[ai] += (int32_t)len;
                         qual_vec[ai] = std::min(qual_vec[ai], mq);
-                        if (ci == rv->n_cigars - 1) partial_stop = true;
+                        // partial_stop already derived by the CIGAR scan
                     }
                     rd_ptr += len;
                     break;
@@ -549,24 +566,15 @@ struct Window {
 
     // ---- assembly (mirror of assembly.AssemblyEngine) ----
 
-    int64_t aligned_lo = 0, aligned_hi = -1;   // expansion clip of `alignments`
-
     void prep_alignments(int64_t clip_lo, int64_t clip_hi) {
-        if (!alignments.empty()) {
-            if (clip_lo >= aligned_lo && clip_hi <= aligned_hi)
-                return;                        // cached expansion covers it
-            // a later assemble widened the clip: re-expand the PAIRS for the
-            // union span, but keep each read's extraction state — alleles
-            // are extracted once per window (extract_alleles short-circuits
-            // on `extracted`, mirroring the Python engine)
-            aligned_lo = std::min(clip_lo, aligned_lo);
-            aligned_hi = std::max(clip_hi, aligned_hi);
-            for (auto& ra : alignments)
-                ra->expand(aligned_lo, aligned_hi);
-            return;
-        }
-        aligned_lo = clip_lo;
-        aligned_hi = clip_hi;
+        // One-shot, like extraction: aligned pairs are consumed only by
+        // extract_alleles, which runs for every read during the FIRST
+        // assemble_region call and short-circuits afterwards (mirroring the
+        // Python engine) — so the first call's clip is the only one whose
+        // pairs are ever read.  last_position and the partial flags are
+        // CIGAR-derived (clip-independent), so later calls see full-read
+        // semantics for the gates they do consult.
+        if (!alignments.empty()) return;
         for (size_t i = 0; i < reads.size(); i++) {
             auto ra = std::make_unique<ReadAlignment>();
             ra->read_id = (int32_t)i;
@@ -641,10 +649,19 @@ struct Window {
         if (regions.empty()) return;
         int64_t start = regions.front().first - params.band_margin;
         int64_t stop = regions.back().second + params.band_margin;
-        // every pair query this call makes lies in [start+1, stop-1]; the
-        // clip keeps one position of slack on each side for the boundary
-        // has_pair probes (get_aligned_bases consults qs-1 and qe)
-        prep_alignments(start - 1, stop + 1);
+        // every pair query this call makes lies within the regions' extent;
+        // the clip keeps one position of slack on each side for the boundary
+        // has_pair probes (get_aligned_bases consults qs-1 and qe).  Bounds
+        // come from min/max so an unsorted region list cannot produce an
+        // inverted clip (front/back still drive the reassembly band, whose
+        // sortedness assumption predates the clip).
+        int64_t lo = regions.front().first, hi = regions.front().second;
+        for (auto& r : regions) {
+            lo = std::min(lo, r.first);
+            hi = std::max(hi, r.second);
+        }
+        prep_alignments(lo - params.band_margin - 1,
+                        hi + params.band_margin + 1);
 
         for (auto& ra : alignments) ra->extract_alleles(regions);
 

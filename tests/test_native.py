@@ -38,6 +38,23 @@ def random_window(seed, hybrid=False):
     variants = sim.plant_variants(ref, 5, rng, min_gap=100, start=300)
     reads = sim.simulate_reads(ref, variants, "chrF", 25, 150, rng,
                                name_prefix="i_")
+    # adversarial CIGAR rewrites the simulator never produces: splices (N),
+    # leading and trailing insertions — the engines must agree on partial
+    # start/stop semantics and last_position across all of them
+    for i, r in enumerate(reads):
+        if len(r.cigartuples) != 1 or r.cigartuples[0][0] != 0:
+            continue
+        n = r.cigartuples[0][1]
+        # keep the spliced span inside the (padded) window bounds
+        budget = 1450 - (r.reference_start + n)
+        if budget < 10 or n <= 40:
+            continue
+        gap = rng.randint(5, min(60, budget))
+        if i % 7 == 3:
+            a = rng.randint(10, n - 30)
+            r.cigartuples = [(0, a), (3, gap), (0, n - a - 4), (1, 4)]
+        elif i % 7 == 5:
+            r.cigartuples = [(1, 3), (0, n - 3 - 10), (3, gap), (0, 10)]
     if hybrid:
         pb = sim.simulate_reads(ref, variants, "chrF", 12, 400, rng,
                                 pacbio=True, hp_tags=True, name_prefix="p_")
@@ -225,3 +242,49 @@ def test_repeated_assemble_with_disjoint_regions(seed):
                 assert wp.num_reads_supporting_allele(allele, pacbio) == \
                     wn.num_reads_supporting_allele(allele, pacbio), \
                     (region, allele, pacbio)
+
+
+def test_spliced_reads_parity():
+    """Reads with N (reference-skip) CIGAR ops — which the simulator never
+    emits — must behave identically in both engines: the partial
+    insertion/start flags and last_position are CIGAR properties that the
+    native clip-scan must reproduce for splices, leading/trailing
+    insertions, and insertions right after a skip."""
+    rng = random.Random(11)
+    ref = sim.random_reference(1200, rng)
+    variants = sim.plant_variants(ref, 4, rng, min_gap=120, start=300)
+    reads = sim.simulate_reads(ref, variants, "chrF", 25, 150, rng,
+                               name_prefix="m_")
+
+    def mk(name, start, cigars, seq_len):
+        seq = "".join(rng.choice("ACGT") for _ in range(seq_len))
+        return AlignedRead(name=name, flag=0, chromosome="chrF",
+                           reference_start=start, mapq=60,
+                           cigartuples=cigars, sequence=seq,
+                           qualities=[30] * seq_len)
+
+    # spliced read: M N M with an insertion right after the skip
+    reads.append(mk("n1", 300, [(0, 60), (3, 200), (1, 4), (0, 56)], 120))
+    # spliced read with a trailing insertion
+    reads.append(mk("n2", 320, [(0, 80), (3, 150), (0, 36), (1, 4)], 120))
+    # leading insertion + splice
+    reads.append(mk("n3", 350, [(1, 5), (0, 70), (3, 100), (0, 45)], 120))
+    reads.sort(key=lambda r: r.reference_start)
+
+    view = RefView(ref)
+    wp = Window(reads, 100, 1100, view, "chrF", backend="python")
+    wn = Window(reads, 100, 1100, view, "chrF", backend="native")
+    rp = wp.differing_regions()
+    rn = wn.differing_regions()
+    assert rp == rn and rp, (rp, rn)
+    wp.assemble_region()
+    wn.assemble_region()
+    for region in rp:
+        wp.assemble(*region)
+        wn.assemble(*region)
+        assert sorted(wp.alleles_at_site) == sorted(wn.alleles_at_site), region
+        for allele in sorted(wp.alleles_at_site):
+            assert wp.num_reads_supporting_allele(allele, False) == \
+                wn.num_reads_supporting_allele(allele, False), (region, allele)
+            np.testing.assert_array_equal(wp.compute_features(allele, 0),
+                                          wn.compute_features(allele, 0))
