@@ -176,8 +176,8 @@ def bench_torch_baseline(sites, iters=5):
     return len(sites) * iters / elapsed
 
 
-def bench_pipeline(workers: int = 0, ref_length: int = 480_000,
-                   num_variants: int = 1600):
+def bench_pipeline(workers: int = 0, ref_length: int = 1_440_000,
+                   num_variants: int = 4800):
     """End-to-end throughput (indexed BAM fetch -> hotspots -> candidates ->
     featurization -> device scoring -> genotype decode) on a simulated
     region: scorable windows per second.
