@@ -55,6 +55,9 @@ def random_window(seed, hybrid=False):
             r.cigartuples = [(0, a), (3, gap), (0, n - a - 4), (1, 4)]
         elif i % 7 == 5:
             r.cigartuples = [(1, 3), (0, n - 3 - 10), (3, gap), (0, 10)]
+        elif i % 7 == 1:
+            # soft-clipped ends (query-only ops the simulator never makes)
+            r.cigartuples = [(4, 6), (0, n - 12), (4, 6)]
     if hybrid:
         pb = sim.simulate_reads(ref, variants, "chrF", 12, 400, rng,
                                 pacbio=True, hp_tags=True, name_prefix="p_")
