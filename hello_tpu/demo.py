@@ -33,6 +33,9 @@ def main(argv=None):
     parser.add_argument("--sub_error_rate", type=float, default=0.01)
     parser.add_argument("--indel_error_rate", type=float, default=0.001)
     parser.add_argument("--seed", type=int, default=23)
+    parser.add_argument("--hybrid", action="store_true",
+                        help="Illumina + PacBio input through the full "
+                             "3-expert hybrid model")
     args = parser.parse_args(argv)
 
     logging.basicConfig(level=logging.INFO,
@@ -45,6 +48,8 @@ def main(argv=None):
     from .train.cli import train_from_shards
 
     os.makedirs(args.outdir, exist_ok=True)
+    platforms = ("illumina", "pacbio") if args.hybrid else ("illumina",)
+    model_name = "hybrid" if args.hybrid else "illumina"
     noise = dict(sub_error_rate=args.sub_error_rate,
                  indel_error_rate=args.indel_error_rate)
     t0 = time.time()
@@ -55,33 +60,35 @@ def main(argv=None):
                           ref_length=args.train_ref_length,
                           num_variants=args.train_variants,
                           coverage=args.coverage, read_length=120,
-                          seed=args.seed, **noise)
+                          seed=args.seed, platforms=platforms, **noise)
     te = sim.make_dataset(os.path.join(args.outdir, "test"),
                           ref_length=args.test_ref_length,
                           num_variants=args.test_variants,
                           coverage=args.coverage, read_length=120,
-                          seed=args.seed + 54, **noise)
+                          seed=args.seed + 54, platforms=platforms, **noise)
 
     bed = os.path.join(args.outdir, "train", "conf.bed")
     with open(bed, "w") as fh:
         fh.write(f"{tr.chromosome}\t0\t{args.train_ref_length}\n")
 
     logger.info("dumping labeled training shards...")
-    shards = dump_region([tr.bams["illumina"]], FastaFile(tr.fasta),
+    tr_bams = [tr.bams[p] for p in platforms]
+    te_bams = [te.bams[p] for p in platforms]
+    shards = dump_region(tr_bams, FastaFile(tr.fasta),
                          tr.chromosome, 0, args.train_ref_length,
                          tr.truth_vcf, bed,
                          os.path.join(args.outdir, "shards"))
-    logger.info("training (%d epochs)...", args.epochs)
+    logger.info("training %s (%d epochs)...", model_name, args.epochs)
     model_prefix = os.path.join(args.outdir, "model")
-    train_from_shards(shards, "illumina", model_prefix,
+    train_from_shards(shards, model_name, model_prefix,
                       num_epochs=args.epochs, lr=1e-3, num_devices=1,
                       batch_alleles=32, read_bucket=64,
                       max_reads_per_site=48, val_fraction=0.0)
 
     logger.info("calling the held-out genome...")
-    scorer = load_scorer("illumina", model_prefix + ".final.ckpt")
+    scorer = load_scorer(model_name, model_prefix + ".final.ckpt")
     ref_te = FastaFile(te.fasta)
-    records = call_region([te.bams["illumina"]], ref_te, te.chromosome, 0,
+    records = call_region(te_bams, ref_te, te.chromosome, 0,
                           args.test_ref_length, scorer)
     calls_vcf = os.path.join(args.outdir, "calls.vcf")
     from .io.vcf import write_vcf
