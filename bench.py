@@ -227,8 +227,8 @@ def bench_pipeline(workers: int = 0, ref_length: int = 1_440_000,
     # steady state (a production run amortises each bucket's one-time compile
     # over a whole genome; through remote-TPU tunnels a single compile is
     # tens of seconds and would otherwise dominate a small benchmark region).
-    run_once()
     try:
+        run_once()
         return run_once()
     finally:
         if pool is not None:

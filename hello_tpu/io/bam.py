@@ -20,12 +20,15 @@ Coordinates are 0-based half-open throughout.
 
 from __future__ import annotations
 
+import logging
 import os
 import struct
 import zlib
 from typing import Dict, Iterator, List, Optional, Sequence, Tuple
 
 from ..reads import AlignedRead
+
+logger = logging.getLogger(__name__)
 
 BGZF_EOF = bytes.fromhex(
     "1f8b08040000000000ff0600424302001b0003000000000000000000")
@@ -352,8 +355,18 @@ class BaiIndex:
         return idx
 
 
+def _bai_cache_path(path: str) -> str:
+    """Fallback .bai location for BAMs in read-only directories: a per-user
+    cache keyed by the BAM's absolute path."""
+    import hashlib
+    digest = hashlib.sha1(os.path.abspath(path).encode()).hexdigest()
+    return os.path.join(os.path.expanduser("~/.cache/hello_tpu/bai"),
+                        digest + ".bai")
+
+
 def _bai_path_for(path: str) -> Optional[str]:
-    for cand in (path + ".bai", os.path.splitext(path)[0] + ".bai"):
+    for cand in (path + ".bai", os.path.splitext(path)[0] + ".bai",
+                 _bai_cache_path(path)):
         if os.path.exists(cand):
             return cand
     return None
@@ -455,7 +468,14 @@ def build_index(path: str, write: bool = True) -> BaiIndex:
         try:
             idx.save(path + ".bai")
         except OSError:
-            pass                             # read-only directory: keep in memory
+            # read-only directory: persist in the per-user cache instead
+            # (found again by _bai_path_for, incl. by the native reader)
+            try:
+                cache = _bai_cache_path(path)
+                os.makedirs(os.path.dirname(cache), exist_ok=True)
+                idx.save(cache)
+            except OSError:
+                pass                         # cache also unwritable: in-memory
     return idx
 
 
@@ -493,6 +513,12 @@ class BamReader:
                 self._index = (BaiIndex.load(bai) if bai
                                else build_index(self.path))
             except UnsortedBamError:
+                self._index = False
+            except Exception:
+                # corrupt/truncated/foreign .bai: the index is an access-path
+                # optimisation — fall back to the linear scan, never crash
+                logger.warning("unusable BAM index for %s; falling back to "
+                               "linear scan", self.path, exc_info=True)
                 self._index = False
         return self._index or None
 

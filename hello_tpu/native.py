@@ -96,7 +96,7 @@ def load_library():
     # final guard: an .so still missing the newest C API symbol (e.g. make
     # unavailable on this host) must degrade to the pure-Python engine, not
     # crash the ctypes setup below
-    if not hasattr(lib, "htpu_compact_rows"):
+    if not hasattr(lib, "htpu_bam_open_region_bai"):   # newest C API symbol
         return None
 
     i64p = ctypes.POINTER(ctypes.c_int64)
@@ -158,6 +158,10 @@ def load_library():
     lib.htpu_bam_open_region.restype = ctypes.c_void_p
     lib.htpu_bam_open_region.argtypes = [
         ctypes.c_char_p, ctypes.c_char_p, ctypes.c_int64, ctypes.c_int64]
+    lib.htpu_bam_open_region_bai.restype = ctypes.c_void_p
+    lib.htpu_bam_open_region_bai.argtypes = [
+        ctypes.c_char_p, ctypes.c_char_p, ctypes.c_char_p,
+        ctypes.c_int64, ctypes.c_int64]
     lib.htpu_bam_select.restype = ctypes.c_int32
     lib.htpu_bam_select.argtypes = [
         ctypes.c_void_p, ctypes.c_int32, ctypes.c_int64, ctypes.c_int64,
@@ -283,12 +287,21 @@ class NativeBam:
             from .io.bam import UnsortedBamError, _bai_path_for, build_index
             if _bai_path_for(path) is None:
                 try:
-                    build_index(path)       # one pass, persisted next to BAM
+                    # one pass; persisted next to the BAM, or in the per-user
+                    # cache when the BAM's directory is read-only
+                    build_index(path)
                 except (UnsortedBamError, ValueError):
                     pass                    # C++ side falls back to whole-file
             chrom, start, stop = region
-            self._h = lib.htpu_bam_open_region(
-                path.encode(), chrom.encode(), max(int(start), 0), int(stop))
+            bai = _bai_path_for(path)
+            if bai is not None:
+                self._h = lib.htpu_bam_open_region_bai(
+                    path.encode(), bai.encode(), chrom.encode(),
+                    max(int(start), 0), int(stop))
+            else:
+                self._h = lib.htpu_bam_open_region(
+                    path.encode(), chrom.encode(), max(int(start), 0),
+                    int(stop))
         else:
             self._h = lib.htpu_bam_open(path.encode())
         if not self._h:

@@ -415,10 +415,30 @@ _EXPECTED_TAIL_SHAPES = [
 ]
 
 
+def _topology_matches(seq) -> bool:
+    """The kernel hardcodes conv->ReLU with no norm layers: accept ONLY the
+    weight-normed read_convolver's layer classes (a Softplus/LayerNorm or
+    BatchNorm variant can have identical conv shapes but different math —
+    silently wrong results if the shape check alone gated the kernel)."""
+    def ok_layers(layers):
+        for layer in layers:
+            cls = type(layer).__name__
+            if cls == "ResidualBlock":
+                if not (ok_layers(layer.ff.layers) and ok_layers(layer.sh.layers)):
+                    return False
+            elif cls not in ("WeightNormedConv1d", "ReLU", "MaxPool1d", "Noop"):
+                return False   # norm layers / other activations: XLA path
+        return True
+    return ok_layers(seq.layers)
+
+
 def supports_network(model, params, name: str) -> bool:
-    """Whether `name` is a standard width-1 read_convolver the fused kernel
-    can run (wide/addendum variants fall back to the XLA path)."""
+    """Whether `name` is a standard width-1 weight-normed read_convolver the
+    fused kernel can run (wide/addendum/layer_norm/batch-norm variants fall
+    back to the XLA path)."""
     try:
+        if not _topology_matches(model.nets[name]):
+            return False
         weights = extract_read_conv_weights(model.nets[name], params[name])
     except Exception:
         return False

@@ -27,6 +27,8 @@ def enable_compilation_cache(path: Optional[str] = None):
     env = os.environ.get("HELLO_TPU_COMPILE_CACHE", "")
     if env == "0":
         return
+    if env == "1":     # plain enable (mirrors the other HELLO_TPU_* flags),
+        env = ""       # not a directory literally named "1"
     cache_dir = path or env or os.path.expanduser("~/.cache/hello_tpu_xla")
     try:
         os.makedirs(cache_dir, exist_ok=True)

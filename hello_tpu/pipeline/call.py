@@ -134,11 +134,18 @@ class Scorer:
         d = self._jax.device_put(d, dev)   # jit dispatches on input placement
         try:
             return self._jitted(params, state, d)
-        except Exception:
-            if not getattr(self.model, "pallas_read_convs", ()):
-                raise
+        except Exception as exc:
             # Mosaic compile failures are shape/backend dependent; never let
-            # the fused-kernel fast path take down a calling run
+            # the fused-kernel fast path take down a calling run.  Only
+            # kernel-looking failures trigger the fallback — a transient
+            # device/tunnel error must surface as itself, not silently
+            # disable the kernel for the rest of the run.
+            msg = f"{type(exc).__name__}: {exc}"
+            kernel_error = any(k in msg for k in
+                               ("Mosaic", "mosaic", "pallas", "Pallas"))
+            if not getattr(self.model, "pallas_read_convs", ()) \
+                    or not kernel_error:
+                raise
             logger.warning("pallas read-convolver failed; falling back to "
                            "the XLA path for this run", exc_info=True)
             self.model.pallas_read_convs = ()
@@ -340,7 +347,7 @@ def call_region(bam_paths: Sequence[str], ref: FastaFile, chromosome: str,
         with telemetry.stage("device_scoring"):
             out = _dispatch(batch)
         pending.append((group, batch, out))
-        if len(pending) > MAX_IN_FLIGHT:
+        if len(pending) >= MAX_IN_FLIGHT:
             _consume()
     while pending:
         _consume()

@@ -40,7 +40,9 @@ class FeatureIndex:
 
     def __init__(self, features: List[dict]):
         self._by_chrom: Dict[str, List[tuple]] = {}
+        self._max_len = 1
         for feat in features:
+            self._max_len = max(self._max_len, int(feat["length"]))
             self._by_chrom.setdefault(feat["chromosome"], []).append(
                 (int(feat["position"]),
                  int(feat["position"]) + int(feat["length"]), feat))
@@ -51,9 +53,9 @@ class FeatureIndex:
                     flank: int = 0) -> List[dict]:
         intervals = self._by_chrom.get(chrom, [])
         lo, hi = start - flank, stop + flank
-        # sites are short (<= window length); scan from the first interval
-        # whose start could still overlap
-        idx = bisect.bisect_left(intervals, (lo - 1000, -1, None))
+        # scan from the first interval whose start could still overlap, given
+        # the longest record actually indexed (no magic site-width assumption)
+        idx = bisect.bisect_left(intervals, (lo - self._max_len, -1, None))
         out = []
         for s, e, feat in intervals[idx:]:
             if s >= hi:

@@ -92,10 +92,11 @@ def host_sites_for_chunk(bam_paths, ref_path, chromosome, start, stop,
 
 
 def _worker(job_queue, result_queue):
-    """Worker loop: consume (bam_paths, ref_path, options, chrom, start, stop)
-    jobs, emit site lists.  Workers are generic (the job carries the data
-    sources) so one pool serves a whole run; per-process BAM/index caches are
-    keyed by path and persist across jobs."""
+    """Worker loop: consume (run_id, bam_paths, ref_path, options, chrom,
+    start, stop) jobs, emit (status, run_id, region, payload) messages.
+    Workers are generic (the job carries the data sources) so one pool serves
+    a whole run; per-process BAM/index caches are keyed by path and persist
+    across jobs."""
     # workers never touch the accelerator
     os.environ.setdefault("JAX_PLATFORMS", "cpu")
     # eager imports: charge module-import cost (jax + hello_tpu, seconds) to
@@ -103,19 +104,19 @@ def _worker(job_queue, result_queue):
     from . import candidates as _c, hotspots as _h  # noqa: F401
     from .. import native as _n
     _n.load_library()
-    result_queue.put(("ready", None, None))
+    result_queue.put(("ready", None, None, None))
     while True:
         job = job_queue.get()
         if job == _SENTINEL:
             return
-        bam_paths, ref_path, options, chromosome, start, stop = job
+        run_id, bam_paths, ref_path, options, chromosome, start, stop = job
         region = (chromosome, start, stop)
         try:
             sites = host_sites_for_chunk(bam_paths, ref_path, chromosome,
                                          start, stop, options)
-            result_queue.put(("ok", region, sites))
+            result_queue.put(("ok", run_id, region, sites))
         except Exception as exc:  # report and continue: recovery = rerun shard
-            result_queue.put(("error", region, repr(exc)))
+            result_queue.put(("error", run_id, region, repr(exc)))
 
 
 def _require_importable_main():
@@ -148,6 +149,10 @@ class HostWorkerPool:
         self._job_queue = ctx.Queue()
         self._result_queue = ctx.Queue()
         self._ready = 0
+        # run token: results carry the submitting run's id so a consumer can
+        # discard leftovers from an aborted previous call_parallel (reusing
+        # the pool after an error must not mix runs' sites)
+        self._run_id = 0
         self._workers = [
             ctx.Process(target=_worker,
                         args=(self._job_queue, self._result_queue),
@@ -157,8 +162,10 @@ class HostWorkerPool:
             w.start()
 
     def _check_alive(self):
-        dead = [w for w in self._workers if not w.is_alive()
-                and w.exitcode not in (0, None)]
+        # ANY dead worker while results are awaited is abnormal (workers only
+        # exit on the shutdown sentinel) — including a clean exit code 0,
+        # which would otherwise leave the consumer polling to the timeout
+        dead = [w for w in self._workers if not w.is_alive()]
         if dead:
             raise RuntimeError(
                 f"{len(dead)} pool worker(s) died "
@@ -184,21 +191,32 @@ class HostWorkerPool:
             assert msg[0] == "ready", msg
             self._ready += 1
 
+    def new_run(self) -> int:
+        """Start a new logical run: later ``results`` calls discard messages
+        from earlier runs (leftovers of an aborted consumer must not leak
+        into the next run's call set)."""
+        self._run_id += 1
+        return self._run_id
+
     def submit(self, bam_paths, ref_path, options, chunk):
         chromosome, start, stop = chunk
-        self._job_queue.put((list(bam_paths), ref_path, dict(options),
-                             chromosome, start, stop))
+        self._job_queue.put((self._run_id, list(bam_paths), ref_path,
+                             dict(options), chromosome, start, stop))
 
     def results(self, n: int, timeout: float = 3600.0):
-        """Yield n ('ok'|'error', region, payload) messages as they arrive."""
+        """Yield n ('ok'|'error', region, payload) messages of the CURRENT
+        run as they arrive; stale runs' messages are dropped."""
         got = 0
         while got < n:
             msg = self._get(timeout)
             if msg[0] == "ready":          # late startup acks interleave
                 self._ready += 1
                 continue
+            status, run_id, region, payload = msg
+            if run_id != self._run_id:     # aborted previous run's leftovers
+                continue
             got += 1
-            yield msg
+            yield (status, region, payload)
 
     def shutdown(self):
         for _ in self._workers:
@@ -249,6 +267,7 @@ def call_parallel(bam_paths: Sequence[str], ref_path: str, scorer: Scorer,
     own_pool = pool is None
     if own_pool:
         pool = HostWorkerPool(num_workers)
+    pool.new_run()     # discard any aborted previous run's leftovers
     for job in jobs:
         pool.submit(bam_paths, ref_path, options, job)
 
@@ -298,7 +317,7 @@ def call_parallel(bam_paths: Sequence[str], ref_path: str, scorer: Scorer,
         t_acc["pack_s"] += t1 - t0
         in_flight.append((group, batch, _dispatch(batch)))
         t_acc["dispatch_s"] += time.perf_counter() - t1
-        if len(in_flight) > MAX_IN_FLIGHT:
+        if len(in_flight) >= MAX_IN_FLIGHT:
             _drain_one()
 
     # Sites are buffered ACROSS chunk results so the device sees full

@@ -134,6 +134,11 @@ htpu_bam* htpu_bam_open(const char* path);
 // [start, stop) on `chromosome`; whole-file fallback when no index exists.
 htpu_bam* htpu_bam_open_region(const char* path, const char* chromosome,
                                int64_t start, int64_t stop);
+// Same, with an explicit .bai location (e.g. the per-user cache used when
+// the BAM's directory is read-only).
+htpu_bam* htpu_bam_open_region_bai(const char* path, const char* bai_path,
+                                   const char* chromosome,
+                                   int64_t start, int64_t stop);
 void htpu_bam_close(htpu_bam* b);
 
 int32_t htpu_bam_num_refs(htpu_bam* b);

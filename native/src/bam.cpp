@@ -117,18 +117,10 @@ bool bgzf_decompress(const char* path, std::vector<uint8_t>& out) {
 // region opens (mirror of hello_tpu/io/bam.py BaiIndex/BgzfStream)
 // ---------------------------------------------------------------------------
 
-bool load_bai_linear(const std::string& bam_path,
-                     std::vector<std::vector<uint64_t>>& linear) {
-    std::string path = bam_path + ".bai";
+bool load_bai_file(const std::string& path,
+                   std::vector<std::vector<uint64_t>>& linear) {
     FILE* fh = std::fopen(path.c_str(), "rb");
-    if (!fh) {
-        std::string stem = bam_path;
-        size_t dot = stem.rfind('.');
-        if (dot != std::string::npos) stem = stem.substr(0, dot);
-        path = stem + ".bai";
-        fh = std::fopen(path.c_str(), "rb");
-        if (!fh) return false;
-    }
+    if (!fh) return false;
     std::fseek(fh, 0, SEEK_END);
     long fsize = std::ftell(fh);
     std::fseek(fh, 0, SEEK_SET);
@@ -165,6 +157,15 @@ bool load_bai_linear(const std::string& bam_path,
         pos += (size_t)n_intv * 8;
     }
     return true;
+}
+
+bool load_bai_linear(const std::string& bam_path,
+                     std::vector<std::vector<uint64_t>>& linear) {
+    if (load_bai_file(bam_path + ".bai", linear)) return true;
+    std::string stem = bam_path;
+    size_t dot = stem.rfind('.');
+    if (dot != std::string::npos) stem = stem.substr(0, dot);
+    return load_bai_file(stem + ".bai", linear);
 }
 
 struct BgzfCursor {
@@ -482,15 +483,20 @@ htpu_bam* htpu_bam_open(const char* path) {
     return b;
 }
 
-htpu_bam* htpu_bam_open_region(const char* path, const char* chromosome,
-                               int64_t start, int64_t stop) {
+static htpu_bam* open_region_impl(const char* path, const char* bai_path,
+                                  const char* chromosome,
+                                  int64_t start, int64_t stop) {
     // O(region) open: BAI linear-index seek, decode only records overlapping
     // [start, stop) (mirror of hello_tpu/io/bam.py BamReader.fetch; replaces
     // the reference's htslib-backed pysam fetch,
     // PileupContainerLite.py:505-527).  Falls back to whole-file decode when
-    // no index exists.
+    // no index exists.  ``bai_path``: explicit index location (e.g. the
+    // per-user cache used for BAMs in read-only directories); NULL = the
+    // conventional locations next to the BAM.
     std::vector<std::vector<uint64_t>> linear;
-    if (!load_bai_linear(path, linear)) {
+    bool have = bai_path ? load_bai_file(bai_path, linear)
+                         : load_bai_linear(path, linear);
+    if (!have) {
         htpu_bam* whole = htpu_bam_open(path);
         return whole;
     }
@@ -553,6 +559,17 @@ htpu_bam* htpu_bam_open_region(const char* path, const char* chromosome,
             append_record(d, rec.data(), (size_t)block_size);
     }
     return b;
+}
+
+htpu_bam* htpu_bam_open_region(const char* path, const char* chromosome,
+                               int64_t start, int64_t stop) {
+    return open_region_impl(path, nullptr, chromosome, start, stop);
+}
+
+htpu_bam* htpu_bam_open_region_bai(const char* path, const char* bai_path,
+                                   const char* chromosome,
+                                   int64_t start, int64_t stop) {
+    return open_region_impl(path, bai_path, chromosome, start, stop);
 }
 
 void htpu_bam_close(htpu_bam* b) { delete b; }

@@ -283,3 +283,47 @@ def test_long_cigar_cg_tag_roundtrip(tmp_path):
         assert nr.sequence == seq
         assert nr.hp == 2
         assert int(nb.ref_ends[0]) == 100 + ref_len
+
+
+def test_bai_cache_fallback_for_readonly_dir(tmp_path, monkeypatch):
+    """A BAM in a read-only directory still gets O(region) access: the built
+    index persists in the per-user cache, is found by _bai_path_for, and the
+    native region open uses it (no whole-file decode)."""
+    import os
+
+    from hello_tpu import native, sim
+    from hello_tpu.io import bam as bam_mod
+
+    d = tmp_path / "ro"
+    ds = sim.make_dataset(str(d), ref_length=12_000, num_variants=10,
+                          coverage=20, read_length=100, seed=4)
+    bam = ds.bams["illumina"]
+    os.remove(bam + ".bai")                # drop the simulator-written index
+    cache = bam_mod._bai_cache_path(bam)
+    if os.path.exists(cache):
+        os.remove(cache)
+
+    # simulate a read-only BAM directory (chmod is useless as root): saving
+    # next to the BAM raises, the cache location stays writable
+    real_save = bam_mod.BaiIndex.save
+
+    def guarded_save(self, path):
+        if os.path.dirname(os.path.abspath(path)) == str(d):
+            raise OSError(30, "Read-only file system", path)
+        return real_save(self, path)
+
+    monkeypatch.setattr(bam_mod.BaiIndex, "save", guarded_save)
+    try:
+        idx = bam_mod.build_index(bam)
+        assert idx is not None
+        assert not os.path.exists(bam + ".bai")
+        assert os.path.exists(cache), "index not persisted to the cache"
+        assert bam_mod._bai_path_for(bam) == cache
+        if native.available():
+            nb = native.NativeBam(bam, region=(ds.chromosome, 2_000, 4_000))
+            # region open decoded a strict subset of the file
+            whole = native.NativeBam(bam)
+            assert 0 < nb.num_reads < whole.num_reads
+    finally:
+        if os.path.exists(cache):
+            os.remove(cache)
