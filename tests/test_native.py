@@ -76,7 +76,7 @@ def build_windows(ref, reads, hybrid, **kw):
     return wp, wn
 
 
-@pytest.mark.parametrize("seed", [1, 2, 3, 4, 5])
+@pytest.mark.parametrize("seed", [1, 2, 3, 4, 5, 6, 7])
 @pytest.mark.parametrize("hybrid", [False, True])
 def test_fuzz_native_vs_python(seed, hybrid):
     ref, reads = random_window(seed, hybrid)
