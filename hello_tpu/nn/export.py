@@ -65,6 +65,12 @@ def _export_layer(layer: L.Layer, params, state, prefix: str, out: Dict[str, np.
             _export_sequential(br, params.get(f"branch{i}", {}),
                                state.get(f"branch{i}", {}),
                                prefix + f"branch{i}.network.", out)
+    elif params:
+        # mirror convert.py's strictness: silently exporting nothing for a
+        # parameter-bearing layer corrupts the state_dict far from the cause
+        raise NotImplementedError(
+            f"export for layer type {type(layer).__name__} at {prefix!r} "
+            "is not implemented (it owns parameters)")
 
 
 def _export_sequential(seq: L.Sequential, params, state, prefix, out):

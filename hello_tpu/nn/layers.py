@@ -224,12 +224,27 @@ class WeightNormedLinear(Linear):
         return y, state
 
 
+# Row mask for train-mode BatchNorm statistics: padded batch rows (allele
+# slot / read padding) must not contaminate batch mean/var (CLAUDE.md:
+# "padding must stay provably inert").  Set around a network apply (it is a
+# trace-time Python global, so it simply becomes part of the traced graph);
+# None = plain unmasked statistics.  Eval-mode BN uses running stats and is
+# padding-inert regardless.
+_BN_BATCH_MASK = None
+
+
+def set_bn_batch_mask(mask):
+    global _BN_BATCH_MASK
+    _BN_BATCH_MASK = mask
+
+
 class BatchNorm1d(Layer):
     """BatchNorm over the channel axis (last axis in NWC).
 
     Normalises per channel over (batch, length) for 3-D inputs or (batch,) for
     2-D inputs.  ``state`` holds running mean / var (biased normalisation,
-    unbiased running update — torch semantics, momentum 0.1).
+    unbiased running update — torch semantics, momentum 0.1).  Train-mode
+    statistics honour ``set_bn_batch_mask`` (weighted over real rows only).
     """
 
     def __init__(self, num_features, momentum=0.1, eps=_EPS_BN):
@@ -250,7 +265,23 @@ class BatchNorm1d(Layer):
 
     def apply(self, params, state, x, train=False, rng=None):
         axes = tuple(range(x.ndim - 1))
-        if train:
+        mask = _BN_BATCH_MASK
+        if train and mask is not None and mask.shape[0] == x.shape[0]:
+            # weighted statistics over real rows only (mask [B] in {0,1});
+            # each row contributes x.shape[1] positions for 3-D activations
+            m = mask.astype(jnp.float32)
+            mb = m.reshape((-1,) + (1,) * (x.ndim - 1))
+            per_row = float(np.prod(x.shape[1:-1])) if x.ndim > 2 else 1.0
+            count = jnp.maximum(jnp.sum(m) * per_row, 1.0)
+            xf = x.astype(jnp.float32)
+            mean = jnp.sum(xf * mb, axis=axes) / count
+            var = jnp.sum(jnp.square(xf - mean) * mb, axis=axes) / count
+            unbiased = var * (count / jnp.maximum(count - 1.0, 1.0))
+            new_state = {
+                "mean": (1 - self.momentum) * state["mean"] + self.momentum * mean,
+                "var": (1 - self.momentum) * state["var"] + self.momentum * unbiased,
+            }
+        elif train:
             mean = jnp.mean(x, axis=axes)
             var = jnp.var(x, axis=axes)
             n = np.prod([x.shape[a] for a in axes]) if x.ndim > 1 else x.shape[0]
@@ -597,10 +628,10 @@ class HelloEncoder(Layer):
     def init(self, key, in_shape):
         L, C = in_shape
         assert C == self.input_dim
-        keys = _split(key, len(self.blocks) + 1)
+        keys = _split(key, len(self.blocks) + 2)
         e = self.embedding_dim
         params = {"embed_w": kaiming_uniform(keys[0], (C, e), C),
-                  "embed_b": kaiming_uniform(keys[0], (e,), C)}
+                  "embed_b": kaiming_uniform(keys[-1], (e,), C)}
         for i, blk in enumerate(self.blocks):
             p, _s, _o = blk.init(keys[i + 1], (L, e))
             params[f"attn{i}"] = p

@@ -163,7 +163,7 @@ class MoEAttention:
 
     # -- forward ------------------------------------------------------------
 
-    def _apply_net(self, name, params, state, x, train, rng):
+    def _apply_net(self, name, params, state, x, train, rng, bn_mask=None):
         net = self.nets[name]
         p = params.get(name, {})
         s = state.get(name, {})
@@ -172,11 +172,20 @@ class MoEAttention:
             # stable per-network fold (hash() is randomised per process via
             # PYTHONHASHSEED, which would make dropout streams irreproducible)
             lrng = jax.random.fold_in(rng, self.NETWORK_NAMES.index(name))
-        y, ns = net.apply(p, s, x, train=train, rng=lrng)
+        from . import layers as L
+        # padded rows must not contaminate train-mode batch-norm statistics:
+        # each call site passes the mask for ITS row axis (reads, alleles, or
+        # sites); trace-time global, reset afterwards
+        L.set_bn_batch_mask(bn_mask if train else None)
+        try:
+            y, ns = net.apply(p, s, x, train=train, rng=lrng)
+        finally:
+            L.set_bn_batch_mask(None)
         return y, ns
 
     def _compress_and_predict(self, idx, reduced_allele, site_onehot, site_ids,
-                              params, state, new_state, train, rng):
+                              params, state, new_state, train, rng,
+                              allele_mask=None, site_mask=None):
         """Mirror of MoEAttention.compress_and_predict (reference :117-159).
 
         reduced_allele: [A, 36, 64] summed read frames per allele.
@@ -184,7 +193,8 @@ class MoEAttention:
         compressed_allele [A,18,128]).
         """
         cname = f"compressor{idx}"
-        ca, ns = self._apply_net(cname, params, state, reduced_allele, train, rng)
+        ca, ns = self._apply_net(cname, params, state, reduced_allele, train,
+                                 rng, bn_mask=allele_mask)
         state_after = state
         if ns:
             # thread the allele pass's batch-norm update into the site pass so
@@ -196,7 +206,8 @@ class MoEAttention:
 
         # site features route 1: compress the per-site sum of read frames
         site_frames = site_segment_sum(reduced_allele, site_onehot)
-        cs0, ns = self._apply_net(cname, params, state_after, site_frames, train, rng)
+        cs0, ns = self._apply_net(cname, params, state_after, site_frames,
+                                  train, rng, bn_mask=site_mask)
         if ns:
             new_state[cname] = ns
         expand0 = cs0[site_ids]
@@ -209,7 +220,8 @@ class MoEAttention:
         logits = None
         if self.nets.get(xname) is not None:
             logits, ns = self._apply_net(
-                xname, params, state, (ca, (expand0, expand1)), train, rng)
+                xname, params, state, (ca, (expand0, expand1)), train, rng,
+                bn_mask=allele_mask)
             if ns:
                 new_state[xname] = ns
         return logits, (cs0, cs1), ca
@@ -249,15 +261,21 @@ class MoEAttention:
             Ax, R, L, C = reads.shape
             from .layers import ACT_DTYPE
             flat = reads.reshape(Ax * R, L, C).astype(ACT_DTYPE or jnp.float32)
-            frames, ns = self._apply_net(name, params, state, flat, train, rng)
+            frames, ns = self._apply_net(name, params, state, flat, train,
+                                         rng, bn_mask=mask.reshape(-1))
             if ns:
                 new_state[name] = ns
             frames = frames.reshape(Ax, R, frames.shape[1], frames.shape[2])
             return masked_read_sum(frames, mask.astype(jnp.float32))
 
+        # per-row masks for train-mode batch-norm statistics
+        site_mask = (jnp.sum(site_onehot, axis=0) > 0).astype(jnp.float32)
+        masks = dict(allele_mask=allele_mask, site_mask=site_mask)
+
         reduced0 = read_reduce("read_conv0", batch["reads0"], batch["read_mask0"])
         e0, f0, ca0 = self._compress_and_predict(
-            0, reduced0, site_onehot, site_ids, params, state, new_state, train, rng)
+            0, reduced0, site_onehot, site_ids, params, state, new_state,
+            train, rng, **masks)
 
         if not self.hybrid:
             out = {"experts": e0, "meta": None}
@@ -265,25 +283,31 @@ class MoEAttention:
 
         reduced1 = read_reduce("read_conv1", batch["reads1"], batch["read_mask1"])
         e1, f1, ca1 = self._compress_and_predict(
-            1, reduced1, site_onehot, site_ids, params, state, new_state, train, rng)
+            1, reduced1, site_onehot, site_ids, params, state, new_state,
+            train, rng, **masks)
 
         meta_site_frames = None
         if self.has_compressor2:
             # hybrid features straight from summed read frames (reference :181-192)
             reduced2 = reduced0 + reduced1
             e2, f2, _ = self._compress_and_predict(
-                2, reduced2, site_onehot, site_ids, params, state, new_state, train, rng)
+                2, reduced2, site_onehot, site_ids, params, state, new_state,
+                train, rng, **masks)
             meta_site_frames = f2[0]
         elif self.has_xattn2:
             # combiner path (reference :193-219)
-            ca2, ns = self._apply_net("combiner0", params, state, (ca0, ca1), train, rng)
+            ca2, ns = self._apply_net("combiner0", params, state, (ca0, ca1),
+                                      train, rng, bn_mask=allele_mask)
             if ns:
                 new_state["combiner0"] = ns
-            cs2, ns = self._apply_net("combiner1", params, state, (f0[1], f1[1]), train, rng)
+            cs2, ns = self._apply_net("combiner1", params, state,
+                                      (f0[1], f1[1]), train, rng,
+                                      bn_mask=site_mask)
             if ns:
                 new_state["combiner1"] = ns
             e2, ns = self._apply_net(
-                "xattn2", params, state, (ca2, (None, cs2[site_ids])), train, rng)
+                "xattn2", params, state, (ca2, (None, cs2[site_ids])), train,
+                rng, bn_mask=allele_mask)
             if ns:
                 new_state["xattn2"] = ns
             meta_site_frames = cs2
@@ -295,7 +319,7 @@ class MoEAttention:
         if self.has_meta:
             meta_logits, ns = self._apply_net(
                 "meta", params, state, (meta_site_frames, batch["ref_segments"].astype(jnp.float32)),
-                train, rng)
+                train, rng, bn_mask=site_mask)
             if ns:
                 new_state["meta"] = ns
             meta = jax.nn.softmax(meta_logits, axis=-1)

@@ -32,6 +32,15 @@ def read_file_list(spec: str):
     return sorted(glob.glob(spec))
 
 
+def model_input_channels(model) -> int:
+    """Input channel count of the model's read convolver (6, or 7 with the
+    haplotag channel) — the data must be packed to match."""
+    for layer in model.nets["read_conv0"].layers:
+        if hasattr(layer, "in_channels"):
+            return int(layer.in_channels)
+    return 6
+
+
 def train_from_shards(
     files, model_name: str, out_prefix: str,
     num_epochs: int = 10, lr: float = 1e-3, optimizer: str = "Adam",
@@ -41,20 +50,46 @@ def train_from_shards(
     t0: int = 10, t_mult: int = 2, min_lr: float = 0.0, warmup: bool = False,
     entropy_regularizer: float = 0.1, entropy_decay: float = 0.5,
     smoothing: float = 0.0, aux_weight: float = 0.0, weight_decay: float = 1e-4,
-    seed: int = 13, channels: int = 6, resume: str = None,
+    seed: int = 13, channels: int = None, resume: str = None,
     coverage_range=None, checkpoint_every: int = 0,
+    steps_per_epoch: int = 0,
 ):
+    import jax
+
     model = create_model(model_name)
     mesh = data_mesh(num_devices)
-    n_dev = mesh.devices.size
+    # stack as many per-device batches as THIS PROCESS addresses; the trainer
+    # assembles the global array across processes (multi-host)
+    n_dev = sum(1 for d in mesh.devices.flat
+                if d.process_index == jax.process_index())
     binary = (not model.has_meta)
+    if channels is None:
+        channels = model_input_channels(model)
+    elif channels != model_input_channels(model):
+        raise ValueError(
+            f"data packed with {channels} channels but model "
+            f"{model_name!r} expects {model_input_channels(model)} — "
+            "channel count is a property of the model config")
+    if steps_per_epoch <= 0 and (optimizer == "SGDR" or warmup):
+        # the SGDR/warmup schedules step fractionally per batch (reference
+        # LRSchedulers epoch = j + i/len(loader)); estimate the batches per
+        # epoch from the shard indexes (sites are cheap to count; ~2 alleles
+        # per site is the typical calling-mode density)
+        from .store import ShardReader
+        total_sites = sum(len(ShardReader(p)) for p in files)
+        per_batch = min(site_bucket, max(1, batch_alleles // 2))
+        steps_per_epoch = max(1, -(-total_sites // per_batch))
+        logger.info("estimated steps_per_epoch=%d for the LR schedule",
+                    steps_per_epoch)
     config = TrainConfig(
         lr=lr, min_lr=min_lr, optimizer=optimizer, weight_decay=weight_decay,
         t0=t0, t_mult=t_mult, warmup=warmup,
+        steps_per_epoch=max(steps_per_epoch, 1),
         entropy_regularizer=entropy_regularizer, entropy_decay=entropy_decay,
         smoothing=smoothing, aux_weight=aux_weight, binary=binary)
     trainer = Trainer(model, config, mesh=mesh, seed=seed)
     start_epoch, skip_batches = 0, 0
+    best_val = float("inf")
     if resume:
         trainer.restore(resume)
         # full-state resume: the per-epoch data order is a pure function of
@@ -65,6 +100,7 @@ def train_from_shards(
         extra = getattr(trainer, "resume_extra", {})
         start_epoch = int(extra.get("epoch", 0))
         skip_batches = int(extra.get("batches_done", 0))
+        best_val = float(extra.get("best_val", float("inf")))
         ckpt_seed = extra.get("seed")
         if ckpt_seed is not None and ckpt_seed != seed:
             logger.warning(
@@ -87,7 +123,6 @@ def train_from_shards(
         allele_bucket = batch_alleles
     fixed = {"read_bucket": read_bucket, "allele_bucket": allele_bucket,
              "site_bucket": site_bucket}
-    best_val = float("inf")
     # rank-0-style scalar telemetry (replaces the reference's TensorBoard
     # writer, MixtureOfExpertsDNNFastDistributed.py:932-939)
     metrics_path = f"{out_prefix}.metrics.jsonl"
@@ -98,9 +133,20 @@ def train_from_shards(
                               coverage_range=coverage_range)
         epoch_loss, n_batches, n_trained = 0.0, 0, 0
         start_t = time.time()
-        for stacked in device_batches(dataset, model.hybrid, n_dev,
-                                      batch_alleles, channels=channels,
-                                      fixed_shape=fixed):
+        batch_iter = iter(device_batches(dataset, model.hybrid, n_dev,
+                                         batch_alleles, channels=channels,
+                                         fixed_shape=fixed))
+        multihost = jax.process_count() > 1
+        while True:
+            stacked = next(batch_iter, None)
+            if multihost:
+                # every rank must enter the psum collectives the same number
+                # of times per epoch: stop as soon as ANY rank runs dry
+                # (ranks' shard files never split sites identically)
+                if not trainer.all_ranks_have(stacked is not None):
+                    break
+            elif stacked is None:
+                break
             n_batches += 1        # absolute position within the epoch
             if skip_batches > 0:
                 # deterministic sampler fast-forward on mid-epoch resume
@@ -112,7 +158,7 @@ def train_from_shards(
             if checkpoint_every and trainer.step % checkpoint_every == 0:
                 trainer.save(f"{out_prefix}.step{trainer.step}.ckpt",
                              extra={"epoch": epoch, "batches_done": n_batches,
-                                    "seed": seed})
+                                    "seed": seed, "best_val": best_val})
         elapsed = time.time() - start_t
 
         val_loss = None
@@ -133,11 +179,13 @@ def train_from_shards(
         }) + "\n")
         metrics_fh.flush()
 
-        epoch_extra = {"epoch": epoch + 1, "batches_done": 0, "seed": seed}
-        trainer.save(f"{out_prefix}.epoch{epoch}.ckpt", extra=epoch_extra)
         if val_loss is not None and val_loss < best_val:
             best_val = val_loss
+        epoch_extra = {"epoch": epoch + 1, "batches_done": 0,
+                       "seed": seed, "best_val": best_val}
+        if val_loss is not None and val_loss == best_val:
             trainer.save(f"{out_prefix}.best.ckpt", extra=epoch_extra)
+        trainer.save(f"{out_prefix}.epoch{epoch}.ckpt", extra=epoch_extra)
     trainer.save(f"{out_prefix}.final.ckpt",
                  extra={"epoch": num_epochs, "batches_done": 0, "seed": seed})
     metrics_fh.close()
@@ -168,7 +216,9 @@ def main(argv=None):
     parser.add_argument("--T0", type=int, default=10)
     parser.add_argument("--Tmult", type=int, default=2)
     parser.add_argument("--minLr", type=float, default=0.0)
-    parser.add_argument("--include_hp", action="store_true")
+    parser.add_argument("--include_hp", action="store_true",
+                        help="assert 7-channel (haplotagged) data; the "
+                             "channel count itself derives from --model")
     parser.add_argument("--seed", type=int, default=13)
     parser.add_argument("--subsample_coverage", default=None,
                         help="LO,HI coverage-fraction range for per-site "
@@ -210,8 +260,9 @@ def main(argv=None):
                          f"got {args.subsample_coverage!r}")
         coverage_range = (lo, hi)
     if args.distributed and jax.process_count() > 1:
-        from .loader import shard_files_for_ranks
-        per_rank, _min_len = shard_files_for_ranks(files, jax.process_count())
+        # files are balanced across ranks here; exact per-epoch step-count
+        # equalisation happens per batch via Trainer.all_ranks_have
+        per_rank, _ = shard_files_for_ranks(files, jax.process_count())
         files = per_rank[jax.process_index()]
         logger.info("rank %d takes %d shard files", jax.process_index(), len(files))
     if args.profile_dir:
@@ -227,7 +278,7 @@ def main(argv=None):
         entropy_regularizer=args.entropy_regularizer,
         entropy_decay=args.entropy_decay, smoothing=args.smoothing,
         aux_weight=args.aux_loss, weight_decay=args.weight_decay,
-        seed=args.seed, channels=7 if args.include_hp else 6,
+        seed=args.seed, channels=7 if args.include_hp else None,
         resume=args.resume, coverage_range=coverage_range,
         checkpoint_every=args.checkpoint_every)
     if args.profile_dir:

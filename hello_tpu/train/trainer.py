@@ -75,10 +75,13 @@ def _batch_loss(model: MoEAttention, config: TrainConfig, params, state,
                 batch, reg_coeff):
     out, new_state = model.apply(params, state, batch, train=True)
     experts = out["experts"]
-    if experts.ndim == 2 and experts.shape[1] == 1 and not model.has_meta:
-        if config.binary or not model.hybrid:
-            total = losses.binary_loss(experts, batch["labels"], batch["allele_mask"])
-            return total, (new_state, jnp.zeros((1,), jnp.float32))
+    if out["meta"] is None or config.binary:
+        # no meta expert (single-expert or no-ensemble models): per-allele
+        # binary loss over the expert logits, mirroring evaluate()'s routing
+        # (the MoE posterior loss needs meta weights)
+        total = losses.binary_loss(experts, batch["labels"],
+                                   batch["allele_mask"])
+        return total, (new_state, jnp.zeros((1,), jnp.float32))
     meta = out["meta"]
     total, per_expert, _post = losses.moe_loss(
         experts, meta, batch["labels"], batch["site_ids"], batch["allele_mask"],
@@ -153,12 +156,41 @@ class Trainer:
         self._sharded_grads = jax.jit(sharded_grads)
         return train_step
 
+    def _globalize(self, device_batches):
+        """Multi-host runs: each process stacks batches only for ITS
+        addressable mesh devices; assemble the mesh-global sharded arrays
+        (host-local numpy fed straight into the jit would be treated as an
+        identical replicated input, which it is not across processes)."""
+        if jax.process_count() == 1:
+            return device_batches
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        sharding = NamedSharding(self.mesh, PartitionSpec("data"))
+        return jax.tree_util.tree_map(
+            lambda x: jax.make_array_from_process_local_data(
+                sharding, np.asarray(x)), device_batches)
+
+    def all_ranks_have(self, flag: bool) -> bool:
+        """True iff EVERY process reports ``flag`` — the per-batch barrier
+        that keeps all ranks entering the psum collectives the same number
+        of times per epoch (a rank that runs out of data stops everyone)."""
+        if jax.process_count() == 1:
+            return flag
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        n_local = sum(1 for d in self.mesh.devices.flat
+                      if d.process_index == jax.process_index())
+        local = np.full((n_local,), 1 if flag else 0, np.int32)
+        sharding = NamedSharding(self.mesh, PartitionSpec("data"))
+        arr = jax.make_array_from_process_local_data(sharding, local)
+        return int(jnp.min(arr)) == 1
+
     def compute_grads(self, device_batches):
         """Sharded (psum-reduced) loss and gradients without an optimizer
         update — used by the DP numerical-equivalence validation."""
         reg = jnp.float32(self._reg(self.step))
         total, _, _, grads = self._sharded_grads(
-            self.params, self.state, device_batches, reg)
+            self.params, self.state, self._globalize(device_batches), reg)
         return float(total), grads
 
     def train_batch(self, device_batches, crash_dump_prefix: str = None
@@ -173,7 +205,7 @@ class Trainer:
         prev_params, prev_state, prev_opt = self.params, self.state, self.opt_state
         self.params, self.state, self.opt_state, total, per_expert = \
             self._train_step(self.params, self.state, self.opt_state,
-                             device_batches, reg)
+                             self._globalize(device_batches), reg)
         self.step += 1
         loss = float(total)
         if not np.isfinite(loss):

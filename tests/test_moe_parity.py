@@ -298,3 +298,52 @@ def test_every_named_config_builds_and_forwards():
         out, _ = model.apply(params, state, batch, train=False)
         experts = np.asarray(out["experts"])
         assert experts.shape[0] == 4 and np.isfinite(experts).all(), name
+
+
+def test_train_mode_batchnorm_padding_invariance():
+    """Train-mode BatchNorm statistics must ignore padded rows: the same
+    sites packed into different allele/read buckets must produce identical
+    real-slot logits AND identical running-stat updates.  The layer_norm
+    config is the BN-bearing shipping variant (its xattn terminus keeps
+    BatchNorm1d); without masked statistics this fails badly."""
+    import jax
+
+    from hello_tpu.nn.moe import create_model
+
+    rng = np.random.RandomState(3)
+    model = create_model("illumina_layer_norm")
+    params, state = model.init(jax.random.PRNGKey(0))
+
+    def make_batch(A, R, S):
+        batch = {
+            "reads0": np.zeros((A, R, 150, 6), np.uint8),
+            "read_mask0": np.zeros((A, R), np.float32),
+            "site_ids": np.zeros((A,), np.int32),
+            "allele_mask": np.zeros((A,), np.float32),
+            "ref_segments": np.zeros((S, 150, 5), np.float32),
+        }
+        return batch
+
+    # 6 real alleles over 3 sites, 5 real reads each
+    real = rng.randint(0, 255, size=(6, 5, 150, 6)).astype(np.uint8)
+    segs = np.eye(5, dtype=np.float32)[rng.randint(0, 5, size=(3, 150))]
+    outs = []
+    states = []
+    for A, R, S in [(8, 8, 4), (16, 16, 8)]:
+        b = make_batch(A, R, S)
+        b["reads0"][:6, :5] = real
+        b["read_mask0"][:6, :5] = 1.0
+        b["site_ids"][:6] = np.repeat(np.arange(3, dtype=np.int32), 2)
+        b["allele_mask"][:6] = 1.0
+        b["ref_segments"][:3] = segs
+        out, ns = model.apply(params, state, b, train=True)
+        outs.append(np.asarray(out["experts"])[:6])
+        states.append(jax.tree_util.tree_map(np.asarray, ns))
+    np.testing.assert_allclose(outs[1], outs[0], rtol=2e-5, atol=2e-5)
+    for (pa, a), (_pb, bb) in zip(
+            jax.tree_util.tree_leaves_with_path(states[0]),
+            jax.tree_util.tree_leaves_with_path(states[1])):
+        np.testing.assert_allclose(
+            a, bb, rtol=2e-5, atol=2e-5,
+            err_msg=f"BN state differs across padding at "
+                    f"{jax.tree_util.keystr(pa)}")
