@@ -597,10 +597,14 @@ def detect_chr_prefix(bam_references, fasta_chromosomes) -> str:
     for prefix in ("", "chr", "Chr", "CHR"):
         if all((prefix + c) in bam_names for c in fasta_names):
             return prefix
-    # try stripping instead: BAM "20" vs FASTA "chr20"
+    # BAM "20" vs FASTA "chr20" cannot be fixed by PREPENDING a prefix —
+    # raise with a hint instead of returning a misleading ""
     stripped = {c[3:] if c.lower().startswith("chr") else c for c in fasta_names}
     if all(c in bam_names for c in stripped):
-        return ""
+        raise ValueError(
+            "BAM names lack the FASTA's 'chr' prefix (e.g. BAM '20' vs FASTA "
+            "'chr20'): strip the prefix from the FASTA names — no prefix can "
+            "be prepended to reconcile them")
     raise ValueError(
         f"no consistent chromosome prefix: bam={sorted(bam_names)[:5]} "
         f"fasta={fasta_names[:5]}")

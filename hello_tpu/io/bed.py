@@ -36,7 +36,9 @@ class BedRegions:
         out = []
         iv = self.intervals.get(chromosome, [])
         starts = self._starts.get(chromosome, [])
-        i = bisect.bisect_right(starts, stop)
+        # half-open intervals: an interval starting exactly at
+        # `stop` does NOT overlap [start, stop)
+        i = bisect.bisect_left(starts, stop)
         for a, b in iv[:i]:
             if b > start:
                 out.append((a, b))

@@ -36,6 +36,10 @@ def _fix_empty_alleles(chromosome, location, ref, alts, ref_lookup):
         return False, location, ref, alts
     location -= 1
     prepend = ref_lookup(chromosome, location)
+    if not prepend:
+        # chromosome start: nothing to extend with — emit as-is rather than
+        # looping forever (only reachable for a variant at position 0)
+        return False, location + 1, ref or "N", [a or "N" for a in alts]
     return True, location, prepend + ref, [prepend + a for a in alts]
 
 
@@ -105,7 +109,16 @@ def write_vcf(path: str, records: Iterable[VcfRecord],
     """Write records to a VCF file with a minimal header."""
     records = list(records)
     if sort:
-        records.sort(key=lambda r: (r.chromosome, r.position))
+        # VCF requires record order to follow the ##contig header order;
+        # lexicographic chromosome sort (chr1, chr10, chr11, ..., chr2) would
+        # break tabix/bcftools on multi-chromosome outputs
+        if contigs:
+            order = {name: i for i, name in enumerate(contigs)}
+            key = lambda r: (order.get(r.chromosome, len(order)),
+                             r.chromosome, r.position)
+        else:
+            key = lambda r: (r.chromosome, r.position)
+        records.sort(key=key)
     contig_lines = ""
     if contigs:
         contig_lines = "".join(
@@ -179,6 +192,10 @@ def left_align_normalize(chromosome: str, position: int, ref: str, alt: str,
         if not ref or not alt:
             position -= 1
             base = ref_lookup(chromosome, position)
+            if not base:          # chromosome start: cannot extend further
+                position += 1
+                ref, alt = ref or "N", alt or "N"
+                break
             ref, alt = base + ref, base + alt
             continue
         break

@@ -169,10 +169,12 @@ def _record_from_genotype(site: "SiteWork", top_alleles, quality, ref_lookup,
     (reference caller_calling.vcfRecords:699-742 / prepareVcf.callAlleles)."""
     ref_allele = "".join(ref_lookup(site.chromosome, p)
                          for p in range(site.start, site.stop))
-    alt_alleles = list(set(top_alleles).difference({ref_allele}))
+    # sorted: set iteration order is hash-randomised per process, which
+    # would make ALT column order (and GT indices) differ run to run
+    alt_alleles = sorted(set(top_alleles).difference({ref_allele}))
     if len(alt_alleles) == 0:
         genotypes = [0, 0]
-        alt_alleles = list(set(site.alleles).difference({ref_allele}))
+        alt_alleles = sorted(set(site.alleles).difference({ref_allele}))
         if len(alt_alleles) == 0:
             return None
     else:
@@ -241,7 +243,7 @@ def call_region(bam_paths: Sequence[str], ref: FastaFile, chromosome: str,
                 hybrid_hotspot=hybrid_hotspot, q_threshold=q_threshold, min_mapq=min_mapq)
         logger.info("%s:%d-%d: %d hotspot positions", chromosome, start, stop, len(positions))
         if not positions:
-            return []
+            return ([], []) if provide_experts else []
 
         with telemetry.stage("candidate_intervals"):
             active = cluster_hotspots(positions)

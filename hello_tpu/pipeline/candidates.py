@@ -76,7 +76,11 @@ def split_clusters(cluster: List[Tuple[int, int]], ref_view,
     """Split oversized clusters; yields (sub_cluster, segment, segment_start)
     (reference trainDataTools.split_clusters:517-554)."""
     if len(cluster) <= max_items:
-        start = cluster[0][0] - MIN_DISTANCE // 2
+        # clamp at the chromosome start: ref_view slicing clamps the FETCH to
+        # position 0, so an unclamped (negative) segment_start would shift
+        # every index into the returned segment (the reference never reaches
+        # this case — it drops chunks touching position 0)
+        start = max(0, cluster[0][0] - MIN_DISTANCE // 2)
         stop = cluster[-1][1] + MIN_DISTANCE // 2
         yield cluster, ref_view[start:stop], start
         return
@@ -86,7 +90,7 @@ def split_clusters(cluster: List[Tuple[int, int]], ref_view,
         chunk = cluster[index:index + max_items]
         next_chunk = cluster[indices[i + 1]:indices[i + 1] + max_items] \
             if i + 1 < len(indices) else None
-        start = chunk[0][0] - MIN_DISTANCE // 2
+        start = max(0, chunk[0][0] - MIN_DISTANCE // 2)
         if last_chunk:
             start = max(start, last_chunk[-1][1])
         stop = chunk[-1][1] + MIN_DISTANCE // 2

@@ -103,8 +103,19 @@ class TruthLabeler:
             return [CandidateRecord(r.chromosome, r.position, r.ref, r.alt,
                                     [-1, -1]) for r in records]
 
+        # align by position, not list order: the candidate list can have
+        # dropped a spot (e.g. an unfetchable ref slice at a chromosome edge)
+        # that the truthing side kept — a positional zip would shift every
+        # subsequent label
+        truth_by_pos = {tr.position: t for tr, t in
+                        zip(truthing_records, truth_alleles)}
         labeled = []
-        for r, t in zip(records, truth_alleles):
+        for r in records:
+            t = truth_by_pos.get(r.position)
+            if t is None:
+                labeled.append(CandidateRecord(r.chromosome, r.position,
+                                               r.ref, list(r.alt), [-1, -1]))
+                continue
             gt = [find_allele_index(r, a) for a in t]
             assert len(gt) >= 1, "at least one truth allele expected"
             gt = gt * 2 if len(gt) == 1 else gt

@@ -311,6 +311,8 @@ def call_parallel(bam_paths: Sequence[str], ref_path: str, scorer: Scorer,
     def score_group(group):
         t0 = time.perf_counter()
         batch = pack_sites(group, hybrid=hybrid_model,
+                           feature_length=options.get("feature_length",
+                                                      FEATURE_LENGTH),
                            channels0=7 if include_hp else 6,
                            channels1=7 if include_hp else 6)
         t1 = time.perf_counter()

@@ -251,7 +251,9 @@ std::vector<SubCluster> split_clusters(const std::vector<Region>& cluster,
     if ((int64_t)cluster.size() <= max_items) {
         SubCluster sc;
         sc.spots = cluster;
-        sc.seg_start = cluster.front().first - half_distance;
+        // clamped at 0 like the Python driver (candidates.split_clusters):
+        // the reference fetch clamps, so a negative start would shift indexing
+        sc.seg_start = std::max<int64_t>(0, cluster.front().first - half_distance);
         sc.seg_stop = cluster.back().second + half_distance;
         out.push_back(std::move(sc));
         return out;
@@ -269,7 +271,8 @@ std::vector<SubCluster> split_clusters(const std::vector<Region>& cluster,
     for (size_t k = 0; k < chunks.size(); k++) {
         SubCluster sc;
         sc.spots = chunks[k];
-        int64_t start = chunks[k].front().first - half_distance;
+        int64_t start = std::max<int64_t>(
+            0, chunks[k].front().first - half_distance);
         if (last_chunk) start = std::max(start, last_chunk->back().second);
         int64_t stop = chunks[k].back().second + half_distance;
         if (k + 1 < chunks.size())

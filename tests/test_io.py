@@ -327,3 +327,39 @@ def test_bai_cache_fallback_for_readonly_dir(tmp_path, monkeypatch):
     finally:
         if os.path.exists(cache):
             os.remove(cache)
+
+
+def test_vcf_normalize_at_chromosome_start_terminates():
+    """A deletion at position 0 in a homopolymer must not left-extend into an
+    infinite loop when the reference lookup runs out of chromosome."""
+    from hello_tpu.io.vcf import left_align_normalize, normalize_site
+
+    seq = "AAAATG"
+    lookup = lambda c, p: seq[p] if 0 <= p < len(seq) else ""
+    pos, ref, alts = normalize_site("c", 0, "AA", ["A"], lookup)
+    assert ref and alts and all(alts)
+    pos2, r2, a2 = left_align_normalize("c", 0, "AA", "A", lookup)
+    assert r2 and a2
+
+
+def test_vcf_sorts_in_contig_header_order(tmp_path):
+    """Record order must follow the ##contig header order, not lexicographic
+    chromosome names (chr1, chr10, ..., chr2 breaks tabix/bcftools)."""
+    from hello_tpu.io.vcf import VcfRecord, write_vcf
+
+    contigs = {f"chr{i}": 1000 for i in list(range(1, 23))}
+    records = [VcfRecord(f"chr{i}", 10, "A", ["T"], (0, 1))
+               for i in (10, 2, 1, 22)]
+    out = tmp_path / "order.vcf"
+    write_vcf(str(out), records, contigs=contigs)
+    body = [l.split("\t")[0] for l in open(out) if not l.startswith("#")]
+    assert body == ["chr1", "chr2", "chr10", "chr22"]
+
+
+def test_bed_half_open_boundary():
+    from hello_tpu.io.bed import BedRegions
+
+    bed = BedRegions({"c": [(10, 23)]})
+    assert not bed.intersects("c", 5, 10)    # adjacent, not overlapping
+    assert bed.intersects("c", 5, 11)
+    assert not bed.intersects("c", 23, 30)

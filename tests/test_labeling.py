@@ -232,7 +232,9 @@ def test_detect_chr_prefix():
 
     assert detect_chr_prefix([("chr1", 10), ("chr2", 10)], ["1", "2"]) == "chr"
     assert detect_chr_prefix([("1", 10), ("2", 10)], ["1", "2"]) == ""
-    assert detect_chr_prefix([("20", 10)], ["chr20"]) == ""
     import pytest as _pytest
+    # stripping (BAM "20" vs FASTA "chr20") cannot be expressed as a prefix
+    with _pytest.raises(ValueError, match="strip"):
+        detect_chr_prefix([("20", 10)], ["chr20"])
     with _pytest.raises(ValueError):
         detect_chr_prefix([("weird", 10)], ["1"])
