@@ -117,14 +117,47 @@ def phred_quality(p: float) -> float:
     return -10.0 * math.log10(1.0 - p)
 
 
+def _decode_site_fast(expert_logits: np.ndarray, meta: np.ndarray | None,
+                      alleles: Sequence[str]):
+    """Best pair + probability only — the same arithmetic as ``decode_site``
+    (identical intermediate arrays and accumulation order, so results are
+    bit-identical) without materialising the per-expert/combined pair dicts
+    the plain calling path never reads."""
+    expert_logits = np.asarray(expert_logits, dtype=np.float32)
+    A, E = expert_logits.shape
+    sig = 1.0 / (1.0 + np.exp(-expert_logits))
+    if E == 1:
+        probs_mat = np.zeros((3, A), np.float32)
+        probs_mat[0] = sig[:, 0]
+        meta_used = np.array([1.0, 0.0, 0.0], np.float32)
+    else:
+        probs_mat = np.ascontiguousarray(sig.T, dtype=np.float32)
+        assert meta is not None, "multi-expert decode requires meta weights"
+        meta_used = np.asarray(meta, dtype=np.float32)
+    pair_probs, pairs = expert_pair_probabilities_vectorized(probs_mat, A)
+    mixed = meta_used[:3] @ pair_probs
+    # best_genotype semantics without the dict: max over (probability, pair)
+    # with the pair's allele strings breaking exact ties
+    best = max(range(len(pairs)),
+               key=lambda p: (mixed[p], (alleles[pairs[p][0]],
+                                         alleles[pairs[p][1]])))
+    i, j = pairs[best]
+    return (alleles[i], alleles[j]), float(mixed[best])
+
+
 def decode_batch(experts: np.ndarray, meta: np.ndarray | None,
                  allele_site_index: List[Tuple[int, int]],
-                 sites) -> List[dict]:
+                 sites, full: bool = True) -> List[dict]:
     """Decode a whole padded batch back into per-site calls.
 
     experts: [A_padded, E]; meta: [S_padded, 3] or None; ``sites`` is the list
     of SiteWork the batch was packed from.  Returns one dict per site with
     keys: site, alleles, pair_probs, best_pair, quality, meta, expert_probs.
+
+    ``full=False`` is the plain-calling fast path: identical best_pair /
+    probability / quality (same float ops in the same order), but the
+    pair-probability dictionaries are not materialised and the returned
+    dicts carry only the keys ``vcf_record_from_call`` needs.
     """
     per_site_rows: Dict[int, List[int]] = {}
     for slot, (si, ai) in enumerate(allele_site_index):
@@ -138,6 +171,16 @@ def decode_batch(experts: np.ndarray, meta: np.ndarray | None,
             continue
         site_logits = experts[rows]            # [A_s, E]
         site_meta = None if meta is None else meta[si]
+        if not full:
+            best_pair, best_p = _decode_site_fast(site_logits, site_meta,
+                                                  site.alleles)
+            results.append({
+                "site": site,
+                "best_pair": best_pair,
+                "probability": best_p,
+                "quality": phred_quality(best_p),
+            })
+            continue
         pair_probs, per_expert, meta_used = decode_site(
             site_logits, site_meta, site.alleles)
         best_pair, best_p = best_genotype(pair_probs)

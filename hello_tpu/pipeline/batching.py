@@ -203,7 +203,14 @@ def training_dict(batch: PaddedBatch) -> dict:
 
 def group_sites_for_batching(sites: Sequence[SiteWork], max_alleles_per_batch: int = 128,
                              max_sites_per_batch: Optional[int] = None):
-    """Greedily group sites so each batch stays under allele/site budgets."""
+    """Greedily group sites so each batch stays under allele/site budgets.
+
+    ``max_sites_per_batch`` defaults to the packer's largest site bucket — a
+    group can never hold more sites than ``pack_sites`` can represent (an
+    allele budget over 1024 would otherwise admit groups of single-allele
+    sites that overflow the site axis)."""
+    if max_sites_per_batch is None:
+        max_sites_per_batch = DEFAULT_SITE_BUCKETS[-1]
     group: List[SiteWork] = []
     count = 0
     for s in sites:

@@ -212,7 +212,7 @@ def call_region(bam_paths: Sequence[str], ref: FastaFile, chromosome: str,
                 q_threshold: int = 10, min_mapq: int = 10,
                 reassembly_size: int = 10,
                 feature_length: int = FEATURE_LENGTH,
-                max_alleles_per_batch: int = 512,
+                max_alleles_per_batch: int = 2048,
                 seed: int = 13,
                 provide_experts: bool = False,
                 stats: Optional[dict] = None) -> List[VcfRecord]:
@@ -292,7 +292,8 @@ def call_region(bam_paths: Sequence[str], ref: FastaFile, chromosome: str,
         with telemetry.stage("device_wait"):
             experts, meta = _finalize(out)
         with telemetry.stage("genotype_decode"):
-            calls = decode_batch(experts, meta, batch.allele_site_index, group)
+            calls = decode_batch(experts, meta, batch.allele_site_index, group,
+                                 full=expert_records is not None)
             for call in calls:
                 rec = vcf_record_from_call(call, ref_lookup)
                 if rec is not None:

@@ -244,7 +244,7 @@ def call_parallel(bam_paths: Sequence[str], ref_path: str, scorer: Scorer,
                   regions: Optional[Sequence[Tuple[str, int, int]]] = None,
                   num_workers: int = 4,
                   chunk_size: int = 200_000,
-                  max_alleles_per_batch: int = 512,
+                  max_alleles_per_batch: int = 2048,
                   include_hp: bool = False,
                   stats: Optional[dict] = None,
                   pool: Optional[HostWorkerPool] = None,
@@ -300,7 +300,8 @@ def call_parallel(bam_paths: Sequence[str], ref_path: str, scorer: Scorer,
         experts, meta = _finalize(out)
         t1 = time.perf_counter()
         t_acc["fetch_s"] += t1 - t0
-        calls = decode_batch(experts, meta, batch.allele_site_index, group)
+        calls = decode_batch(experts, meta, batch.allele_site_index, group,
+                             full=False)
         for call in calls:
             rec = vcf_record_from_call(call, ref_lookup)
             if rec is not None:

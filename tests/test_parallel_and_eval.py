@@ -127,6 +127,39 @@ def test_vectorized_decode_matches_scalar(rng):
             np.testing.assert_allclose(combined[pair], expected, rtol=1e-5)
 
 
+def test_fast_decode_matches_full(rng):
+    """decode_batch(full=False) — the plain-calling fast path — must produce
+    the identical best pair / probability / quality as the full decode,
+    including on exact probability ties (same (p, pair) max semantics)."""
+    from hello_tpu.nn.genotype import decode_batch
+    from hello_tpu.pipeline.batching import SiteWork
+
+    for e_dim, with_meta in ((1, False), (3, True)):
+        sites, index, logits_rows, metas = [], [], [], []
+        slot = 0
+        for si, n in enumerate((1, 2, 3, 5, 8)):
+            alleles = [f"chr1_{si}_{chr(ord('A') + i)}" for i in range(n)]
+            sites.append(SiteWork("chr1", 100 + si, 101 + si, alleles,
+                                  [np.zeros((1, 150, 6), np.uint8)] * n))
+            for ai in range(n):
+                index.append((si, ai))
+                slot += 1
+            metas.append(rng.rand(3).astype(np.float32))
+        experts = (rng.randn(slot, e_dim).astype(np.float32) * 3)
+        # saturate some logits so sigmoids hit exactly 0.0/1.0 in f32 and
+        # several pairs tie at identical probabilities
+        experts[: min(4, slot)] = 40.0
+        meta = np.stack(metas) if with_meta else None
+
+        full = decode_batch(experts, meta, index, sites, full=True)
+        fast = decode_batch(experts, meta, index, sites, full=False)
+        for f, s in zip(full, fast):
+            assert f["best_pair"] == s["best_pair"]
+            assert f["probability"] == s["probability"]
+            assert f["quality"] == s["quality"]
+            assert s["site"] is f["site"]
+
+
 def test_failure_analysis_joins_features(tmp_path):
     """FP/FN variants are joined with the persisted per-site expert features
     (the reference evaluator.py Stepper/Analyzer role)."""
