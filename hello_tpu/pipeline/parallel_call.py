@@ -171,16 +171,29 @@ class HostWorkerPool:
                 f"{len(dead)} pool worker(s) died "
                 f"(exitcodes {[w.exitcode for w in dead]}); see worker stderr")
 
-    def _get(self, timeout: float):
-        """Queue get that notices dead workers instead of blocking forever."""
+    def _get(self, timeout: float, idle=None):
+        """Queue get that notices dead workers instead of blocking forever.
+
+        ``idle`` (optional callable) runs whenever the queue is momentarily
+        empty — the consumer can use the wait to drain finished device
+        results instead of sitting blocked (see ``call_parallel``)."""
         import queue as _q
         deadline = time.monotonic() + timeout
+        # coarse poll: idle work is opportunistic, and a tight poll would
+        # busy-spin this process's core against the host workers
+        poll = 0.05 if idle is not None else 5.0
+        last_alive = time.monotonic()
         while True:
             try:
-                return self._result_queue.get(timeout=5.0)
+                return self._result_queue.get(timeout=poll)
             except _q.Empty:
-                self._check_alive()
-                if time.monotonic() > deadline:
+                if idle is not None:
+                    idle()
+                now = time.monotonic()
+                if now - last_alive > 5.0:
+                    self._check_alive()
+                    last_alive = now
+                if now > deadline:
                     raise TimeoutError(
                         f"no worker result within {timeout:.0f}s")
 
@@ -203,12 +216,13 @@ class HostWorkerPool:
         self._job_queue.put((self._run_id, list(bam_paths), ref_path,
                              dict(options), chromosome, start, stop))
 
-    def results(self, n: int, timeout: float = 3600.0):
+    def results(self, n: int, timeout: float = 3600.0, idle=None):
         """Yield n ('ok'|'error', region, payload) messages of the CURRENT
-        run as they arrive; stale runs' messages are dropped."""
+        run as they arrive; stale runs' messages are dropped.  ``idle`` runs
+        while the queue is empty (see ``_get``)."""
         got = 0
         while got < n:
-            msg = self._get(timeout)
+            msg = self._get(timeout, idle=idle)
             if msg[0] == "ready":          # late startup acks interleave
                 self._ready += 1
                 continue
@@ -294,6 +308,21 @@ def call_parallel(bam_paths: Sequence[str], ref_path: str, scorer: Scorer,
     t_acc = {"wait_s": 0.0, "pack_s": 0.0, "dispatch_s": 0.0, "drain_s": 0.0,
              "fetch_s": 0.0, "decode_s": 0.0}
 
+    def _out_ready(out) -> bool:
+        """Whether a dispatched batch's device arrays are done (non-blocking).
+        Duck-typed scorers (tests, oracles) return host arrays — always
+        ready."""
+        arr = out.get("experts") if isinstance(out, dict) else out
+        is_ready = getattr(arr, "is_ready", None)
+        return is_ready() if callable(is_ready) else True
+
+    def _drain_ready():
+        """Opportunistic drain while blocked on worker results: finished
+        device batches get decoded during the wait instead of serialising
+        behind it at the end of the run."""
+        while in_flight and _out_ready(in_flight[0][2]):
+            _drain_one()
+
     def _drain_one():
         t0 = time.perf_counter()
         group, batch, out = in_flight.popleft()
@@ -329,7 +358,7 @@ def call_parallel(bam_paths: Sequence[str], ref_path: str, scorer: Scorer,
     # especially through remote-TPU tunnels.
     pending: List = []
     pending_alleles = 0
-    _results = pool.results(len(jobs))
+    _results = pool.results(len(jobs), idle=_drain_ready)
     while True:
         t0 = time.perf_counter()
         msg = next(_results, None)
