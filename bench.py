@@ -213,9 +213,12 @@ def bench_pipeline(workers: int = 0, ref_length: int = 1_440_000,
         start = time.perf_counter()
         if workers > 0:
             from hello_tpu.pipeline.parallel_call import call_parallel
+            # ~12 chunks/worker: fine enough that the first scoring batch
+            # forms early and stragglers balance, coarse enough that
+            # per-chunk costs (region open, IPC) stay amortised
             call_parallel([ds.bams["illumina"]], ds.fasta, scorer,
                           os.path.join(d, "bench.vcf"), pool=pool,
-                          chunk_size=max(ref_length // (4 * workers), 20_000),
+                          chunk_size=max(ref_length // (12 * workers), 20_000),
                           regions=[(ds.chromosome, 0, ref_length)], stats=stats)
         else:
             call_region([ds.bams["illumina"]], ref, ds.chromosome, 0,

@@ -201,16 +201,46 @@ def training_dict(batch: PaddedBatch) -> dict:
     return d
 
 
+def site_read_bucket(site: SiteWork,
+                     read_buckets: Sequence[int] = DEFAULT_READ_BUCKETS):
+    """The read-bucket class a site forces on any batch containing it:
+    per-platform bucket of its deepest allele."""
+    b0 = _bucket(max((t.shape[0] for t in site.tensors0), default=1),
+                 read_buckets)
+    if site.tensors1 is None:
+        return (b0,)
+    b1 = _bucket(max((t.shape[0] for t in site.tensors1), default=1),
+                 read_buckets)
+    return (b0, b1)
+
+
 def group_sites_for_batching(sites: Sequence[SiteWork], max_alleles_per_batch: int = 128,
-                             max_sites_per_batch: Optional[int] = None):
+                             max_sites_per_batch: Optional[int] = None,
+                             by_read_bucket: bool = False):
     """Greedily group sites so each batch stays under allele/site budgets.
 
     ``max_sites_per_batch`` defaults to the packer's largest site bucket — a
     group can never hold more sites than ``pack_sites`` can represent (an
     allele budget over 1024 would otherwise admit groups of single-allele
-    sites that overflow the site axis)."""
+    sites that overflow the site axis).
+
+    ``by_read_bucket`` partitions sites by their read-bucket class first, so
+    a batch's padded read width is its own sites' depth, not the deepest site
+    anywhere in the stream (a 64-read site in a mostly-32-read batch would
+    otherwise double every site's conv rows).  Inference callers use this —
+    the read convolver's cost scales with the padded read axis, and the VCF
+    is position-sorted at the end anyway; the training loader keeps stream
+    order (its shuffle owns data order)."""
     if max_sites_per_batch is None:
         max_sites_per_batch = DEFAULT_SITE_BUCKETS[-1]
+    if by_read_bucket:
+        classes: dict = {}
+        for s in sites:
+            classes.setdefault(site_read_bucket(s), []).append(s)
+        for key in sorted(classes):
+            yield from group_sites_for_batching(
+                classes[key], max_alleles_per_batch, max_sites_per_batch)
+        return
     group: List[SiteWork] = []
     count = 0
     for s in sites:

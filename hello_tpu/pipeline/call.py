@@ -341,7 +341,11 @@ def call_region(bam_paths: Sequence[str], ref: FastaFile, chromosome: str,
                         "quality": call["quality"],
                     })
 
-    for group in group_sites_for_batching(sites, max_alleles_per_batch):
+    # by_read_bucket: batches are classed by read depth so one deep site
+    # cannot inflate the padded read axis of every other site's batch;
+    # outputs are re-sorted below, so cross-class scoring order is free
+    for group in group_sites_for_batching(sites, max_alleles_per_batch,
+                                          by_read_bucket=True):
         with telemetry.stage("batch_packing"):
             batch = pack_sites(group, hybrid=hybrid_model,
                                feature_length=feature_length,
@@ -355,7 +359,15 @@ def call_region(bam_paths: Sequence[str], ref: FastaFile, chromosome: str,
     while pending:
         _consume()
 
+    records.sort(key=lambda r: r.key())
     if expert_records is not None:
+        for k, lst in expert_records.items():
+            if k == "features":
+                lst.sort(key=lambda f: (f["chromosome"], f["position"]))
+            elif k == "choices":
+                lst.sort(key=lambda c: (c[0], c[1]))
+            else:
+                lst.sort(key=lambda r: r.key())
         return records, expert_records
     return records
 

@@ -262,6 +262,7 @@ def call_parallel(bam_paths: Sequence[str], ref_path: str, scorer: Scorer,
                   include_hp: bool = False,
                   stats: Optional[dict] = None,
                   pool: Optional[HostWorkerPool] = None,
+                  class_by_read_bucket: bool = True,
                   **options) -> str:
     """Parallel genome calling into a sorted VCF.
 
@@ -355,9 +356,29 @@ def call_parallel(bam_paths: Sequence[str], ref_path: str, scorer: Scorer,
     # Sites are buffered ACROSS chunk results so the device sees full
     # max_alleles_per_batch batches: per-chunk site counts are small, and
     # dispatch latency (not FLOPs) dominates under-filled batches —
-    # especially through remote-TPU tunnels.
-    pending: List = []
-    pending_alleles = 0
+    # especially through remote-TPU tunnels.  Buffers are keyed by read-bucket
+    # class so a batch's padded read width matches its own sites' depth (one
+    # deep site would otherwise inflate every site's conv rows); the VCF is
+    # position-sorted at the end, so cross-class emission order is free.
+    from .batching import site_read_bucket
+    pending: dict = {}            # read-bucket class -> [SiteWork]
+    pending_alleles: dict = {}    # read-bucket class -> allele count
+
+    def buffer_sites(sites):
+        """Accumulate sites per class; flush any class at its batch budget."""
+        for s in sites:
+            key = site_read_bucket(s) if class_by_read_bucket else 0
+            pending.setdefault(key, []).append(s)
+            pending_alleles[key] = pending_alleles.get(key, 0) + len(s.alleles)
+            if pending_alleles[key] >= max_alleles_per_batch:
+                groups = list(group_sites_for_batching(pending[key],
+                                                       max_alleles_per_batch))
+                for group in groups[:-1]:      # keep the partial tail pending
+                    score_group(group)
+                pending[key] = list(groups[-1]) if groups else []
+                pending_alleles[key] = sum(len(t.alleles)
+                                           for t in pending[key])
+
     _results = pool.results(len(jobs), idle=_drain_ready)
     while True:
         t0 = time.perf_counter()
@@ -371,18 +392,9 @@ def call_parallel(bam_paths: Sequence[str], ref_path: str, scorer: Scorer,
             logger.error("chunk %s failed: %s", job, payload)
             continue
         completed += 1
-        sites = payload
         if stats is not None:
-            stats["sites"] = stats.get("sites", 0) + len(sites)
-        pending.extend(sites)
-        pending_alleles += sum(len(s.alleles) for s in sites)
-        if pending_alleles >= max_alleles_per_batch:
-            groups = list(group_sites_for_batching(pending,
-                                                   max_alleles_per_batch))
-            for group in groups[:-1]:          # keep the partial tail pending
-                score_group(group)
-            pending = list(groups[-1]) if groups else []
-            pending_alleles = sum(len(s.alleles) for s in pending)
+            stats["sites"] = stats.get("sites", 0) + len(payload)
+        buffer_sites(payload)
         if completed % 20 == 0:
             logger.info("completed %d/%d chunks (%d records)",
                         completed, len(jobs), len(records))
@@ -401,11 +413,12 @@ def call_parallel(bam_paths: Sequence[str], ref_path: str, scorer: Scorer,
                 continue
             if stats is not None:
                 stats["sites"] = stats.get("sites", 0) + len(payload)
-            pending.extend(payload)
-            pending_alleles += sum(len(s.alleles) for s in payload)
+            buffer_sites(payload)
 
-    for group in group_sites_for_batching(pending, max_alleles_per_batch):
-        score_group(group)
+    for key in sorted(pending):
+        for group in group_sites_for_batching(pending[key],
+                                              max_alleles_per_batch):
+            score_group(group)
     while in_flight:
         _drain_one()
     if stats is not None:
