@@ -240,8 +240,11 @@ def bench_pipeline(workers: int = 0, ref_length: int = 1_440_000,
 
 def main():
     parser = argparse.ArgumentParser()
-    parser.add_argument("--sites", type=int, default=512,
-                        help="sites per device batch (512 ~ saturates a v5e chip)")
+    parser.add_argument("--sites", type=int, default=1024,
+                        help="sites per device batch (1024 x 2 alleles = the "
+                        "production 2048-allele batch budget; saturation "
+                        "study: 512 -> 8.8k w/s, 1024 -> 11.3k, 2048 -> "
+                        "12.3k on a v5e through the remote tunnel)")
     parser.add_argument("--alleles", type=int, default=2)
     parser.add_argument("--reads0", type=int, default=50)
     parser.add_argument("--reads1", type=int, default=30)
@@ -272,7 +275,9 @@ def main():
     train_rate = None
     if not args.skip_train:
         try:
-            train_rate = bench_train(sites)
+            # training measures a 512-site step (the production per-device
+            # train batch scale; f32 activations need the headroom)
+            train_rate = bench_train(sites[:512])
         except Exception as exc:
             sys.stderr.write(f"train leg failed: {exc!r}\n")
         finally:

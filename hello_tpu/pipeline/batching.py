@@ -22,8 +22,8 @@ from typing import List, Optional, Sequence
 import numpy as np
 
 DEFAULT_READ_BUCKETS = (8, 16, 32, 64, 128, 256, 512, 1024)
-DEFAULT_ALLELE_BUCKETS = (8, 16, 32, 64, 128, 256, 512, 1024, 2048)
-DEFAULT_SITE_BUCKETS = (4, 8, 16, 32, 64, 128, 256, 512, 1024)
+DEFAULT_ALLELE_BUCKETS = (8, 16, 32, 64, 128, 256, 512, 1024, 2048, 4096)
+DEFAULT_SITE_BUCKETS = (4, 8, 16, 32, 64, 128, 256, 512, 1024, 2048)
 
 
 def _bucket(n: int, ladder: Sequence[int]) -> int:
