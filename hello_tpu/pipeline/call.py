@@ -152,12 +152,15 @@ class Scorer:
             self._jitted = self._make_jitted()
             return self._jitted(params, state, d)
 
-    @staticmethod
-    def finalize(out):
-        """Block on a ``score_async`` result and fetch it to the host."""
-        experts = np.asarray(out["experts"])
-        meta = None if out["meta"] is None else np.asarray(out["meta"])
-        return experts, meta
+    def finalize(self, out):
+        """Block on a ``score_async`` result and fetch it to the host.
+
+        One ``device_get`` over both outputs: two sequential ``np.asarray``
+        readbacks would pay the device round-trip latency twice per batch
+        (noticeable through remote-TPU tunnels)."""
+        if out["meta"] is None:
+            return np.asarray(out["experts"]), None
+        return tuple(self._jax.device_get((out["experts"], out["meta"])))
 
     def __call__(self, batch: PaddedBatch):
         return self.finalize(self.score_async(batch))
