@@ -152,6 +152,11 @@ def load_library():
         ctypes.POINTER(ctypes.c_uint8), i32p, ctypes.c_int32,
         ctypes.c_int32, ctypes.c_int32,
         ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_uint8)]
+    lib.htpu_compact_rows_coded.restype = ctypes.c_int32
+    lib.htpu_compact_rows_coded.argtypes = [
+        ctypes.POINTER(ctypes.c_uint8), i32p, ctypes.c_int32,
+        ctypes.c_int32, ctypes.c_int32,
+        ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_uint8)]
 
     lib.htpu_bam_open.restype = ctypes.c_void_p
     lib.htpu_bam_open.argtypes = [ctypes.c_char_p]
@@ -260,6 +265,28 @@ def compact_rows(reads: np.ndarray, rows: np.ndarray,
         np.int32(reads.shape[2]),
         packed.ctypes.data_as(u8p), scalars.ctypes.data_as(u8p))
     return True
+
+
+def compact_rows_coded(reads: np.ndarray, rows: np.ndarray,
+                       codes: np.ndarray, scalars: np.ndarray):
+    """Coded compact packing: one byte per cell (base_idx*41 + qual_idx,
+    absent = 255) instead of three (pipeline/compact.py).  Returns True on
+    success, False when the library is unavailable, and None when a present
+    cell's color falls outside the palettes (caller falls back to the
+    3-byte format)."""
+    lib = load_library()
+    if lib is None or not hasattr(lib, "htpu_compact_rows_coded"):
+        return False
+    assert reads.dtype == np.uint8 and reads.flags.c_contiguous
+    rows = np.ascontiguousarray(rows, np.int32)
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    ok = lib.htpu_compact_rows_coded(
+        reads.ctypes.data_as(u8p), rows.ctypes.data_as(i32p),
+        np.int32(len(rows)), np.int32(reads.shape[1]),
+        np.int32(reads.shape[2]),
+        codes.ctypes.data_as(u8p), scalars.ctypes.data_as(u8p))
+    return True if ok else None
 
 
 def _as_array(ptr, count, dtype):

@@ -14,14 +14,20 @@ dense tensor is reconstructable:
   * ch5 (in-allele-region marker) depends only on the site's region bounds;
   * padded read rows (the read-bucket tail) carry no information at all.
 
-So the wire format is: per real read row, ``[L, 3]`` uint8 (ch0, ch2, and the
-cell-presence mask — a cell is present iff ch4 != 0, since strand color is 70
-or 240 on every written cell) plus per-row scalars, a row -> (allele, read)
-slot index, and per-site region bounds.  ``expand_compact`` rebuilds the full
-``[A, R, L, C]`` uint8 tensor inside the jitted forward with one scatter and
-a few masked broadcasts, which XLA fuses into the model's input conversion.
-Reconstruction is byte-exact (tests/test_compact.py); at typical ~60% read
-bucket occupancy the transfer shrinks ~3x.
+So the wire format is: per real read row, ``[L]`` uint8 *codes* — ch0 takes
+only the 5 base-palette colors {0, 30, 100, 180, 250} and ch2 only the 41
+quality-ladder colors ``int(254*q/40)``, so a present cell packs exactly into
+``base_idx * 41 + qual_idx`` (0..204) with 255 marking an absent cell (a cell
+is present iff ch4 != 0, since strand color is 70 or 240 on every written
+cell) — plus per-row scalars, a row -> (allele, read) slot index, and
+per-site region bounds.  A legacy 3-byte-per-cell layout (ch0, ch2, mask) is
+kept as a fallback for tensors whose colors fall outside the palettes (never
+produced by the featurizer; defensive only).  ``expand_compact`` rebuilds the
+full ``[A, R, L, C]`` uint8 tensor inside the jitted forward with one scatter,
+two palette gathers and a few masked broadcasts, which XLA fuses into the
+model's input conversion.  Reconstruction is byte-exact
+(tests/test_compact.py); at typical ~60% read bucket occupancy the coded
+format shrinks the transfer ~9x vs dense (~3x over the 3-byte layout).
 
 Rows whose read_mask is 0 are not shipped: the model multiplies their frames
 by 0 (masked_read_sum / the Pallas mask matrix), and the dense packer zero
@@ -44,6 +50,16 @@ ROW_BUCKETS = (128, 256, 512, 1024, 2048, 4096, 8192, 16384, 32768,
 # (featurize.base_color / engine.cpp base_color)
 REF_COLOR_PALETTE = (250.0, 30.0, 180.0, 100.0, 0.0)
 
+# cell-code palettes (constants.base_color / base_quality_color value sets);
+# must match engine.cpp htpu_compact_rows_coded
+BASE_PALETTE = np.array([0, 30, 100, 180, 250], np.uint8)
+QUAL_PALETTE = np.array([int(254 * q / 40) for q in range(41)], np.uint8)
+_BASE_LUT = np.full(256, 255, np.uint8)
+_BASE_LUT[BASE_PALETTE] = np.arange(len(BASE_PALETTE), dtype=np.uint8)
+_QUAL_LUT = np.full(256, 255, np.uint8)
+_QUAL_LUT[QUAL_PALETTE] = np.arange(len(QUAL_PALETTE), dtype=np.uint8)
+ABSENT_CODE = 255  # also > any valid code = 4 * 41 + 40 = 204
+
 
 def _bucket(n: int, cap: int) -> int:
     # like batching._bucket, but clamped to cap (= A*R) AND never smaller
@@ -55,18 +71,45 @@ def _bucket(n: int, cap: int) -> int:
 
 
 def _pack_platform(reads: np.ndarray, mask: np.ndarray) -> Dict[str, np.ndarray]:
-    """Pack one platform's real rows: [A,R,L,C] + [A,R] -> wire arrays."""
+    """Pack one platform's real rows: [A,R,L,C] + [A,R] -> wire arrays.
+
+    Prefers the 1-byte-per-cell coded layout (key ``codes``); falls back to
+    the legacy 3-byte layout (key ``packed``) when a present cell's color is
+    outside the palettes (not produced by the featurizer; defensive only)."""
     A, R, L, C = reads.shape
     rows = np.flatnonzero(mask.reshape(-1) > 0).astype(np.int32)
     n = len(rows)
     nb = _bucket(max(n, 1), A * R)
     nscal = 3 if C == 7 else 2
-    packed = np.zeros((nb, L, 3), np.uint8)
+    slots = np.full(nb, A * R, np.int32)   # padding scatters to the dummy row
+    slots[:n] = rows
     scalars = np.zeros((nb, nscal), np.uint8)
     flat_in = np.ascontiguousarray(reads).reshape(A * R, L, C)
     from .. import native
+
+    codes = np.full((nb, L), ABSENT_CODE, np.uint8)
+    got = native.compact_rows_coded(flat_in, rows, codes, scalars)
+    if got is True:
+        return {"codes": codes, "scalars": scalars, "slots": slots}
+    if got is False:
+        # numpy coding (byte-strided channel split; ~10x the native cost)
+        flat = flat_in[rows]
+        present = flat[..., 4] > 0
+        b = _BASE_LUT[flat[..., 0]]
+        q = _QUAL_LUT[flat[..., 2]]
+        if not ((b == 255) | (q == 255))[present].any():
+            codes[:n] = np.where(present, b * 41 + q, ABSENT_CODE)
+            scalars[:n, 0] = flat[..., 3].max(axis=1)
+            scalars[:n, 1] = flat[..., 4].max(axis=1)
+            if C == 7:
+                scalars[:n, 2] = flat[..., 6].max(axis=1)
+            return {"codes": codes, "scalars": scalars, "slots": slots}
+
+    # legacy 3-byte layout (native coder returned None, or numpy found an
+    # out-of-palette color)
+    scalars[:] = 0
+    packed = np.zeros((nb, L, 3), np.uint8)
     if not native.compact_rows(flat_in, rows, packed, scalars):
-        # numpy fallback (byte-strided channel split; ~10x the native cost)
         flat = flat_in[rows]
         packed[:n, :, 0] = flat[..., 0]
         packed[:n, :, 1] = flat[..., 2]
@@ -77,8 +120,6 @@ def _pack_platform(reads: np.ndarray, mask: np.ndarray) -> Dict[str, np.ndarray]
         scalars[:n, 1] = flat[..., 4].max(axis=1)
         if C == 7:
             scalars[:n, 2] = flat[..., 6].max(axis=1)
-    slots = np.full(nb, A * R, np.int32)   # padding scatters to the dummy row
-    slots[:n] = rows
     return {"packed": packed, "scalars": scalars, "slots": slots}
 
 
@@ -90,14 +131,17 @@ def compact_batch(batch: PaddedBatch) -> Dict[str, np.ndarray]:
         "ref_segments": batch.ref_segments,
         "read_mask0": batch.read_mask0,
     }
-    p0 = _pack_platform(batch.reads0, batch.read_mask0)
-    d["packed0"], d["row_scalars0"], d["row_slots0"] = (
-        p0["packed"], p0["scalars"], p0["slots"])
+    def _add(k):
+        p = _pack_platform(getattr(batch, f"reads{k}"),
+                           getattr(batch, f"read_mask{k}"))
+        key = "codes" if "codes" in p else "packed"
+        d[f"{key}{k}"] = p[key]
+        d[f"row_scalars{k}"], d[f"row_slots{k}"] = p["scalars"], p["slots"]
+
+    _add(0)
     if batch.reads1 is not None:
         d["read_mask1"] = batch.read_mask1
-        p1 = _pack_platform(batch.reads1, batch.read_mask1)
-        d["packed1"], d["row_scalars1"], d["row_slots1"] = (
-            p1["packed"], p1["scalars"], p1["slots"])
+        _add(1)
     # per-site allele-region bounds relative to the feature window
     S = batch.ref_segments.shape[0]
     L = batch.reads0.shape[2]
@@ -111,18 +155,12 @@ def compact_batch(batch: PaddedBatch) -> Dict[str, np.ndarray]:
     return d
 
 
-def _expand_platform(packed, scalars, slots, mask, ref_colors, pos_colors,
-                     site_ids):
-    """Rebuild [A,R,L,C] uint8 reads from one platform's wire arrays."""
+def _assemble_channels(ch0, ch2, m, scalars, slots, mask, ref_colors,
+                       pos_colors, site_ids):
+    """Common channel reassembly from decoded (ch0, ch2, per-cell mask)."""
     import jax.numpy as jnp
 
     A, R = mask.shape
-    L = packed.shape[1]
-    buf = jnp.zeros((A * R + 1, L, 3), jnp.uint8).at[slots].set(packed)
-    buf = buf[:A * R].reshape(A, R, L, 3)
-    ch0 = buf[..., 0]
-    ch2 = buf[..., 1]
-    m = buf[..., 2]                                        # {0,1} uint8
     scal = jnp.zeros((A * R + 1, scalars.shape[1]), jnp.uint8) \
               .at[slots].set(scalars)[:A * R] \
               .reshape(A, R, scalars.shape[1])
@@ -136,10 +174,46 @@ def _expand_platform(packed, scalars, slots, mask, ref_colors, pos_colors,
     return jnp.stack(chans, axis=-1)
 
 
+def _expand_platform(packed, scalars, slots, mask, ref_colors, pos_colors,
+                     site_ids):
+    """Rebuild [A,R,L,C] uint8 reads from legacy 3-byte wire arrays."""
+    import jax.numpy as jnp
+
+    A, R = mask.shape
+    L = packed.shape[1]
+    buf = jnp.zeros((A * R + 1, L, 3), jnp.uint8).at[slots].set(packed)
+    buf = buf[:A * R].reshape(A, R, L, 3)
+    return _assemble_channels(buf[..., 0], buf[..., 1], buf[..., 2],
+                              scalars, slots, mask, ref_colors, pos_colors,
+                              site_ids)
+
+
+def _expand_platform_coded(codes, scalars, slots, mask, ref_colors,
+                           pos_colors, site_ids):
+    """Rebuild [A,R,L,C] uint8 reads from 1-byte cell codes."""
+    import jax.numpy as jnp
+
+    A, R = mask.shape
+    L = codes.shape[1]
+    # unscattered rows must decode as absent, so the buffer fills with 255
+    buf = jnp.full((A * R + 1, L), ABSENT_CODE, jnp.uint8) \
+             .at[slots].set(codes)[:A * R].reshape(A, R, L)
+    c = buf.astype(jnp.int32)
+    present = c != ABSENT_CODE
+    # absent cells map to code 0 = (base palette 0, qual palette 0) = (0, 0),
+    # which is already the dense tensor's zero fill — no extra masking needed
+    c0 = jnp.where(present, c, 0)
+    ch0 = jnp.take(jnp.asarray(BASE_PALETTE), c0 // 41)
+    ch2 = jnp.take(jnp.asarray(QUAL_PALETTE), c0 % 41)
+    m = present.astype(jnp.uint8)
+    return _assemble_channels(ch0, ch2, m, scalars, slots, mask,
+                              ref_colors, pos_colors, site_ids)
+
+
 def expand_compact(batch: Dict) -> Dict:
     """Device-side inverse of ``compact_batch`` (inside jit): returns a batch
     dict with dense ``reads0``/``reads1``.  No-op for dense batches."""
-    if "packed0" not in batch:
+    if "packed0" not in batch and "codes0" not in batch:
         return batch
     import jax.numpy as jnp
 
@@ -153,18 +227,22 @@ def expand_compact(batch: Dict) -> Dict:
     pos_colors = jnp.where((idx >= rel[:, 0:1]) & (idx < rel[:, 1:2]),
                            np.uint8(240), np.uint8(70)).astype(jnp.uint8)
 
+    def _reads(k):
+        args = (batch[f"row_scalars{k}"], batch[f"row_slots{k}"],
+                batch[f"read_mask{k}"], ref_colors, pos_colors,
+                batch["site_ids"])
+        if f"codes{k}" in batch:
+            return _expand_platform_coded(batch[f"codes{k}"], *args)
+        return _expand_platform(batch[f"packed{k}"], *args)
+
     out = {
         "site_ids": batch["site_ids"],
         "allele_mask": batch["allele_mask"],
         "ref_segments": ref_segments,
         "read_mask0": batch["read_mask0"],
-        "reads0": _expand_platform(
-            batch["packed0"], batch["row_scalars0"], batch["row_slots0"],
-            batch["read_mask0"], ref_colors, pos_colors, batch["site_ids"]),
+        "reads0": _reads(0),
     }
-    if "packed1" in batch:
+    if "packed1" in batch or "codes1" in batch:
         out["read_mask1"] = batch["read_mask1"]
-        out["reads1"] = _expand_platform(
-            batch["packed1"], batch["row_scalars1"], batch["row_slots1"],
-            batch["read_mask1"], ref_colors, pos_colors, batch["site_ids"])
+        out["reads1"] = _reads(1)
     return out

@@ -124,6 +124,17 @@ void htpu_compact_rows(const uint8_t* reads, const int32_t* rows,
                        int32_t n_rows, int32_t feature_length, int32_t channels,
                        uint8_t* packed, uint8_t* scalars);
 
+/* Coded variant: one byte per cell instead of three.  Present cells carry
+ * code = base_idx * 41 + qual_idx (base color in {0,30,100,180,250}, quality
+ * color in the 41-value ladder int(254*q/40), q = 0..40); absent cells
+ * (ch4 == 0) carry 255.  codes must hold n_rows*L bytes; scalars as above.
+ * Returns 1 on success, 0 if any present cell holds a color outside the
+ * palettes (caller falls back to the 3-byte format). */
+int32_t htpu_compact_rows_coded(const uint8_t* reads, const int32_t* rows,
+                                int32_t n_rows, int32_t feature_length,
+                                int32_t channels, uint8_t* codes,
+                                uint8_t* scalars);
+
 /* ---- BAM loader ---- */
 
 typedef struct htpu_bam htpu_bam;

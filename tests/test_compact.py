@@ -97,10 +97,49 @@ def test_native_compact_matches_numpy(tmp_path, monkeypatch):
     batch = pack_sites(sites, hybrid=True)
     assert native.available()
     fast = C.compact_batch(batch)
+    # real featurizer output always packs into the 1-byte coded layout
+    assert "codes0" in fast and "codes1" in fast
+    monkeypatch.setattr(native, "compact_rows_coded", lambda *a: False)
+    slow = C.compact_batch(batch)
+    for k in fast:
+        np.testing.assert_array_equal(fast[k], slow[k], err_msg=k)
+
+
+def test_legacy_3byte_matches_native(tmp_path, monkeypatch):
+    """The legacy 3-byte layout (palette-fallback path) still round-trips and
+    its native/numpy packers agree."""
+    from hello_tpu import native
+    from hello_tpu.pipeline import compact as C
+
+    sites = _sites(tmp_path / "leg")
+    batch = pack_sites(sites, hybrid=False)
+    monkeypatch.setattr(native, "compact_rows_coded", lambda *a: None)
+    fast = C.compact_batch(batch)
+    assert "packed0" in fast and "codes0" not in fast
+    out = expand_compact({k: np.asarray(v) for k, v in fast.items()})
+    np.testing.assert_array_equal(np.asarray(out["reads0"]), batch.reads0)
     monkeypatch.setattr(native, "compact_rows", lambda *a: False)
     slow = C.compact_batch(batch)
     for k in fast:
         np.testing.assert_array_equal(fast[k], slow[k], err_msg=k)
+
+
+def test_out_of_palette_color_falls_back(tmp_path):
+    """A tensor holding a color outside the base/quality palettes cannot be
+    coded; the packer must detect it and ship the legacy layout, still
+    byte-exactly."""
+    from hello_tpu.pipeline import compact as C
+
+    sites = _sites(tmp_path / "oop")
+    batch = pack_sites(sites, hybrid=False)
+    rows = np.argwhere(batch.read_mask0 > 0)
+    a, r = rows[0]
+    cell = batch.reads0[a, r, :, 4].argmax()      # a present cell
+    batch.reads0[a, r, cell, 0] = 17              # not a base color
+    d = C.compact_batch(batch)
+    assert "packed0" in d and "codes0" not in d
+    out = expand_compact({k: np.asarray(v) for k, v in d.items()})
+    np.testing.assert_array_equal(np.asarray(out["reads0"]), batch.reads0)
 
 
 def test_scorer_logits_match_dense(tmp_path):
