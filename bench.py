@@ -208,7 +208,7 @@ def bench_pipeline(workers: int = 0, ref_length: int = 1_440_000,
         pool = HostWorkerPool(workers)
         pool.wait_ready()
 
-    def run_once():
+    def run_once(report=False):
         stats = {}
         start = time.perf_counter()
         if workers > 0:
@@ -223,7 +223,15 @@ def bench_pipeline(workers: int = 0, ref_length: int = 1_440_000,
         else:
             call_region([ds.bams["illumina"]], ref, ds.chromosome, 0,
                         ref_length, scorer, stats=stats)
-        return stats.get("sites", 0) / (time.perf_counter() - start)
+        elapsed = time.perf_counter() - start
+        if report:
+            # main-loop stage breakdown (see parallel_call.call_parallel):
+            # wait = blocked on host workers, drain = blocked on device
+            breakdown = {k: round(v, 3) for k, v in stats.items()
+                         if k.endswith("_s")}
+            sys.stderr.write(f"pipeline leg: {elapsed:.2f}s wall, "
+                             f"stages {breakdown}\n")
+        return stats.get("sites", 0) / elapsed
 
     # Warmup pass over the FULL region: every padded-batch bucket shape the
     # workload produces gets compiled here, so the measured pass reports the
@@ -232,7 +240,7 @@ def bench_pipeline(workers: int = 0, ref_length: int = 1_440_000,
     # tens of seconds and would otherwise dominate a small benchmark region).
     try:
         run_once()
-        return run_once()
+        return run_once(report=True)
     finally:
         if pool is not None:
             pool.shutdown()

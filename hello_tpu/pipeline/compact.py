@@ -97,7 +97,11 @@ def _pack_platform(reads: np.ndarray, mask: np.ndarray) -> Dict[str, np.ndarray]
         present = flat[..., 4] > 0
         b = _BASE_LUT[flat[..., 0]]
         q = _QUAL_LUT[flat[..., 2]]
-        if not ((b == 255) | (q == 255))[present].any():
+        # absent cells decode as all-zero, so a nonzero color there (never
+        # produced by the featurizer) must also take the fallback
+        codable = (not ((b == 255) | (q == 255))[present].any()
+                   and not (flat[..., 0] | flat[..., 2])[~present].any())
+        if codable:
             codes[:n] = np.where(present, b * 41 + q, ABSENT_CODE)
             scalars[:n, 0] = flat[..., 3].max(axis=1)
             scalars[:n, 1] = flat[..., 4].max(axis=1)

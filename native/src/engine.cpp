@@ -1119,6 +1119,9 @@ int32_t htpu_compact_rows_coded(const uint8_t* reads, const int32_t* rows,
         for (int32_t i = 0; i < L; i++) {
             const uint8_t* cell = src + (size_t)i * C;
             if (cell[4] == 0) {
+                // absent cells decode as all-zero; a nonzero color here would
+                // be lost, so such (non-featurizer) tensors take the fallback
+                if (cell[0] | cell[2]) return 0;
                 dst[i] = 255;
                 continue;
             }

@@ -142,6 +142,25 @@ def test_out_of_palette_color_falls_back(tmp_path):
     np.testing.assert_array_equal(np.asarray(out["reads0"]), batch.reads0)
 
 
+def test_nonzero_color_at_absent_cell_falls_back(tmp_path):
+    """Absent cells (strand channel 0) decode as all-zero under the coded
+    layout; a tensor carrying a color at an absent cell must fall back to the
+    legacy layout, which preserves it byte-exactly."""
+    from hello_tpu.pipeline import compact as C
+
+    sites = _sites(tmp_path / "abz")
+    batch = pack_sites(sites, hybrid=False)
+    rows = np.argwhere(batch.read_mask0 > 0)
+    a, r = rows[0]
+    cell = batch.reads0[a, r, :, 4].argmin()      # an absent cell
+    assert batch.reads0[a, r, cell, 4] == 0
+    batch.reads0[a, r, cell, 2] = 30              # junk quality color
+    d = C.compact_batch(batch)
+    assert "packed0" in d and "codes0" not in d
+    out = expand_compact({k: np.asarray(v) for k, v in d.items()})
+    np.testing.assert_array_equal(np.asarray(out["reads0"]), batch.reads0)
+
+
 def test_scorer_logits_match_dense(tmp_path):
     from hello_tpu.pipeline.call import load_scorer
 
