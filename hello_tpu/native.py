@@ -96,7 +96,7 @@ def load_library():
     # final guard: an .so still missing the newest C API symbol (e.g. make
     # unavailable on this host) must degrade to the pure-Python engine, not
     # crash the ctypes setup below
-    if not hasattr(lib, "htpu_bam_open_region_bai"):   # newest C API symbol
+    if not hasattr(lib, "htpu_compact_rows_coded"):    # newest C API symbol
         return None
 
     i64p = ctypes.POINTER(ctypes.c_int64)

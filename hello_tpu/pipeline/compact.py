@@ -103,10 +103,13 @@ def _pack_platform(reads: np.ndarray, mask: np.ndarray) -> Dict[str, np.ndarray]
                    and not (flat[..., 0] | flat[..., 2])[~present].any())
         if codable:
             codes[:n] = np.where(present, b * 41 + q, ABSENT_CODE)
-            scalars[:n, 0] = flat[..., 3].max(axis=1)
-            scalars[:n, 1] = flat[..., 4].max(axis=1)
+            # per-row scalars from PRESENT cells only, matching the native
+            # packers: reconstruction paints scalars * presence-mask, so an
+            # absent cell's channel value is unrepresentable on the wire
+            scalars[:n, 0] = np.where(present, flat[..., 3], 0).max(axis=1)
+            scalars[:n, 1] = flat[..., 4].max(axis=1)   # ch4==0 defines absent
             if C == 7:
-                scalars[:n, 2] = flat[..., 6].max(axis=1)
+                scalars[:n, 2] = np.where(present, flat[..., 6], 0).max(axis=1)
             return {"codes": codes, "scalars": scalars, "slots": slots}
 
     # legacy 3-byte layout (native coder returned None, or numpy found an
@@ -118,12 +121,12 @@ def _pack_platform(reads: np.ndarray, mask: np.ndarray) -> Dict[str, np.ndarray]
         packed[:n, :, 0] = flat[..., 0]
         packed[:n, :, 1] = flat[..., 2]
         packed[:n, :, 2] = flat[..., 4] > 0
-        # per-row constants: any present cell carries them; max over the row
-        # is exact (the channels are 0 on absent cells)
-        scalars[:n, 0] = flat[..., 3].max(axis=1)
-        scalars[:n, 1] = flat[..., 4].max(axis=1)
+        # per-row constants from present cells only (see coded path above)
+        present = flat[..., 4] > 0
+        scalars[:n, 0] = np.where(present, flat[..., 3], 0).max(axis=1)
+        scalars[:n, 1] = flat[..., 4].max(axis=1)   # ch4==0 defines absent
         if C == 7:
-            scalars[:n, 2] = flat[..., 6].max(axis=1)
+            scalars[:n, 2] = np.where(present, flat[..., 6], 0).max(axis=1)
     return {"packed": packed, "scalars": scalars, "slots": slots}
 
 

@@ -1082,9 +1082,14 @@ void htpu_compact_rows(const uint8_t* reads, const int32_t* rows,
             dst[3 * i] = cell[0];
             dst[3 * i + 1] = cell[2];
             dst[3 * i + 2] = cell[4] != 0;
-            m3 = std::max(m3, cell[3]);
-            m4 = std::max(m4, cell[4]);
-            if (C == 7) m6 = std::max(m6, cell[6]);
+            // per-row scalars come from PRESENT cells only (all packers agree
+            // on this): reconstruction paints scalars * presence-mask, so an
+            // absent cell's channel value is unrepresentable on the wire
+            if (cell[4] != 0) {
+                m3 = std::max(m3, cell[3]);
+                m4 = std::max(m4, cell[4]);
+                if (C == 7) m6 = std::max(m6, cell[6]);
+            }
         }
         uint8_t* sc = scalars + (size_t)r * nscal;
         sc[0] = m3;

@@ -161,6 +161,38 @@ def test_nonzero_color_at_absent_cell_falls_back(tmp_path):
     np.testing.assert_array_equal(np.asarray(out["reads0"]), batch.reads0)
 
 
+def test_absent_cell_mapq_scalar_parity(tmp_path, monkeypatch):
+    """A nonzero mapq/hp channel at an ABSENT cell (ch0/ch2 zero, so the
+    tensor is still codable) must not leak into the per-row scalars: all
+    packers take scalars from present cells only, since reconstruction paints
+    scalars * presence-mask.  Native and numpy coded packers must agree
+    byte-for-byte on such tensors (regression: the native packer masked,
+    the numpy packer didn't)."""
+    from hello_tpu import native
+    from hello_tpu.pipeline import compact as C
+
+    sites = _sites(tmp_path / "ams")
+    batch = pack_sites(sites, hybrid=False)
+    rows = np.argwhere(batch.read_mask0 > 0)
+    a, r = rows[0]
+    cell = batch.reads0[a, r, :, 4].argmin()      # an absent cell
+    assert batch.reads0[a, r, cell, 4] == 0
+    batch.reads0[a, r, cell, 3] = 255             # junk mapq at absent cell
+    assert native.available()
+    fast = C.compact_batch(batch)
+    assert "codes0" in fast                        # still codable
+    monkeypatch.setattr(native, "compact_rows_coded", lambda *a: False)
+    slow = C.compact_batch(batch)
+    for k in fast:
+        np.testing.assert_array_equal(fast[k], slow[k], err_msg=k)
+    # the junk value is unrepresentable on the wire; everything else must
+    # round-trip exactly
+    expect = batch.reads0.copy()
+    expect[a, r, cell, 3] = 0
+    out = expand_compact({k: np.asarray(v) for k, v in fast.items()})
+    np.testing.assert_array_equal(np.asarray(out["reads0"]), expect)
+
+
 def test_scorer_logits_match_dense(tmp_path):
     from hello_tpu.pipeline.call import load_scorer
 
