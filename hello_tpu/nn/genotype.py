@@ -145,6 +145,114 @@ def _decode_site_fast(expert_logits: np.ndarray, meta: np.ndarray | None,
     return (alleles[i], alleles[j]), float(mixed[best])
 
 
+def decode_pairs_device(experts, meta, site_ids, allele_mask, num_sites: int):
+    """Genotype decode INSIDE jit: per-site best allele pair + probability.
+
+    Runs the same math as ``_decode_site_fast`` on the accelerator so the
+    caller fetches 13 bytes per site (two int32 slot indices, one float32
+    probability, one validity byte) instead of the [A, E] expert logits and
+    [S, 3] meta tensors — the host-side numpy decode and most of the readback
+    disappear from the calling hot loop (reference decode semantics:
+    caller_calling.py:612-654, MixtureOfExpertsAdvanced.py:520-589).
+
+    experts: [A, E] raw logits; meta: [S, 3] softmax weights or None;
+    site_ids: [A] int32; allele_mask: [A]; num_sites: static S.
+
+    Returns dict of [S]-shaped arrays: ``best_i``/``best_j`` (allele SLOT
+    indices of the winning unordered pair, i <= j), ``best_p`` (mixed
+    probability), ``valid`` (site has at least one real allele slot).
+
+    Tie-breaking: exact-probability ties resolve to the smallest (i, j) slot
+    pair, where the host paths resolve by allele-string order (reference
+    ``sorted(..., reverse=True)``).  Exact float32 ties only occur between
+    degenerate pairs (probabilities underflowing to an identical value, i.e.
+    junk calls near quality 0), where either pick is equally (un)supported.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    A, E = experts.shape
+    S = num_sites
+    f32 = jnp.float32
+    sig = jax.nn.sigmoid(experts.astype(f32))          # [A, E]
+    eps = f32(1e-10)
+    l1 = jnp.log(sig + eps)
+    # the barrier pins the evaluation order (1 - sig) + eps: XLA's algebraic
+    # simplifier otherwise reassociates to (1 + eps) - sig == 1 - sig, which
+    # cancels to 0 for saturated sigmoids and sends log to -inf (the host
+    # reference nn/genotype.decode_site computes log(1e-10) there)
+    one_minus = jax.lax.optimization_barrier(f32(1.0) - sig)
+    l0 = jnp.log(one_minus + eps)
+    amask = allele_mask.astype(f32)
+    # per-site sum of log(1-e) over real alleles, per expert: [S, E]
+    site_l0 = jax.ops.segment_sum(l0 * amask[:, None], site_ids,
+                                  num_segments=S)
+    # pair log-prob over slot pairs (i, j):
+    #   i != j: site_l0[site] + (l1-l0)[i] + (l1-l0)[j]
+    #   i == j: site_l0[site] + (l1-l0)[i]            (homozygous pair)
+    d = l1 - l0                                        # [A, E]
+    same = jnp.eye(A, dtype=bool)
+    pair_logp = (site_l0[site_ids][:, None, :] + d[:, None, :]
+                 + jnp.where(same[:, :, None], f32(0.0), d[None, :, :]))
+    pair_p = jnp.exp(pair_logp)                        # [A, A, E]
+    if E == 1:
+        mixed = pair_p[..., 0]
+    else:
+        assert meta is not None, "multi-expert decode requires meta weights"
+        w = meta.astype(f32)[:, :3][site_ids]          # [A, 3]
+        mixed = jnp.einsum("ije,ie->ij", pair_p, w)
+    iota = jnp.arange(A, dtype=jnp.int32)
+    valid_pair = ((site_ids[:, None] == site_ids[None, :])
+                  & (amask[:, None] > 0) & (amask[None, :] > 0)
+                  & (iota[:, None] <= iota[None, :]))
+    v = jnp.where(valid_pair, mixed, f32(-1.0))        # [A, A]
+    row_best = jnp.max(v, axis=1)                      # [A]
+    row_arg = jnp.argmax(v, axis=1).astype(jnp.int32)  # first max in the row
+    site_best = jax.ops.segment_max(row_best, site_ids, num_segments=S)
+    # smallest row index attaining the site max (probabilities are >= 0 for
+    # any real pair, so padding rows at -1 never win on non-empty sites)
+    cand = jnp.where(row_best >= site_best[site_ids], iota, jnp.int32(A))
+    best_i = jax.ops.segment_min(cand, site_ids, num_segments=S)
+    valid = (site_best >= 0) & (best_i < A)
+    best_i = jnp.clip(best_i, 0, A - 1)
+    return {
+        "best_i": best_i,
+        "best_j": row_arg[best_i],
+        "best_p": site_best,
+        "valid": valid,
+    }
+
+
+def calls_from_device_decode(decoded: dict, allele_site_index, sites
+                             ) -> List[dict]:
+    """Host-side assembly of per-site calls from fetched device-decode arrays
+    (the fast-path counterpart of ``decode_batch(full=False)``).
+
+    ``allele_site_index`` maps allele SLOT -> (site_idx, allele_idx); real
+    slots are a contiguous prefix (pack_sites assigns them in order)."""
+    best_i = np.asarray(decoded["best_i"])
+    best_j = np.asarray(decoded["best_j"])
+    best_p = np.asarray(decoded["best_p"])
+    valid = np.asarray(decoded["valid"])
+    results: List[dict] = []
+    for si, site in enumerate(sites):
+        if si >= len(valid) or not valid[si]:
+            results.append(None)
+            continue
+        ii, jj = int(best_i[si]), int(best_j[si])
+        si_i, ai = allele_site_index[ii]
+        si_j, aj = allele_site_index[jj]
+        assert si_i == si and si_j == si, "decode pair crossed sites"
+        p = float(best_p[si])
+        results.append({
+            "site": site,
+            "best_pair": (site.alleles[ai], site.alleles[aj]),
+            "probability": p,
+            "quality": phred_quality(p),
+        })
+    return results
+
+
 def decode_batch(experts: np.ndarray, meta: np.ndarray | None,
                  allele_site_index: List[Tuple[int, int]],
                  sites, full: bool = True) -> List[dict]:

@@ -49,6 +49,38 @@ class SiteWork:
 
 
 @dataclasses.dataclass
+class CodedSiteWork:
+    """One site's scoring work in the 1-byte coded wire representation
+    (pipeline/compact.py): per allele, ``[R, L]`` uint8 cell codes and
+    ``[R, nscal]`` per-row scalars instead of dense ``[R, L, C]`` feature
+    tensors (6-7x smaller — decisive for worker->main IPC and host->device
+    transfer).  The reference window ships as ``[L]`` uint8 base codes
+    (0-4 = A,C,G,T,other; 5 = off-chromosome padding) instead of a ``[L, 5]``
+    float32 one-hot.  Produced by compact.encode_site_work from featurizer
+    output; packs straight into a device wire dict (compact.pack_sites_wire)
+    with no dense intermediate."""
+    chromosome: str
+    start: int
+    stop: int
+    alleles: List[str]
+    codes0: List[np.ndarray]          # per-allele [R, L] uint8
+    scal0: List[np.ndarray]           # per-allele [R, 2|3] uint8
+    codes1: Optional[List[np.ndarray]] = None
+    scal1: Optional[List[np.ndarray]] = None
+    ref_codes: Optional[np.ndarray] = None   # [L] uint8, 0..5
+    labels: Optional[List[int]] = None
+    site_label: Optional[int] = None
+
+    @property
+    def read_counts0(self):
+        return [c.shape[0] for c in self.codes0]
+
+    @property
+    def read_counts1(self):
+        return None if self.codes1 is None else [c.shape[0] for c in self.codes1]
+
+
+@dataclasses.dataclass
 class PaddedBatch:
     """Fixed-shape batch for the device; `sites` maps rows back to SiteWork."""
     reads0: np.ndarray        # [A, R0, L, C0] uint8
@@ -87,6 +119,19 @@ def one_hot_ref_segment(bases: str) -> np.ndarray:
     (reference caller_calling.py:53-67)."""
     codes = _ONE_HOT_LUT[np.frombuffer(bases.encode(), np.uint8)]
     return np.eye(5, dtype=np.float32)[codes]
+
+
+def ref_segment_codes(bases: str, left: int, length: int) -> np.ndarray:
+    """[L] uint8 base codes for a reference window: 0-4 = A,C,G,T,other,
+    5 = off-chromosome padding (the code-space twin of padded_ref_segment —
+    one-hot row 5 expands to all-zeros, see compact.REF_ONEHOT6)."""
+    codes = _ONE_HOT_LUT[np.frombuffer(bases.encode(), np.uint8)]
+    if codes.shape[0] == length:
+        return codes
+    out = np.full(length, 5, np.uint8)
+    front = max(0, -left)
+    out[front:front + codes.shape[0]] = codes[:max(0, length - front)]
+    return out
 
 
 def padded_ref_segment(bases: str, left: int, length: int) -> np.ndarray:
@@ -201,16 +246,15 @@ def training_dict(batch: PaddedBatch) -> dict:
     return d
 
 
-def site_read_bucket(site: SiteWork,
-                     read_buckets: Sequence[int] = DEFAULT_READ_BUCKETS):
+def site_read_bucket(site, read_buckets: Sequence[int] = DEFAULT_READ_BUCKETS):
     """The read-bucket class a site forces on any batch containing it:
-    per-platform bucket of its deepest allele."""
-    b0 = _bucket(max((t.shape[0] for t in site.tensors0), default=1),
-                 read_buckets)
-    if site.tensors1 is None:
+    per-platform bucket of its deepest allele (SiteWork or CodedSiteWork)."""
+    t0 = site.codes0 if isinstance(site, CodedSiteWork) else site.tensors0
+    t1 = site.codes1 if isinstance(site, CodedSiteWork) else site.tensors1
+    b0 = _bucket(max((t.shape[0] for t in t0), default=1), read_buckets)
+    if t1 is None:
         return (b0,)
-    b1 = _bucket(max((t.shape[0] for t in site.tensors1), default=1),
-                 read_buckets)
+    b1 = _bucket(max((t.shape[0] for t in t1), default=1), read_buckets)
     return (b0, b1)
 
 

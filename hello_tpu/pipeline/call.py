@@ -40,10 +40,15 @@ class Scorer:
     over the XLA path on a v5e chip); HELLO_TPU_PALLAS=0/1 forces it off/on.
     """
 
+    # this scorer can consume pre-coded WireBatch inputs (pack_sites_wire);
+    # the jitted forward expands them on device regardless of ``compact``
+    accepts_wire = True
+
     def __init__(self, model: MoEAttention, params, state, donate: bool = False,
                  use_pallas: Optional[bool] = None,
                  compact: Optional[bool] = None,
-                 devices: Optional[Sequence] = None):
+                 devices: Optional[Sequence] = None,
+                 device_decode: Optional[bool] = None):
         import jax
 
         self.model = model
@@ -85,36 +90,62 @@ class Scorer:
                 compact = jax.devices()[0].platform not in ("cpu",)
         self.compact = compact
 
+        # On-device genotype decode (nn/genotype.decode_pairs_device): the
+        # plain calling paths fetch 13 bytes/site instead of the [A,E]+[S,3]
+        # logit tensors and skip the host numpy decode entirely.  Callers
+        # that need the full tensors (provide_features, parity tests) request
+        # them per dispatch; HELLO_TPU_DEVICE_DECODE=0 forces the host path.
+        if device_decode is None:
+            device_decode = os.environ.get(
+                "HELLO_TPU_DEVICE_DECODE", "1") == "1"
+        self.device_decode = device_decode
+
         # the number of padded sites is carried by ref_segments' static shape;
         # bucketed batch shapes keep recompiles rare
         self._jax = jax
         self._jitted = self._make_jitted()
+        self._jitted_decode = self._make_jitted(decode=True)
 
     @property
     def max_in_flight(self) -> int:
         """Pipelining depth for the async scoring loops: deep enough that
-        every local chip holds work."""
-        return max(3, 2 * len(self.devices))
+        every local chip holds work AND that readback latency (large through
+        remote-TPU tunnels) hides behind several executing batches.  The
+        window holds batch inputs alive in HBM — with the compact wire format
+        a batch is a few MB, so a depth of 6+ is cheap."""
+        return max(6, 2 * len(self.devices) + 2)
 
-    def _make_jitted(self):
+    def _make_jitted(self, decode: bool = False):
         model = self.model
         from .compact import expand_compact
 
         def forward(params, state, batch):
             batch = expand_compact(batch)   # no-op for dense batches
             out, _ = model.apply(params, state, batch, train=False)
+            if decode:
+                from ..nn.genotype import decode_pairs_device
+                return decode_pairs_device(
+                    out["experts"], out["meta"], batch["site_ids"],
+                    batch["allele_mask"], batch["ref_segments"].shape[0])
             return out
 
         # fresh function object => fresh jit trace cache (needed when the
         # pallas fallback re-tags the model)
         return self._jax.jit(forward)
 
-    def score_async(self, batch: PaddedBatch):
+    def score_async(self, batch: PaddedBatch, decode: bool = False):
         """Dispatch the forward and return device arrays without blocking —
         jax's async dispatch lets the host pack/decode other batches while
         the device executes this one (see the pipelined loop in
-        ``call_region``)."""
-        if self.compact:
+        ``call_region``).
+
+        ``decode=True`` (honoured only when the scorer's ``device_decode`` is
+        on) fuses the genotype decode into the jitted forward and returns the
+        per-site winner arrays instead of the logit tensors."""
+        decode = decode and self.device_decode
+        if hasattr(batch, "wire"):        # WireBatch: pre-coded by the host
+            d = batch.wire
+        elif self.compact:
             from .compact import compact_batch
             d = compact_batch(batch)
         else:
@@ -132,8 +163,9 @@ class Scorer:
                 (self.params, self.state), dev)
         params, state = self._per_device[dev]
         d = self._jax.device_put(d, dev)   # jit dispatches on input placement
+        fn = self._jitted_decode if decode else self._jitted
         try:
-            return self._jitted(params, state, d)
+            return self._start_readback(fn(params, state, d))
         except Exception as exc:
             # Mosaic compile failures are shape/backend dependent; never let
             # the fused-kernel fast path take down a calling run.  Only
@@ -150,14 +182,32 @@ class Scorer:
                            "the XLA path for this run", exc_info=True)
             self.model.pallas_read_convs = ()
             self._jitted = self._make_jitted()
-            return self._jitted(params, state, d)
+            self._jitted_decode = self._make_jitted(decode=True)
+            fn = self._jitted_decode if decode else self._jitted
+            return self._start_readback(fn(params, state, d))
+
+    def _start_readback(self, out):
+        """Kick off the device->host transfer of every output array without
+        blocking: the bytes stream back while the device executes later
+        batches, so ``finalize`` mostly reads a local copy instead of paying
+        the full readback round trip per batch (large through remote-TPU
+        tunnels)."""
+        for leaf in self._jax.tree_util.tree_leaves(out):
+            copy = getattr(leaf, "copy_to_host_async", None)
+            if copy is not None:
+                copy()
+        return out
 
     def finalize(self, out):
         """Block on a ``score_async`` result and fetch it to the host.
 
-        One ``device_get`` over both outputs: two sequential ``np.asarray``
-        readbacks would pay the device round-trip latency twice per batch
+        One ``device_get`` over all outputs: sequential ``np.asarray``
+        readbacks would pay the device round-trip latency once per array
         (noticeable through remote-TPU tunnels)."""
+        if "best_i" in out:                # device-decoded winners
+            keys = ("best_i", "best_j", "best_p", "valid")
+            vals = self._jax.device_get(tuple(out[k] for k in keys))
+            return dict(zip(keys, vals))
         if out["meta"] is None:
             return np.asarray(out["experts"]), None
         return tuple(self._jax.device_get((out["experts"], out["meta"])))
@@ -287,16 +337,31 @@ def call_region(bam_paths: Sequence[str], ref: FastaFile, chromosome: str,
     pending: deque = deque()
     # duck-typed scorers (tests, oracles) may only implement __call__;
     # they score synchronously and finalize is the identity
-    _dispatch = getattr(scorer, "score_async", scorer)
+    _score_async = getattr(scorer, "score_async", None)
+    # plain calling decodes the genotype on device (winner indices +
+    # probability fetched, 13 bytes/site); the provide_features path needs
+    # the full logit tensors on host
+    if _score_async is None:
+        _dispatch = scorer
+    elif expert_records is None and getattr(scorer, "device_decode", False):
+        _dispatch = lambda b: _score_async(b, decode=True)
+    else:
+        _dispatch = _score_async
     _finalize = getattr(scorer, "finalize", lambda out: out)
 
     def _consume():
         group, batch, out = pending.popleft()
         with telemetry.stage("device_wait"):
-            experts, meta = _finalize(out)
+            fin = _finalize(out)
         with telemetry.stage("genotype_decode"):
-            calls = decode_batch(experts, meta, batch.allele_site_index, group,
-                                 full=expert_records is not None)
+            if isinstance(fin, dict) and "best_i" in fin:
+                from ..nn.genotype import calls_from_device_decode
+                calls = calls_from_device_decode(
+                    fin, batch.allele_site_index, group)
+            else:
+                experts, meta = fin
+                calls = decode_batch(experts, meta, batch.allele_site_index,
+                                     group, full=expert_records is not None)
             for call in calls:
                 rec = vcf_record_from_call(call, ref_lookup)
                 if rec is not None:

@@ -36,11 +36,14 @@ fills them, so reconstructing them as zeros is exact.
 
 from __future__ import annotations
 
-from typing import Dict, Optional, Sequence
+import dataclasses
+from typing import Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
 
-from .batching import PaddedBatch
+from .batching import (DEFAULT_ALLELE_BUCKETS, DEFAULT_READ_BUCKETS,
+                       DEFAULT_SITE_BUCKETS, CodedSiteWork, PaddedBatch,
+                       _bucket as _batch_bucket)
 
 # geometric ladder for the packed-row count (compiles once per bucket)
 ROW_BUCKETS = (128, 256, 512, 1024, 2048, 4096, 8192, 16384, 32768,
@@ -49,6 +52,13 @@ ROW_BUCKETS = (128, 256, 512, 1024, 2048, 4096, 8192, 16384, 32768,
 # base_color palette in one-hot order A, C, G, T, other
 # (featurize.base_color / engine.cpp base_color)
 REF_COLOR_PALETTE = (250.0, 30.0, 180.0, 100.0, 0.0)
+
+# reference-window base-code expansion tables (code 5 = off-chromosome
+# padding: all-zero one-hot row — see batching.ref_segment_codes)
+REF_ONEHOT6 = np.concatenate([np.eye(5, dtype=np.float32),
+                              np.zeros((1, 5), np.float32)])
+REF_COLOR6 = np.array(list(REF_COLOR_PALETTE) + [0.0],
+                      np.float32).astype(np.uint8)
 
 # cell-code palettes (constants.base_color / base_quality_color value sets);
 # must match engine.cpp htpu_compact_rows_coded
@@ -128,6 +138,196 @@ def _pack_platform(reads: np.ndarray, mask: np.ndarray) -> Dict[str, np.ndarray]
         if C == 7:
             scalars[:n, 2] = np.where(present, flat[..., 6], 0).max(axis=1)
     return {"packed": packed, "scalars": scalars, "slots": slots}
+
+
+def _encode_rows(flat: np.ndarray) -> Optional[Tuple[np.ndarray, np.ndarray]]:
+    """Code every row of a dense [N, L, C] block: (codes [N, L],
+    scalars [N, nscal]) or None when a color falls outside the palettes."""
+    N, L, C = flat.shape
+    nscal = 3 if C == 7 else 2
+    codes = np.empty((N, L), np.uint8)
+    scalars = np.zeros((N, nscal), np.uint8)
+    if N == 0:
+        return codes, scalars
+    from .. import native
+    flat = np.ascontiguousarray(flat)
+    rows = np.arange(N, dtype=np.int32)
+    got = native.compact_rows_coded(flat, rows, codes, scalars)
+    if got is True:
+        return codes, scalars
+    if got is None:                       # out-of-palette color
+        return None
+    present = flat[..., 4] > 0
+    b = _BASE_LUT[flat[..., 0]]
+    q = _QUAL_LUT[flat[..., 2]]
+    codable = (not ((b == 255) | (q == 255))[present].any()
+               and not (flat[..., 0] | flat[..., 2])[~present].any())
+    if not codable:
+        return None
+    codes[:] = np.where(present, b * 41 + q, ABSENT_CODE)
+    scalars[:, 0] = np.where(present, flat[..., 3], 0).max(axis=1)
+    scalars[:, 1] = flat[..., 4].max(axis=1)
+    if C == 7:
+        scalars[:, 2] = np.where(present, flat[..., 6], 0).max(axis=1)
+    return codes, scalars
+
+
+def encode_site_work(site) -> Optional[CodedSiteWork]:
+    """SiteWork -> CodedSiteWork (1-byte coded rows), or None when any cell
+    color falls outside the palettes (never true of featurizer output)."""
+    from .batching import ref_segment_codes
+
+    def _platform(tensors):
+        if not tensors:
+            return [], []
+        flat = np.concatenate([np.ascontiguousarray(t) for t in tensors])
+        enc = _encode_rows(flat)
+        if enc is None:
+            return None
+        codes, scalars = enc
+        out_c, out_s, off = [], [], 0
+        for t in tensors:
+            r = t.shape[0]
+            out_c.append(codes[off:off + r])
+            out_s.append(scalars[off:off + r])
+            off += r
+        return out_c, out_s
+
+    p0 = _platform(site.tensors0)
+    if p0 is None:
+        return None
+    codes1 = scal1 = None
+    if site.tensors1 is not None:
+        p1 = _platform(site.tensors1)
+        if p1 is None:
+            return None
+        codes1, scal1 = p1
+    # recover the [L] base codes from the one-hot segment (row 5 = the
+    # all-zero off-chromosome padding rows of padded_ref_segment)
+    seg = site.ref_segment
+    ref_codes = None
+    if seg is not None:
+        ref_codes = np.where(seg.sum(axis=1) > 0,
+                             seg.argmax(axis=1), 5).astype(np.uint8)
+    return CodedSiteWork(
+        chromosome=site.chromosome, start=site.start, stop=site.stop,
+        alleles=list(site.alleles), codes0=p0[0], scal0=p0[1],
+        codes1=codes1, scal1=scal1, ref_codes=ref_codes,
+        labels=site.labels, site_label=site.site_label)
+
+
+def encode_chunk_sites(sites) -> Optional[List[CodedSiteWork]]:
+    """Encode a chunk's SiteWork list for the wire; None if ANY site cannot
+    be coded (the caller ships the dense list instead — mixing formats in
+    one stream is not worth the packer complexity)."""
+    out = []
+    for s in sites:
+        c = encode_site_work(s)
+        if c is None:
+            return None
+        out.append(c)
+    return out
+
+
+@dataclasses.dataclass
+class WireBatch:
+    """A packed coded-wire batch: ``wire`` is the device dict (what
+    ``expand_compact`` consumes inside jit); the remaining fields mirror
+    PaddedBatch's host-side bookkeeping for decode/record assembly."""
+    wire: Dict[str, np.ndarray]
+    num_sites: int
+    sites: List[CodedSiteWork]
+    allele_site_index: List[tuple]
+
+
+def pack_sites_wire(
+    sites: Sequence[CodedSiteWork],
+    hybrid: bool,
+    feature_length: int = 150,
+    read_buckets: Sequence[int] = DEFAULT_READ_BUCKETS,
+    allele_buckets: Sequence[int] = DEFAULT_ALLELE_BUCKETS,
+    site_buckets: Sequence[int] = DEFAULT_SITE_BUCKETS,
+) -> WireBatch:
+    """Pack CodedSiteWork straight into a device wire dict — the coded-path
+    twin of ``pack_sites`` + ``compact_batch`` with no dense intermediate
+    (byte-equivalent on-device expansion asserted in tests/test_coded_wire).
+    """
+    num_alleles = sum(len(s.alleles) for s in sites)
+    A = _batch_bucket(max(num_alleles, 1), allele_buckets)
+    S = _batch_bucket(max(len(sites), 1), site_buckets)
+    if len(sites) > S or num_alleles > A:
+        raise ValueError(
+            f"group of {len(sites)} sites / {num_alleles} alleles exceeds "
+            f"buckets (S={S}, A={A}); lower the grouping budgets")
+    L = feature_length
+
+    def _platform(get_codes, get_scal):
+        max_r = 1
+        for s in sites:
+            for c in get_codes(s):
+                max_r = max(max_r, c.shape[0])
+        R = _batch_bucket(max_r, read_buckets)
+        mask = np.zeros((A, R), np.float32)
+        row_codes, row_scals, slot_list = [], [], []
+        slot = 0
+        for s in sites:
+            for c, sc in zip(get_codes(s), get_scal(s)):
+                r = min(c.shape[0], R)
+                mask[slot, :r] = 1.0
+                row_codes.append(c[:r])
+                row_scals.append(sc[:r])
+                slot_list.append(slot * R + np.arange(r, dtype=np.int32))
+                slot += 1
+        n = int(mask.sum())
+        nb = _bucket(max(n, 1), A * R)
+        codes = np.full((nb, L), ABSENT_CODE, np.uint8)
+        nscal = row_scals[0].shape[1] if row_scals else 2
+        scalars = np.zeros((nb, nscal), np.uint8)
+        slots = np.full(nb, A * R, np.int32)
+        if n:
+            codes[:n] = np.concatenate(row_codes)
+            scalars[:n] = np.concatenate(row_scals)
+            slots[:n] = np.concatenate(slot_list)
+        return codes, scalars, slots, mask
+
+    site_ids = np.full((A,), S - 1, np.int32)
+    allele_mask = np.zeros((A,), np.float32)
+    ref_codes = np.full((S, L), 5, np.uint8)
+    rel = np.zeros((S, 2), np.int32)
+    index = []
+    slot = 0
+    for si, site in enumerate(sites):
+        if site.ref_codes is not None:
+            ref_codes[si] = site.ref_codes
+        mid = (site.start + site.stop) // 2
+        fstart = mid - L // 2
+        rel[si, 0] = site.start - fstart
+        rel[si, 1] = site.stop - fstart
+        for ai in range(len(site.alleles)):
+            site_ids[slot] = si
+            allele_mask[slot] = 1.0
+            index.append((si, ai))
+            slot += 1
+
+    codes0, scal0, slots0, mask0 = _platform(lambda s: s.codes0,
+                                             lambda s: s.scal0)
+    wire = {
+        "site_ids": site_ids,
+        "allele_mask": allele_mask,
+        "ref_codes": ref_codes,
+        "relbounds": rel,
+        "read_mask0": mask0,
+        "codes0": codes0,
+        "row_scalars0": scal0,
+        "row_slots0": slots0,
+    }
+    if hybrid:
+        codes1, scal1, slots1, mask1 = _platform(lambda s: s.codes1,
+                                                 lambda s: s.scal1)
+        wire.update(read_mask1=mask1, codes1=codes1, row_scalars1=scal1,
+                    row_slots1=slots1)
+    return WireBatch(wire=wire, num_sites=S, sites=list(sites),
+                     allele_site_index=index)
 
 
 def compact_batch(batch: PaddedBatch) -> Dict[str, np.ndarray]:
@@ -218,17 +418,26 @@ def _expand_platform_coded(codes, scalars, slots, mask, ref_colors,
 
 
 def expand_compact(batch: Dict) -> Dict:
-    """Device-side inverse of ``compact_batch`` (inside jit): returns a batch
-    dict with dense ``reads0``/``reads1``.  No-op for dense batches."""
+    """Device-side inverse of ``compact_batch`` / ``pack_sites_wire`` (inside
+    jit): returns a batch dict with dense ``reads0``/``reads1`` and float
+    ``ref_segments``.  No-op for dense batches."""
     if "packed0" not in batch and "codes0" not in batch:
         return batch
     import jax.numpy as jnp
 
-    ref_segments = batch["ref_segments"]
-    L = ref_segments.shape[1]
-    palette = jnp.asarray(REF_COLOR_PALETTE, jnp.float32)
-    ref_colors = jnp.dot(ref_segments.astype(jnp.float32),
-                         palette).astype(jnp.uint8)        # [S, L]
+    if "ref_codes" in batch:
+        # [S, L] uint8 base codes -> one-hot segments + reference colors
+        # (code 5 = off-chromosome padding: zero row / color 0)
+        rc = batch["ref_codes"].astype(jnp.int32)
+        ref_segments = jnp.asarray(REF_ONEHOT6)[rc]        # [S, L, 5]
+        ref_colors = jnp.asarray(REF_COLOR6)[rc]           # [S, L] uint8
+        L = rc.shape[1]
+    else:
+        ref_segments = batch["ref_segments"]
+        L = ref_segments.shape[1]
+        palette = jnp.asarray(REF_COLOR_PALETTE, jnp.float32)
+        ref_colors = jnp.dot(ref_segments.astype(jnp.float32),
+                             palette).astype(jnp.uint8)    # [S, L]
     rel = batch["relbounds"]
     idx = jnp.arange(L, dtype=jnp.int32)[None, :]
     pos_colors = jnp.where((idx >= rel[:, 0:1]) & (idx < rel[:, 1:2]),

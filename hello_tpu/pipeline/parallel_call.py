@@ -23,7 +23,7 @@ from ..constants import FEATURE_LENGTH
 from ..io.fasta import FastaFile
 from ..io.vcf import VcfRecord, write_vcf
 from ..nn.genotype import decode_batch
-from .batching import group_sites_for_batching, pack_sites
+from .batching import CodedSiteWork, group_sites_for_batching, pack_sites
 from .call import Scorer, vcf_record_from_call
 from .candidates import generate_sites
 from .hotspots import (candidate_intervals, cluster_hotspots, detect_hotspots,
@@ -55,7 +55,7 @@ def host_sites_for_chunk(bam_paths, ref_path, chromosome, start, stop,
     fast = native_chunk_site_work([str(p) for p in bam_paths], ref,
                                   chromosome, start, stop, options, rng)
     if fast is not None:
-        return fast
+        return _maybe_encode(fast, options)
 
     pacbio = options.get("pacbio", False)
     kwargs = dict(
@@ -88,6 +88,20 @@ def host_sites_for_chunk(bam_paths, ref_path, chromosome, start, stop,
         q_threshold=options.get("q_threshold", 10),
         min_mapq=options.get("min_mapq", 10))
         if s is not None and s.alleles]
+    return _maybe_encode(sites, options)
+
+
+def _maybe_encode(sites, options):
+    """Re-encode a chunk's sites into the 1-byte coded wire representation
+    (CodedSiteWork) when the run requested it: ~6x less worker->main IPC and
+    no dense batch assembly in the device-owning process.  Falls back to the
+    dense list if any site cannot be coded (never true of featurizer
+    output)."""
+    if options.get("wire") == "coded" and sites:
+        from .compact import encode_chunk_sites
+        coded = encode_chunk_sites(sites)
+        if coded is not None:
+            return coded
     return sites
 
 
@@ -277,6 +291,12 @@ def call_parallel(bam_paths: Sequence[str], ref_path: str, scorer: Scorer,
         regions = [(c, 0, ref.length(c)) for c in ref.chromosomes()]
     options = dict(options)
     options.setdefault("include_hp", include_hp)
+    # Real Scorers take the coded wire end-to-end: workers ship CodedSiteWork
+    # (1 byte/cell + row scalars), the main process packs wire dicts with no
+    # dense intermediate, and the device rebuilds the tensors inside jit.
+    # Duck-typed scorers (tests, oracles) get dense SiteWork + PaddedBatch.
+    if getattr(scorer, "accepts_wire", False):
+        options.setdefault("wire", "coded")
 
     jobs = list(make_chunks(regions, chunk_size))
     own_pool = pool is None
@@ -300,7 +320,15 @@ def call_parallel(bam_paths: Sequence[str], ref_path: str, scorer: Scorer,
     # deep enough that every local chip holds work (scorer round-robins
     # batches across devices)
     MAX_IN_FLIGHT = getattr(scorer, "max_in_flight", 3)
-    _dispatch = getattr(scorer, "score_async", scorer)
+    _score_async = getattr(scorer, "score_async", None)
+    if _score_async is not None and getattr(scorer, "device_decode", False):
+        # genotype decode fused into the jitted forward: fetch winner
+        # indices + probability (13 bytes/site) instead of logit tensors
+        _dispatch = lambda b: _score_async(b, decode=True)
+    elif _score_async is not None:
+        _dispatch = _score_async
+    else:
+        _dispatch = scorer
     _finalize = getattr(scorer, "finalize", lambda out: out)
     # main-loop stage accounting (seconds), reported through ``stats``:
     # wait = blocked on worker results (host-stage bound), pack/dispatch =
@@ -313,7 +341,10 @@ def call_parallel(bam_paths: Sequence[str], ref_path: str, scorer: Scorer,
         """Whether a dispatched batch's device arrays are done (non-blocking).
         Duck-typed scorers (tests, oracles) return host arrays — always
         ready."""
-        arr = out.get("experts") if isinstance(out, dict) else out
+        if isinstance(out, dict):
+            arr = out.get("experts", out.get("best_p"))
+        else:
+            arr = out
         is_ready = getattr(arr, "is_ready", None)
         return is_ready() if callable(is_ready) else True
 
@@ -327,11 +358,17 @@ def call_parallel(bam_paths: Sequence[str], ref_path: str, scorer: Scorer,
     def _drain_one():
         t0 = time.perf_counter()
         group, batch, out = in_flight.popleft()
-        experts, meta = _finalize(out)
+        fin = _finalize(out)
         t1 = time.perf_counter()
         t_acc["fetch_s"] += t1 - t0
-        calls = decode_batch(experts, meta, batch.allele_site_index, group,
-                             full=False)
+        if isinstance(fin, dict) and "best_i" in fin:
+            from ..nn.genotype import calls_from_device_decode
+            calls = calls_from_device_decode(fin, batch.allele_site_index,
+                                             group)
+        else:
+            experts, meta = fin
+            calls = decode_batch(experts, meta, batch.allele_site_index,
+                                 group, full=False)
         for call in calls:
             rec = vcf_record_from_call(call, ref_lookup)
             if rec is not None:
@@ -341,11 +378,17 @@ def call_parallel(bam_paths: Sequence[str], ref_path: str, scorer: Scorer,
 
     def score_group(group):
         t0 = time.perf_counter()
-        batch = pack_sites(group, hybrid=hybrid_model,
-                           feature_length=options.get("feature_length",
-                                                      FEATURE_LENGTH),
-                           channels0=7 if include_hp else 6,
-                           channels1=7 if include_hp else 6)
+        if isinstance(group[0], CodedSiteWork):
+            from .compact import pack_sites_wire
+            batch = pack_sites_wire(
+                group, hybrid=hybrid_model,
+                feature_length=options.get("feature_length", FEATURE_LENGTH))
+        else:
+            batch = pack_sites(group, hybrid=hybrid_model,
+                               feature_length=options.get("feature_length",
+                                                          FEATURE_LENGTH),
+                               channels0=7 if include_hp else 6,
+                               channels1=7 if include_hp else 6)
         t1 = time.perf_counter()
         t_acc["pack_s"] += t1 - t0
         in_flight.append((group, batch, _dispatch(batch)))
@@ -365,9 +408,12 @@ def call_parallel(bam_paths: Sequence[str], ref_path: str, scorer: Scorer,
     pending_alleles: dict = {}    # read-bucket class -> allele count
 
     def buffer_sites(sites):
-        """Accumulate sites per class; flush any class at its batch budget."""
+        """Accumulate sites per class; flush any class at its batch budget.
+        Coded and dense sites never share a batch (a chunk that fell back to
+        dense must not poison a coded batch's packer)."""
         for s in sites:
-            key = site_read_bucket(s) if class_by_read_bucket else 0
+            key = (isinstance(s, CodedSiteWork),) + (
+                site_read_bucket(s) if class_by_read_bucket else (0,))
             pending.setdefault(key, []).append(s)
             pending_alleles[key] = pending_alleles.get(key, 0) + len(s.alleles)
             if pending_alleles[key] >= max_alleles_per_batch:

@@ -1,0 +1,105 @@
+"""End-to-end coded wire path (CodedSiteWork -> pack_sites_wire).
+
+Workers re-encode featurizer output into 1-byte coded rows before IPC; the
+main process packs wire dicts with no dense intermediate.  These tests pin
+the invariant that the on-device expansion of a wire-packed batch is
+byte-identical to the dense PaddedBatch the classic path would have built —
+so Scorer logits and VCF output cannot differ between the two paths.
+"""
+
+import numpy as np
+import pytest
+
+from hello_tpu import sim
+from hello_tpu.io.fasta import FastaFile
+from hello_tpu.pipeline.batching import CodedSiteWork, pack_sites
+from hello_tpu.pipeline.compact import (encode_chunk_sites, expand_compact,
+                                        pack_sites_wire)
+from hello_tpu.pipeline.parallel_call import host_sites_for_chunk
+
+
+def _sites(tmp_path, platforms=("illumina",), hp_tags=False, **opts):
+    ds = sim.make_dataset(str(tmp_path), ref_length=30_000, num_variants=60,
+                          coverage=30, read_length=120, seed=9,
+                          platforms=platforms, hp_tags=hp_tags)
+    bams = [ds.bams[p] for p in platforms]
+    options = dict(opts)
+    if platforms == ("pacbio",):
+        options["pacbio"] = True
+    sites = host_sites_for_chunk(bams, ds.fasta, ds.chromosome, 0, 30_000,
+                                 options)
+    assert len(sites) >= 40
+    return ds, sites
+
+
+def _expand_np(wire):
+    out = expand_compact({k: np.asarray(v) for k, v in wire.items()})
+    return {k: np.asarray(v) for k, v in out.items()}
+
+
+@pytest.mark.parametrize("platforms,hp", [
+    (("illumina",), False),
+    (("illumina", "pacbio"), False),
+    (("pacbio",), True),
+])
+def test_wire_pack_expands_byte_exact(tmp_path, platforms, hp):
+    """expand(pack_sites_wire(encode(sites))) == the dense PaddedBatch."""
+    _, sites = _sites(tmp_path / "w", platforms=platforms, hp_tags=hp,
+                      include_hp=hp)
+    hybrid = len(platforms) > 1
+    dense = pack_sites(sites, hybrid=hybrid,
+                       channels0=7 if hp else 6, channels1=7 if hp else 6)
+    coded = encode_chunk_sites(sites)
+    assert coded is not None and all(isinstance(c, CodedSiteWork)
+                                     for c in coded)
+    wb = pack_sites_wire(coded, hybrid=hybrid)
+    assert wb.allele_site_index == dense.allele_site_index
+    out = _expand_np(wb.wire)
+    np.testing.assert_array_equal(out["reads0"], dense.reads0)
+    np.testing.assert_array_equal(out["read_mask0"], dense.read_mask0)
+    np.testing.assert_array_equal(out["ref_segments"], dense.ref_segments)
+    np.testing.assert_array_equal(np.asarray(wb.wire["site_ids"]),
+                                  dense.site_ids)
+    np.testing.assert_array_equal(np.asarray(wb.wire["allele_mask"]),
+                                  dense.allele_mask)
+    if hybrid:
+        np.testing.assert_array_equal(out["reads1"], dense.reads1)
+        np.testing.assert_array_equal(out["read_mask1"], dense.read_mask1)
+
+
+def test_wire_scorer_logits_identical(tmp_path):
+    """A Scorer fed the WireBatch must produce bit-identical logits to the
+    dense PaddedBatch."""
+    from hello_tpu.pipeline.call import load_scorer
+
+    _, sites = _sites(tmp_path / "sc")
+    dense = pack_sites(sites, hybrid=False)
+    wb = pack_sites_wire(encode_chunk_sites(sites), hybrid=False)
+    scorer = load_scorer("illumina", compact=False)
+    e_dense, _ = scorer(dense)
+    e_wire, _ = scorer(wb)
+    np.testing.assert_array_equal(np.asarray(e_wire), np.asarray(e_dense))
+
+
+def test_call_parallel_coded_matches_dense(tmp_path):
+    """call_parallel with the coded wire (production default) must write the
+    same records as a dense-forced run."""
+    from hello_tpu.pipeline.call import load_scorer
+    from hello_tpu.pipeline.parallel_call import call_parallel
+    from hello_tpu.io.vcf import read_vcf
+
+    ds = sim.make_dataset(str(tmp_path), ref_length=60_000, num_variants=120,
+                          coverage=30, read_length=120, seed=21)
+    scorer = load_scorer("illumina")
+    out_c = str(tmp_path / "coded.vcf")
+    out_d = str(tmp_path / "dense.vcf")
+    call_parallel([ds.bams["illumina"]], ds.fasta, scorer, out_c,
+                  num_workers=2, chunk_size=20_000)
+    call_parallel([ds.bams["illumina"]], ds.fasta, scorer, out_d,
+                  num_workers=2, chunk_size=20_000, wire="dense")
+    rc, rd = read_vcf(out_c), read_vcf(out_d)
+    assert len(rc) == len(rd) > 50
+    for a, b in zip(rc, rd):
+        assert (a.chromosome, a.position, a.ref, a.alt, a.gt) == \
+               (b.chromosome, b.position, b.ref, b.alt, b.gt)
+        np.testing.assert_allclose(a.qual, b.qual, rtol=1e-3, atol=1e-3)
