@@ -275,6 +275,12 @@ def main():
                         help="skip the training-step throughput leg")
     args = parser.parse_args()
 
+    # one-time bucket-shape compiles are excluded from timing by the warmup
+    # passes anyway; the persistent cache just stops paying them per run
+    # (~10-30 s each through a remote-TPU tunnel)
+    from hello_tpu.parallel.mesh import enable_compilation_cache
+    enable_compilation_cache()
+
     rng = np.random.RandomState(0)
     sites = build_workload(rng, args.sites, args.alleles, args.reads0, args.reads1)
 
