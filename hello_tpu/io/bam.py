@@ -625,66 +625,152 @@ def _reg2bin(beg: int, end: int) -> int:
     return 0
 
 
+def _encode_read_record(read: AlignedRead, rid: int) -> bytes:
+    """One BAM alignment record (block_size prefix included)."""
+    name_b = read.name.encode() + b"\x00"
+    cigartuples = read.cigartuples
+    aux_b = b""
+    if len(cigartuples) > MAX_CIGAR_OPS:
+        # SAM spec long-cigar encoding: kS/mN placeholder in the cigar
+        # field, real run in the CG:B,I aux tag
+        ref_span = read.reference_end - read.reference_start
+        aux_b += b"CGBI" + struct.pack("<I", len(cigartuples)) + b"".join(
+            struct.pack("<I", (length << 4) | op)
+            for op, length in cigartuples)
+        cigartuples = [(BAM_CSOFT_CLIP_OP, len(read.sequence)),
+                       (BAM_CREF_SKIP_OP, ref_span)]
+    cigar_b = b"".join(
+        struct.pack("<I", (length << 4) | op) for op, length in cigartuples)
+    seq_b = _encode_seq(read.sequence)
+    qual_b = bytes(min(q, 93) for q in read.qualities)
+    if read.hp:
+        aux_b += b"HP" + b"i" + struct.pack("<i", read.hp)
+    bin_ = _reg2bin(read.reference_start, read.reference_end)
+    rec = struct.pack(
+        "<iiBBHHHiiii", rid, read.reference_start, len(name_b), read.mapq,
+        bin_, len(cigartuples), read.flag, len(read.sequence),
+        -1, -1, 0)
+    rec += name_b + cigar_b + seq_b + qual_b + aux_b
+    return struct.pack("<i", len(rec)) + rec
+
+
+class BamStreamWriter:
+    """Incremental coordinate-sorted BAM writer with bounded memory.
+
+    ``write_bam`` materialises the whole uncompressed payload, which a
+    genome-scale simulation (tens of millions of reads) cannot afford; this
+    writer compresses fixed-size BGZF blocks as the payload fills and builds
+    the ``.bai`` index on the fly, so memory stays O(block) regardless of
+    file size.  Reads must arrive in coordinate order (reference order, then
+    position) — the order ``write_bam`` would have detected as sorted.
+    Produces byte-identical output to ``write_bam`` on the same reads."""
+
+    def __init__(self, path: str, references: Sequence[Tuple[str, int]],
+                 write_index: bool = True, block_size: int = 60000):
+        self.path = path
+        self.block_size = block_size
+        self.write_index = write_index
+        self.references = list(references)
+        self._ref_index = {name: i for i, (name, _l) in enumerate(references)}
+        self._fh = open(path, "wb")
+        self._cpos = 0                 # compressed bytes written so far
+        self._coffsets: List[int] = []  # compressed offset of each full block
+        self._buf = bytearray()        # pending uncompressed payload tail
+        self._base = 0                 # uncompressed offset of _buf[0]
+        self._spans: List[Tuple[int, int, int, int, int]] = []
+        self._idx = BaiIndex(len(self.references)) if write_index else None
+        self._last_key = (-1, -1)
+        self.is_sorted = True
+
+        header_text = "".join(f"@SQ\tSN:{n}\tLN:{l}\n"
+                              for n, l in self.references)
+        hdr = bytearray()
+        hdr += b"BAM\x01"
+        hdr += struct.pack("<i", len(header_text))
+        hdr += header_text.encode()
+        hdr += struct.pack("<i", len(self.references))
+        for name, length in self.references:
+            hdr += struct.pack("<i", len(name) + 1)
+            hdr += name.encode() + b"\x00"
+            hdr += struct.pack("<i", length)
+        self._append(bytes(hdr))
+
+    def _append(self, data: bytes):
+        self._buf += data
+        flushed = False
+        while len(self._buf) >= self.block_size:
+            block = _bgzf_compress_block(bytes(self._buf[:self.block_size]))
+            self._coffsets.append(self._cpos)
+            self._fh.write(block)
+            self._cpos += len(block)
+            del self._buf[:self.block_size]
+            self._base += self.block_size
+            flushed = True
+        if flushed:
+            self._resolve_spans()
+
+    def _voffset(self, payload_offset: int) -> int:
+        return (self._coffsets[payload_offset // self.block_size] << 16) \
+            | (payload_offset % self.block_size)
+
+    def _resolve_spans(self, final: bool = False):
+        """Feed spans whose blocks are flushed (so compressed offsets are
+        known) into the index; only the current partial block's records stay
+        pending."""
+        if self._idx is None:
+            self._spans.clear()
+            return
+        done = len(self._coffsets) * self.block_size
+        keep = []
+        for begin, end_off, rid, pos, end in self._spans:
+            if final or (end_off - 1 < done and begin < done):
+                self._idx.add_record(rid, pos, end, self._voffset(begin),
+                                     self._voffset(end_off - 1) + 1)
+            else:
+                keep.append((begin, end_off, rid, pos, end))
+        self._spans = keep
+
+    def add_reads(self, reads: Sequence[AlignedRead]):
+        for read in reads:
+            rid = self._ref_index[read.chromosome]
+            key = (rid, read.reference_start)
+            if key < self._last_key:
+                self.is_sorted = False
+            self._last_key = key
+            rec = _encode_read_record(read, rid)
+            begin = self._base + len(self._buf)
+            self._spans.append((begin, begin + len(rec), rid,
+                                read.reference_start, read.reference_end))
+            self._append(rec)
+
+    def close(self):
+        if self._fh is None:
+            return
+        if self._buf:
+            block = _bgzf_compress_block(bytes(self._buf))
+            self._coffsets.append(self._cpos)
+            self._fh.write(block)
+            self._cpos += len(block)
+            self._base += len(self._buf)
+            self._buf.clear()
+        self._resolve_spans(final=True)
+        self._fh.write(BGZF_EOF)
+        self._fh.close()
+        self._fh = None
+        if self._idx is not None and self.is_sorted:
+            self._idx.save(self.path + ".bai")
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+
 def write_bam(path: str, references: Sequence[Tuple[str, int]],
               reads: Sequence[AlignedRead], write_index: bool = True):
     """Write reads to a BAM file; when they are coordinate-sorted, a ``.bai``
     index is written alongside (``write_index=False`` disables)."""
-    ref_index = {name: i for i, (name, _l) in enumerate(references)}
-    header_text = "".join(f"@SQ\tSN:{n}\tLN:{l}\n" for n, l in references)
-    out = bytearray()
-    out += b"BAM\x01"
-    out += struct.pack("<i", len(header_text))
-    out += header_text.encode()
-    out += struct.pack("<i", len(references))
-    for name, length in references:
-        out += struct.pack("<i", len(name) + 1)
-        out += name.encode() + b"\x00"
-        out += struct.pack("<i", length)
-    spans = []                    # (payload_begin, payload_end, rid, pos, end)
-    last_key = (-1, -1)
-    is_sorted = True
-    for read in reads:
-        rid = ref_index[read.chromosome]
-        name_b = read.name.encode() + b"\x00"
-        cigartuples = read.cigartuples
-        aux_b = b""
-        if len(cigartuples) > MAX_CIGAR_OPS:
-            # SAM spec long-cigar encoding: kS/mN placeholder in the cigar
-            # field, real run in the CG:B,I aux tag
-            ref_span = read.reference_end - read.reference_start
-            aux_b += b"CGBI" + struct.pack("<I", len(cigartuples)) + b"".join(
-                struct.pack("<I", (length << 4) | op)
-                for op, length in cigartuples)
-            cigartuples = [(BAM_CSOFT_CLIP_OP, len(read.sequence)),
-                           (BAM_CREF_SKIP_OP, ref_span)]
-        cigar_b = b"".join(
-            struct.pack("<I", (length << 4) | op) for op, length in cigartuples)
-        seq_b = _encode_seq(read.sequence)
-        qual_b = bytes(min(q, 93) for q in read.qualities)
-        if read.hp:
-            aux_b += b"HP" + b"i" + struct.pack("<i", read.hp)
-        bin_ = _reg2bin(read.reference_start, read.reference_end)
-        rec = struct.pack(
-            "<iiBBHHHiiii", rid, read.reference_start, len(name_b), read.mapq,
-            bin_, len(cigartuples), read.flag, len(read.sequence),
-            -1, -1, 0)
-        rec += name_b + cigar_b + seq_b + qual_b + aux_b
-        begin = len(out)
-        out += struct.pack("<i", len(rec)) + rec
-        spans.append((begin, len(out), rid, read.reference_start,
-                      read.reference_end))
-        key = (rid, read.reference_start)
-        if key < last_key:
-            is_sorted = False
-        last_key = key
-    block_size = 60000
-    coffsets = bgzf_write(path, bytes(out), block_size=block_size)
-    if write_index and is_sorted:
-        def voffset(payload_offset):
-            return (coffsets[payload_offset // block_size] << 16) \
-                | (payload_offset % block_size)
-
-        idx = BaiIndex(len(references))
-        for begin, end_off, rid, pos, end in spans:
-            idx.add_record(rid, pos, end, voffset(begin), voffset(end_off - 1) + 1)
-        idx.save(path + ".bai")
+    w = BamStreamWriter(path, references, write_index=write_index)
+    w.add_reads(reads)
+    w.close()

@@ -363,3 +363,31 @@ def test_bed_half_open_boundary():
     assert not bed.intersects("c", 5, 10)    # adjacent, not overlapping
     assert bed.intersects("c", 5, 11)
     assert not bed.intersects("c", 23, 30)
+
+
+def test_stream_writer_matches_write_bam(tmp_path):
+    """BamStreamWriter fed in arbitrary chunks must produce byte-identical
+    .bam and .bai to the one-shot write_bam (it is the bounded-memory path
+    genome-scale simulation uses)."""
+    import random
+
+    from hello_tpu.io.bam import BamStreamWriter
+
+    rng = random.Random(3)
+    ref = sim.random_reference(9000, rng)
+    variants = sim.plant_variants(ref, 12, rng)
+    reads = sim.simulate_reads(ref, variants, "chrZ", 25.0, 110, rng)
+    refs = [("chrZ", len(ref))]
+
+    one = str(tmp_path / "one.bam")
+    write_bam(one, refs, reads)
+    two = str(tmp_path / "two.bam")
+    with BamStreamWriter(two, refs) as w:
+        # uneven chunks, including a tiny one straddling block boundaries
+        w.add_reads(reads[:7])
+        w.add_reads(reads[7:8])
+        w.add_reads(reads[8:])
+    with open(one, "rb") as a, open(two, "rb") as b:
+        assert a.read() == b.read()
+    with open(one + ".bai", "rb") as a, open(two + ".bai", "rb") as b:
+        assert a.read() == b.read()
