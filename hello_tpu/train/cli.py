@@ -13,6 +13,7 @@ import argparse
 import glob
 import json
 import logging
+import os
 import time
 
 import jax
@@ -241,8 +242,23 @@ def main(argv=None):
     enable_compilation_cache()
     if args.distributed:
         # multi-host: replaces the reference's NCCL env:// rendezvous
-        # (MixtureOfExpertsDNNFastDistributed.py:928-930)
-        jax.distributed.initialize()
+        # (MixtureOfExpertsDNNFastDistributed.py:928-930).  On recognised
+        # clusters (TPU pods, Slurm, MPI) jax autodetects everything; for
+        # manual launches the env:// equivalent is JAX_COORDINATOR_ADDRESS +
+        # JAX_NUM_PROCESSES + JAX_PROCESS_ID (the reference's
+        # MASTER_ADDR/MASTER_PORT/RANK contract).  Plain multi-process CPU
+        # needs gloo cross-process collectives.
+        kw = {}
+        addr = os.environ.get("JAX_COORDINATOR_ADDRESS")
+        if addr:
+            kw = dict(coordinator_address=addr,
+                      num_processes=int(os.environ["JAX_NUM_PROCESSES"]),
+                      process_id=int(os.environ["JAX_PROCESS_ID"]))
+        # config read only — jax.default_backend() would initialise the XLA
+        # backend, which must not happen before distributed.initialize()
+        if "cpu" in (jax.config.jax_platforms or "").split(","):
+            jax.config.update("jax_cpu_collectives_implementation", "gloo")
+        jax.distributed.initialize(**kw)
         logger.info("jax.distributed: process %d/%d, %d local / %d global devices",
                     jax.process_index(), jax.process_count(),
                     jax.local_device_count(), jax.device_count())
