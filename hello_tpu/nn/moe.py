@@ -252,9 +252,10 @@ class MoEAttention:
                 # Fused Pallas kernel: conv stack + masked reduction without
                 # materialising per-read feature maps in HBM.  Engaged only
                 # for full-128-lane read buckets (static shape at trace
-                # time), where it measured 1.40x over the XLA path on a v5e;
-                # the allele-slot-packed variant for narrower buckets
-                # measured 0.83x and stays off (see ops/read_conv.py STATUS).
+                # time) in f32-activation modes, where it measured 1.40x
+                # over the XLA path on a v5e; under bf16 activations XLA
+                # wins and enable_pallas_read_convs leaves the kernel off
+                # (measured roofline: ops/read_conv.py STATUS).
                 from ..ops.read_conv import reduced_read_frames_pallas
                 return reduced_read_frames_pallas(
                     self, params, name, reads, mask.astype(jnp.float32))

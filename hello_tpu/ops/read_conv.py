@@ -21,37 +21,40 @@ matmuls in bf16 passes, giving XLA-default-precision-class accuracy — full
 hybrid-model A/B on a v5e measured max sigmoid-probability difference 0.009
 vs the XLA bf16 path).
 
-MFU accounting (why utilisation is structurally low): the read_convolver
-costs ~10 MFLOPs/read (sum over its 17 convs), i.e. ~0.8 GFLOP per
-80-read window; at the measured ~8.4k windows/s that is ~7 TFLOP/s against
-a v5e's ~394 bf16 TFLOP/s peak — ~2% MFU.  The ceiling is architectural,
-not scheduling: every contraction dimension is K*C_in = 18..192 against
-the MXU's 128-lane systolic depth, so even perfect tiling caps out around
-K/128 per pass (~15-50% depending on the layer), and the 6..64-channel
-model (inherited from the reference, whose checkpoints must convert) cannot
-use wider contractions without changing the network.  The fused kernel
-below recovers lane (not depth) utilisation by packing positions x reads
-into the column dimension.
+ROOFLINE (measured on a v5e via ops/bench_read_conv.py, exclusive chip,
+scalar-sync timing, A=512 x R=128 == A=1024 x R=64 == 65536 read rows):
 
-STATUS: wired into the inference path for read buckets that are multiples of
-128 reads (Scorer auto-enables on non-CPU backends for standard
-read-convolver topologies; HELLO_TPU_PALLAS=0/1 overrides, and a runtime
-fallback re-jits the XLA path if Mosaic rejects a shape).  Same-process v5e
-measurements: at A=512 x R=128 the kernel runs the read-conv stage in 151 ms
-vs XLA's 212 ms (1.40x).  Mosaic only accepts the full 128-lane width for
-the merged (L, R) reshape dims, so the kernel always runs 128 lanes:
-R >= 128 splits reads into revisited-output chunks; for R < 128 an
+  | path               | time    | TFLOP/s (peak 394) | modeled HBM GB/s (peak 819) |
+  |--------------------|---------|--------------------|-----------------------------|
+  | XLA bf16 act       | 48.4 ms | 13.8  (3.5%)       | 250  (30%)                  |
+  | fused kernel f32   | 69.6 ms |  9.6  (2.4%)       | ~0 (VMEM-resident)          |
+  | fused kernel bf16  | 81.6 ms |  8.2  (2.1%)       | ~0                          |
+  (HBM model: every inter-conv activation written+read once, u8 input read
+  once — 2 x 45,952 elements x act bytes + 900 per read; FLOPs: 10.2 MFLOP
+  per read summed over the 17 convs.)
+
+CONCLUSION — the earlier "HBM-bandwidth-bound" claim is REFUTED for the
+production bf16-activation mode: XLA achieves only ~30% of peak bandwidth
+and ~3.5% MFU, so neither roof binds.  The real bound is MXU tile
+granularity: output channels are 16..64 against the MXU's 128 rows and
+contractions are K=48..192 against its 128-lane depth, capping even a
+perfect schedule near (M/128)x(K/128ceil) ~ 12-38% MFU for this network
+(fixed by the reference checkpoints we must convert).  XLA's per-conv
+kernels reach ~10% of that structural ceiling; the fused kernel recovers
+lane occupancy and eliminates HBM traffic but pays more than that back in
+Mosaic relayout/revisit overhead (~8% of its own ceiling).  In f32-activation
+mode the picture flips: XLA's traffic doubles (f32-era measurement: XLA
+212 ms vs kernel 151 ms at A=512 x R=128 — 1.40x for the kernel).
+
+STATUS: the kernel auto-enables ONLY for f32-activation precisions
+("default"/"highest"), for read buckets that are multiples of 128; the
+production bf16 default takes the XLA path everywhere
+(enable_pallas_read_convs; HELLO_TPU_PALLAS=0/1 forces).  For R < 128 an
 allele-slot-packing variant (G = 128//R slots side by side, mask-matrix
-reduction) exists and is numerically verified, but loses to XLA at the
-common 64/32-read buckets, so narrow buckets take the XLA path
-(hello_tpu/nn/moe.py read_reduce gates on the static bucket width).
-Same-process v5e A/B at A=1024 (bench workload, bf16 matmuls): R=64 XLA
-59.7 ms vs fused 82.1 ms vs fused-with-pre-packed-input 81.3 ms; R=32 XLA
-43.9 / 56.1 / 55.5 ms — pre-packing the lane layout outside the timed
-region does NOT close the gap, so the loss is intrinsic to the packed
-kernel's small revisited matmuls (not the input relayout), and host-side
-packing (``pack_reads_for_kernel``'s numpy path) is not worth plumbing into
-the batch assembler at current bucket widths.
+reduction) exists and is numerically verified but loses to XLA in all
+modes; pre-packing the lane layout outside the timed region does not close
+the gap, so the loss is intrinsic to the packed schedule's small revisited
+matmuls, not the input relayout.
 """
 
 from __future__ import annotations
@@ -453,7 +456,12 @@ def supports_network(model, params, name: str) -> bool:
 
 def enable_pallas_read_convs(model, params, use_pallas=None) -> tuple:
     """Tag `model` so inference uses the fused kernel for each supported
-    read-convolver.  ``use_pallas=None`` auto-enables on non-CPU backends;
+    read-convolver.  ``use_pallas=None`` auto-enables on non-CPU backends
+    ONLY in f32-activation modes ("default"/"highest"): with bf16
+    activations (the production default) XLA's path halves its HBM traffic
+    and beats the kernel at every bucket (v5e, A=512 x R=128: XLA 48.4 ms vs
+    kernel 69.6 ms — see the roofline in the module docstring), while in f32
+    modes the kernel's VMEM-resident schedule wins 1.40x.
     HELLO_TPU_PALLAS=0/1 forces off/on.  Returns the enabled network names."""
     import os
 
@@ -461,7 +469,8 @@ def enable_pallas_read_convs(model, params, use_pallas=None) -> tuple:
     if env in ("0", "1"):
         use_pallas = env == "1"
     if use_pallas is None:
-        use_pallas = jax.devices()[0].platform not in ("cpu",)
+        use_pallas = (jax.devices()[0].platform not in ("cpu",)
+                      and L.ACT_DTYPE is None)
     names = ()
     if use_pallas:
         names = tuple(name for name in ("read_conv0", "read_conv1")

@@ -36,8 +36,10 @@ class Scorer:
     """Jitted batched model forward with shape-bucketed compilation caching.
 
     ``use_pallas=None`` (auto) enables the fused Pallas read-convolver kernel
-    on non-CPU backends for standard read-convolver topologies (measured 1.4x
-    over the XLA path on a v5e chip); HELLO_TPU_PALLAS=0/1 forces it off/on.
+    on non-CPU backends for standard read-convolver topologies in
+    f32-activation modes, where it measured 1.4x over the XLA path on a v5e;
+    under the bf16 default XLA wins and the kernel stays off (roofline in
+    ops/read_conv.py).  HELLO_TPU_PALLAS=0/1 forces it off/on.
     """
 
     # this scorer can consume pre-coded WireBatch inputs (pack_sites_wire);
@@ -70,6 +72,13 @@ class Scorer:
             self.devices = list(jax.local_devices())
         self._per_device = {}     # device -> (params, state) resident copies
         self._next_device = 0
+        # round-robin busy-ness accounting (multi-chip scaling evidence):
+        # dispatches per device, outstanding (dispatched, not yet finalized)
+        # per device, and the peak number of devices holding work at once
+        self.dispatch_counts: Dict[str, int] = {}
+        self._outstanding: Dict = {}
+        self._out_device: Dict[int, object] = {}
+        self.peak_concurrent_devices = 0
 
         from ..ops.read_conv import enable_pallas_read_convs
         enabled = enable_pallas_read_convs(model, params, use_pallas)
@@ -165,7 +174,8 @@ class Scorer:
         d = self._jax.device_put(d, dev)   # jit dispatches on input placement
         fn = self._jitted_decode if decode else self._jitted
         try:
-            return self._start_readback(fn(params, state, d))
+            return self._account_dispatch(
+                dev, self._start_readback(fn(params, state, d)))
         except Exception as exc:
             # Mosaic compile failures are shape/backend dependent; never let
             # the fused-kernel fast path take down a calling run.  Only
@@ -184,7 +194,20 @@ class Scorer:
             self._jitted = self._make_jitted()
             self._jitted_decode = self._make_jitted(decode=True)
             fn = self._jitted_decode if decode else self._jitted
-            return self._start_readback(fn(params, state, d))
+            return self._account_dispatch(
+                dev, self._start_readback(fn(params, state, d)))
+
+    def _account_dispatch(self, dev, out):
+        """Track the round-robin's per-device load and concurrency so the
+        multichip dryrun / bench can assert all devices hold work at once
+        (scaling-efficiency evidence, not just round-robin equality)."""
+        key = str(dev)
+        self.dispatch_counts[key] = self.dispatch_counts.get(key, 0) + 1
+        self._outstanding[key] = self._outstanding.get(key, 0) + 1
+        self._out_device[id(out)] = key
+        busy = sum(1 for v in self._outstanding.values() if v > 0)
+        self.peak_concurrent_devices = max(self.peak_concurrent_devices, busy)
+        return out
 
     def _start_readback(self, out):
         """Kick off the device->host transfer of every output array without
@@ -204,6 +227,9 @@ class Scorer:
         One ``device_get`` over all outputs: sequential ``np.asarray``
         readbacks would pay the device round-trip latency once per array
         (noticeable through remote-TPU tunnels)."""
+        key = self._out_device.pop(id(out), None)
+        if key is not None:
+            self._outstanding[key] -= 1
         if "best_i" in out:                # device-decoded winners
             keys = ("best_i", "best_j", "best_p", "valid")
             vals = self._jax.device_get(tuple(out[k] for k in keys))
