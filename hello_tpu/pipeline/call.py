@@ -121,8 +121,10 @@ class Scorer:
         every local chip holds work AND that readback latency (large through
         remote-TPU tunnels) hides behind several executing batches.  The
         window holds batch inputs alive in HBM — with the compact wire format
-        a batch is a few MB, so a depth of 6+ is cheap."""
-        return max(6, 2 * len(self.devices) + 2)
+        a batch is a few MB, so a deep window is cheap, and remote tunnels
+        intermittently stall readbacks for ~0.1-1 s (measured), which a
+        shallow window would turn into dispatch gaps."""
+        return max(12, 2 * len(self.devices) + 2)
 
     def _make_jitted(self, decode: bool = False):
         model = self.model
@@ -221,22 +223,32 @@ class Scorer:
                 copy()
         return out
 
-    def finalize(self, out):
-        """Block on a ``score_async`` result and fetch it to the host.
-
-        One ``device_get`` over all outputs: sequential ``np.asarray``
-        readbacks would pay the device round-trip latency once per array
-        (noticeable through remote-TPU tunnels)."""
-        key = self._out_device.pop(id(out), None)
-        if key is not None:
-            self._outstanding[key] -= 1
+    def _host_form(self, out):
         if "best_i" in out:                # device-decoded winners
-            keys = ("best_i", "best_j", "best_p", "valid")
-            vals = self._jax.device_get(tuple(out[k] for k in keys))
-            return dict(zip(keys, vals))
+            return {k: np.asarray(out[k])
+                    for k in ("best_i", "best_j", "best_p", "valid")}
         if out["meta"] is None:
             return np.asarray(out["experts"]), None
-        return tuple(self._jax.device_get((out["experts"], out["meta"])))
+        return np.asarray(out["experts"]), np.asarray(out["meta"])
+
+    def finalize(self, out):
+        """Block on a ``score_async`` result and fetch it to the host."""
+        return self.finalize_many([out])[0]
+
+    def finalize_many(self, outs):
+        """Finalize several ``score_async`` results with ONE bulk device
+        fetch: through remote-TPU tunnels every readback pays a full round
+        trip (~100 ms measured), so fetching k finished batches together
+        pays it once, not k times (the callers drain the finished prefix of
+        their in-flight queue in one call)."""
+        if not outs:
+            return []
+        for out in outs:
+            key = self._out_device.pop(id(out), None)
+            if key is not None:
+                self._outstanding[key] -= 1
+        fetched = self._jax.device_get(list(outs))
+        return [self._host_form(out) for out in fetched]
 
     def __call__(self, batch: PaddedBatch):
         return self.finalize(self.score_async(batch))
@@ -375,10 +387,29 @@ def call_region(bam_paths: Sequence[str], ref: FastaFile, chromosome: str,
         _dispatch = _score_async
     _finalize = getattr(scorer, "finalize", lambda out: out)
 
-    def _consume():
-        group, batch, out = pending.popleft()
+    _finalize_many = getattr(scorer, "finalize_many", None)
+
+    def _consume(drain_all=False):
+        """Consume the oldest in-flight batch plus every other FINISHED one
+        behind it (device execution is in-order) in one bulk fetch — each
+        separate readback costs a full round trip through remote tunnels."""
+        take = [pending.popleft()]
+        def _ready(out):
+            arr = out.get("experts", out.get("best_p")) \
+                if isinstance(out, dict) else out
+            is_ready = getattr(arr, "is_ready", None)
+            return is_ready() if callable(is_ready) else True
+        while pending and (drain_all or _ready(pending[0][2])):
+            take.append(pending.popleft())
         with telemetry.stage("device_wait"):
-            fin = _finalize(out)
+            if _finalize_many is not None:
+                fins = _finalize_many([e[2] for e in take])
+            else:
+                fins = [_finalize(e[2]) for e in take]
+        for (group, batch, _out), fin in zip(take, fins):
+            _decode_entry(group, batch, fin)
+
+    def _decode_entry(group, batch, fin):
         with telemetry.stage("genotype_decode"):
             if isinstance(fin, dict) and "best_i" in fin:
                 from ..nn.genotype import calls_from_device_decode
@@ -451,7 +482,7 @@ def call_region(bam_paths: Sequence[str], ref: FastaFile, chromosome: str,
         if len(pending) >= MAX_IN_FLIGHT:
             _consume()
     while pending:
-        _consume()
+        _consume(drain_all=True)
 
     records.sort(key=lambda r: r.key())
     if expert_records is not None:
@@ -473,7 +504,7 @@ def call_genome(bam_paths: Sequence[str], ref_path: str, scorer: Scorer,
 
     With ``provide_experts``, additionally writes per-expert and best-expert
     VCF streams next to ``out_vcf`` (reference prepareVcf.py:112-182)."""
-    ref = FastaFile(ref_path)
+    ref = FastaFile(ref_path)      # also persists the .fai when missing
     if regions is None:
         regions = [(c, 0, ref.length(c)) for c in ref.chromosomes()]
     records: List[VcfRecord] = []
@@ -550,12 +581,15 @@ def main(argv=None):
     parser.add_argument("--reconcilement_size", type=int, default=10)
     parser.add_argument("--provide_features", action="store_true",
                         help="also write per-expert and best-expert VCFs")
-    # "bf16" (bf16 MXU matmuls AND bf16 conv activations — the read-conv
-    # stack is HBM-bound, so this is ~1.3x over f32 activations) is the
-    # inference default: a 700-variant simulated A/B on a v5e chip produced
-    # IDENTICAL sites and genotypes vs fp32-highest, with qualities within
-    # 0.025 Q.  "default" (bf16 matmuls, f32 activations) reproduced fp32
-    # qualities exactly on an 80-variant A/B; "highest" is full fp32 parity.
+    # "bf16" (bf16 MXU matmuls AND bf16 conv activations, ~1.3x over f32
+    # activations) is the inference default.  Evidence (PRECISION_SWEEP.md,
+    # 5200 variants x 4 platform configs on a v5e): zero site flips; ~0.1%
+    # of genotypes flip at near-tie sites (every quality delta < 0.05 Q,
+    # i.e. the competing genotypes are within ~1% probability even in
+    # fp32).  "default" (bf16 matmuls, f32 activations) flips the same
+    # class of sites — the flips originate in the bf16 matmuls it shares —
+    # so it buys no flip-freedom; "highest" is full fp32 parity for
+    # exact-match comparisons.
     parser.add_argument("--precision", default=os.environ.get(
         "HELLO_TPU_PRECISION", "bf16"),
                         help="matmul precision: bf16 (fastest; bf16 conv "

@@ -34,6 +34,20 @@ logger = logging.getLogger(__name__)
 _SENTINEL = "__done__"
 
 
+# per-process FastaFile cache: a worker serves thousands of chunk jobs for
+# the same reference; reopening per job would re-read the .fai (or, absent
+# one, re-scan the whole FASTA) every time
+_FASTA_CACHE: dict = {}
+
+
+def _cached_fasta(path: str) -> FastaFile:
+    key = (path, os.path.getmtime(path))
+    if key not in _FASTA_CACHE:
+        _FASTA_CACHE.clear()        # one reference per run; drop stale entries
+        _FASTA_CACHE[key] = FastaFile(path)
+    return _FASTA_CACHE[key]
+
+
 def host_sites_for_chunk(bam_paths, ref_path, chromosome, start, stop,
                          options) -> List:
     """Host-side stages for one genome chunk; returns SiteWork list."""
@@ -46,7 +60,7 @@ def host_sites_for_chunk(bam_paths, ref_path, chromosome, start, stop,
         open(marker, "w").close()
         raise RuntimeError("injected transient fault")
 
-    ref = FastaFile(ref_path)
+    ref = _cached_fasta(ref_path)
     rng = random.Random(options.get("seed", 13))
 
     # fast path: the entire chunk pipeline in one native call (identical
@@ -353,33 +367,51 @@ def call_parallel(bam_paths: Sequence[str], ref_path: str, scorer: Scorer,
         is_ready = getattr(arr, "is_ready", None)
         return is_ready() if callable(is_ready) else True
 
+    _finalize_many = getattr(scorer, "finalize_many", None)
+
+    def _drain(min_count=0):
+        """Drain the finished prefix of the in-flight queue — plus at least
+        ``min_count`` entries, blocking — with ONE bulk device fetch.
+        Device execution is in-order, so any entry behind a finished one is
+        finished too; fetching them together pays the readback round trip
+        (~100 ms through remote-TPU tunnels) once per drain, not per batch."""
+        take = []
+        while in_flight and (len(take) < min_count
+                             or _out_ready(in_flight[0][2])):
+            take.append(in_flight.popleft())
+        if not take:
+            return
+        t0 = time.perf_counter()
+        if _finalize_many is not None:
+            fins = _finalize_many([e[2] for e in take])
+        else:
+            fins = [_finalize(e[2]) for e in take]
+        t1 = time.perf_counter()
+        t_acc["fetch_s"] += t1 - t0
+        for (group, batch, _out), fin in zip(take, fins):
+            if isinstance(fin, dict) and "best_i" in fin:
+                from ..nn.genotype import calls_from_device_decode
+                calls = calls_from_device_decode(fin, batch.allele_site_index,
+                                                 group)
+            else:
+                experts, meta = fin
+                calls = decode_batch(experts, meta, batch.allele_site_index,
+                                     group, full=False)
+            for call in calls:
+                rec = vcf_record_from_call(call, ref_lookup)
+                if rec is not None:
+                    records.append(rec)
+        t_acc["decode_s"] += time.perf_counter() - t1
+        t_acc["drain_s"] += time.perf_counter() - t0
+
     def _drain_ready():
         """Opportunistic drain while blocked on worker results: finished
         device batches get decoded during the wait instead of serialising
         behind it at the end of the run."""
-        while in_flight and _out_ready(in_flight[0][2]):
-            _drain_one()
+        _drain(0)
 
     def _drain_one():
-        t0 = time.perf_counter()
-        group, batch, out = in_flight.popleft()
-        fin = _finalize(out)
-        t1 = time.perf_counter()
-        t_acc["fetch_s"] += t1 - t0
-        if isinstance(fin, dict) and "best_i" in fin:
-            from ..nn.genotype import calls_from_device_decode
-            calls = calls_from_device_decode(fin, batch.allele_site_index,
-                                             group)
-        else:
-            experts, meta = fin
-            calls = decode_batch(experts, meta, batch.allele_site_index,
-                                 group, full=False)
-        for call in calls:
-            rec = vcf_record_from_call(call, ref_lookup)
-            if rec is not None:
-                records.append(rec)
-        t_acc["decode_s"] += time.perf_counter() - t1
-        t_acc["drain_s"] += time.perf_counter() - t0
+        _drain(min_count=1)
 
     def score_group(group):
         t0 = time.perf_counter()
@@ -484,8 +516,7 @@ def call_parallel(bam_paths: Sequence[str], ref_path: str, scorer: Scorer,
         for group in group_sites_for_batching(pending[key],
                                               max_alleles_per_batch):
             score_group(group)
-    while in_flight:
-        _drain_one()
+    _drain(min_count=len(in_flight))       # bulk-fetch the tail in one call
     if stats is not None:
         stats.update(t_acc)
 
