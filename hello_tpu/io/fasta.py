@@ -21,7 +21,23 @@ class FastaFile:
             self._load_fai(fai)
         else:
             self._build_index()
+            # persist the index (samtools faidx behaviour): rebuilding means
+            # scanning the whole file, which a multi-process genome run would
+            # otherwise pay per worker per chunk (~2 s per 100 MB)
+            try:
+                self._save_fai(fai)
+            except OSError:
+                pass              # read-only location: in-memory index only
         self._fh = open(path, "rb")
+
+    def _save_fai(self, fai):
+        tmp = f"{fai}.tmp{os.getpid()}"    # concurrent workers: atomic replace
+        with open(tmp, "w") as fh:
+            for name in self._order:
+                length, offset, linebases, linewidth = self.index[name]
+                fh.write(f"{name}\t{length}\t{offset}\t{linebases}\t"
+                         f"{linewidth}\n")
+        os.replace(tmp, fai)
 
     def _load_fai(self, fai):
         with open(fai) as fh:
