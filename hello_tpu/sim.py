@@ -147,11 +147,22 @@ def _read_from_columns(columns, start_col: int, length: int, name: str,
             cigars.append((op, 1))
         if p is not None:
             prev_ref = p
+    # qual as a (lo, hi) range draws realistic per-base qualities — real BAM
+    # quality strings are high-entropy (2/3 of a real file's compressed
+    # bytes), so capacity soaks need varied quals for honest file sizes
+    if isinstance(qual, tuple):
+        import numpy as _np
+        lo, hi = qual
+        seed = rng.getrandbits(32) if rng is not None else 0
+        quals = _np.random.default_rng(seed).integers(
+            lo, hi + 1, size=len(seq)).tolist()
+    else:
+        quals = [qual] * len(seq)
     flag = FLAG_REVERSE if reverse else 0
     return AlignedRead(
         name=name, flag=flag, chromosome=chromosome,
         reference_start=cols[0][0], mapq=mapq, cigartuples=cigars,
-        sequence=seq, qualities=[qual] * len(seq), hp=hp, pacbio=pacbio)
+        sequence=seq, qualities=quals, hp=hp, pacbio=pacbio)
 
 
 def simulate_reads(ref: str, variants: Sequence[Variant], chromosome: str,
