@@ -89,13 +89,19 @@ def bench_tpu(sites, iters, precision, num_rotations=2):
     return len(sites) / statistics.median(times)
 
 
-def bench_train(sites, iters=10):
+def bench_train(sites, iters=10, precision="default"):
     """Sharded training-step throughput on the local device(s): windows/s
-    through forward + EM MoE loss + backward + psum + optimizer update.
+    through forward + EM MoE loss + backward + psum + optimizer update,
+    with a per-stage breakdown (host pack, host->device staging, device
+    step) and a FLOPs-based MFU estimate.
 
     Uses the production train step (train/trainer.py shard_map over a
     1-device mesh here; the same code scales over real meshes) on a
     device-resident batch, synced per step by the host readback of the loss.
+
+    ``precision`` "default" = f32 activations (the training default);
+    "bf16" measures the bf16-activation forward with f32 master weights and
+    optimizer — tried-and-measured headroom, not the shipped policy.
     """
     import statistics
 
@@ -106,12 +112,10 @@ def bench_train(sites, iters=10):
                                              training_dict)
     from hello_tpu.train.trainer import TrainConfig, Trainer
 
-    # training runs f32 activations (the bf16 activation mode is an
-    # inference-only optimisation; the scoring leg may have enabled it).
-    # Restored in main() right after this leg so the pipeline leg still
-    # measures the requested --precision.
+    # restored in main() right after this leg so the pipeline leg still
+    # measures the requested --precision
     from hello_tpu.nn import layers
-    layers.set_precision("default")
+    layers.set_precision(precision)
 
     for s in sites:
         s.labels = [i % 2 for i in range(len(s.alleles))]
@@ -119,8 +123,14 @@ def bench_train(sites, iters=10):
     model = create_model("hybrid")
     trainer = Trainer(model, TrainConfig(entropy_regularizer=0.1),
                       mesh=data_mesh(1))
+    t0 = time.perf_counter()
     batch = pack_sites(sites, hybrid=True)
-    db = jax.device_put(stack_device_batches([training_dict(batch)]))
+    stacked = stack_device_batches([training_dict(batch)])
+    pack_s = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    db = jax.device_put(stacked)
+    jax.block_until_ready(db)
+    h2d_s = time.perf_counter() - t0
     trainer.train_batch(db)              # compile + first step
     times = []
     for _ in range(iters):
@@ -128,7 +138,22 @@ def bench_train(sites, iters=10):
         metrics = trainer.train_batch(db)   # returns host floats => synced
         times.append(time.perf_counter() - t0)
         assert np.isfinite(metrics["loss"])
-    return len(sites) / statistics.median(times)
+    step_s = statistics.median(times)
+    # FLOPs lower bound: the two read-conv stacks dominate (~10.2 MFLOP per
+    # read row, ops/bench_read_conv.FLOPS_PER_READ); backward ~ 2x forward
+    reads = int(batch.read_mask0.sum() + batch.read_mask1.sum())
+    from hello_tpu.ops.bench_read_conv import FLOPS_PER_READ
+    step_tflops = 3 * reads * FLOPS_PER_READ / 1e12
+    breakdown = {
+        "precision": precision,
+        "pack_s": round(pack_s, 3),
+        "host_to_device_s": round(h2d_s, 3),
+        "step_s": round(step_s, 3),
+        "step_tflops_lower_bound": round(step_tflops, 3),
+        "train_mfu_lower_bound_pct": round(
+            100 * step_tflops / step_s / 394.0, 2),
+    }
+    return len(sites) / step_s, breakdown
 
 
 def bench_torch_baseline(sites, iters=5):
@@ -287,16 +312,22 @@ def main():
     tpu_rate = bench_tpu(sites, args.iters, args.precision)
 
     train_rate = None
+    train_bf16_rate = None
     if not args.skip_train:
         try:
             # training measures a 512-site step (the production per-device
-            # train batch scale; f32 activations need the headroom)
-            train_rate = bench_train(sites[:512])
+            # train batch scale; f32 activations are the shipped policy)
+            train_rate, breakdown = bench_train(sites[:512])
+            sys.stderr.write(f"train leg: {breakdown}\n")
+            # tried-and-measured bf16-activation training headroom
+            train_bf16_rate, bf16_breakdown = bench_train(
+                sites[:512], precision="bf16")
+            sys.stderr.write(f"train leg (bf16 act): {bf16_breakdown}\n")
         except Exception as exc:
             sys.stderr.write(f"train leg failed: {exc!r}\n")
         finally:
-            # bench_train switches to f32 activations; the pipeline leg must
-            # measure the requested precision again
+            # bench_train switches precision; the pipeline leg must measure
+            # the requested precision again
             from hello_tpu.nn import layers
             layers.set_precision(args.precision)
 
@@ -333,6 +364,9 @@ def main():
         # full sharded train step (fwd + EM loss + bwd + psum + optimizer)
         "train_windows_per_s": (round(train_rate, 2)
                                 if train_rate is not None else None),
+        # measured bf16-activation training headroom (policy stays f32)
+        "train_bf16_windows_per_s": (round(train_bf16_rate, 2)
+                                     if train_bf16_rate is not None else None),
         "baseline_windows_per_s": (round(baseline_rate, 3)
                                    if baseline_rate else None),
     }))
