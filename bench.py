@@ -259,13 +259,17 @@ def bench_pipeline(workers: int = 0, ref_length: int = 1_440_000,
         return stats.get("sites", 0) / elapsed
 
     # Warmup pass over the FULL region: every padded-batch bucket shape the
-    # workload produces gets compiled here, so the measured pass reports the
+    # workload produces gets compiled here, so the measured passes report the
     # steady state (a production run amortises each bucket's one-time compile
     # over a whole genome; through remote-TPU tunnels a single compile is
     # tens of seconds and would otherwise dominate a small benchmark region).
+    # Median of 3 measured passes: remote-tunnel latency phase swings single
+    # passes by +-20%.
+    import statistics
     try:
         run_once()
-        return run_once(report=True)
+        rates = [run_once(report=(i == 0)) for i in range(3)]
+        return statistics.median(rates)
     finally:
         if pool is not None:
             pool.shutdown()

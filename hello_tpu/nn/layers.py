@@ -135,8 +135,16 @@ class Conv1d(Layer):
         out_l = conv_out_len(L, self.kernel_size, self.padding, self.dilation, self.stride)
         return params, {}, (out_l, self.out_channels)
 
-    def _conv(self, x, w):
+    def _conv(self, x, w, train=False):
         x = _conv_in(x)
+        # Inference accumulates into f32 outputs (the precision-sweep
+        # evidence was gathered with this).  bf16-activation TRAINING keeps
+        # the conv output in bf16 instead: jax's conv transpose refuses the
+        # mixed (f32 cotangent x bf16 weight) case the f32 accumulation
+        # would create in the backward pass.
+        preferred = jnp.float32
+        if train and ACT_DTYPE is not None and x.dtype == ACT_DTYPE:
+            preferred = None
         return jax.lax.conv_general_dilated(
             x, w.astype(x.dtype),
             window_strides=(self.stride,),
@@ -144,14 +152,14 @@ class Conv1d(Layer):
             rhs_dilation=(self.dilation,),
             dimension_numbers=("NHC", "HIO", "NHC"),
             feature_group_count=self.groups,
-            preferred_element_type=jnp.float32,
+            preferred_element_type=preferred,
             precision=PRECISION,
         )
 
     def apply(self, params, state, x, train=False, rng=None):
-        y = self._conv(x, params["w"])
+        y = self._conv(x, params["w"], train=train)
         if self.use_bias:
-            y = y + params["b"]
+            y = y + params["b"].astype(y.dtype)
         return _conv_out(y), state
 
 
@@ -172,9 +180,9 @@ class WeightNormedConv1d(Conv1d):
         v = params["v"]
         norm = jnp.sqrt(jnp.sum(v * v, axis=(0, 1), keepdims=True))
         w = params["g"] * v / norm
-        y = self._conv(x, w)
+        y = self._conv(x, w, train=train)
         if self.use_bias:
-            y = y + params["b"]
+            y = y + params["b"].astype(y.dtype)
         return _conv_out(y), state
 
 
