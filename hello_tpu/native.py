@@ -96,7 +96,7 @@ def load_library():
     # final guard: an .so still missing the newest C API symbol (e.g. make
     # unavailable on this host) must degrade to the pure-Python engine, not
     # crash the ctypes setup below
-    if not hasattr(lib, "htpu_compact_rows_coded"):    # newest C API symbol
+    if not hasattr(lib, "htpu_chunk_sites_coded"):     # newest C API symbol
         return None
 
     i64p = ctypes.POINTER(ctypes.c_int64)
@@ -190,8 +190,15 @@ def load_library():
         ctypes.c_int32, ctypes.c_int32,
         i32p, i32p, i32p,
         ctypes.POINTER(_Params), SEED_FN, REF_FN]
+    lib.htpu_chunk_sites_coded.restype = ctypes.c_void_p
+    lib.htpu_chunk_sites_coded.argtypes = lib.htpu_chunk_sites.argtypes
     lib.htpu_chunk_destroy.argtypes = [ctypes.c_void_p]
     for name, restype in [
+        ("htpu_chunk_coded", ctypes.c_int32),
+        ("htpu_chunk_codes", ctypes.POINTER(ctypes.c_uint8)),
+        ("htpu_chunk_codes_len", ctypes.c_int64),
+        ("htpu_chunk_scalars", ctypes.POINTER(ctypes.c_uint8)),
+        ("htpu_chunk_scalars_len", ctypes.c_int64),
         ("htpu_chunk_num_sites", ctypes.c_int64),
         ("htpu_chunk_positions", i64p),
         ("htpu_chunk_stops", i64p),
@@ -694,7 +701,7 @@ class ChunkSites:
     per-allele feature tensors are views into one contiguous buffer."""
 
     def __init__(self, positions, stops, nalleles, site_labels, alleles,
-                 rows0, rows1, labels, features):
+                 rows0, rows1, labels, features, codes=None, scalars=None):
         self.positions = positions
         self.stops = stops
         self.nalleles = nalleles
@@ -704,6 +711,10 @@ class ChunkSites:
         self.rows1 = rows1
         self.labels = labels
         self.features = features        # flat uint8, all rows concatenated
+        # coded emission: 1-byte cell codes [n_rows, L] + per-row scalars
+        # [n_rows, nscal] instead of dense features (htpu_chunk_sites_coded)
+        self.codes = codes
+        self.scalars = scalars
 
 
 def chunk_sites(bams: Sequence["NativeBam"], chromosome: str,
@@ -717,12 +728,18 @@ def chunk_sites(bams: Sequence["NativeBam"], chromosome: str,
                 q_threshold: int = 10, min_mapq: int = 10,
                 reassembly_size: int = 10,
                 min_distance: int = 30, flanking: int = 75,
-                max_items_per_group: int = 1024) -> ChunkSites:
+                max_items_per_group: int = 1024,
+                coded: bool = False) -> Optional[ChunkSites]:
     """Run the whole per-chunk candidate pipeline natively.
 
     ``ref_fetch(start, stop) -> str`` must implement FastaFile.fetch clamping;
     ``rng`` supplies the selection seeds (one ``randrange(2**62)`` per BAM per
-    selection, identical to the Python driver's draw order)."""
+    selection, identical to the Python driver's draw order).
+
+    ``coded=True`` emits the 1-byte coded wire representation (codes +
+    per-row scalars) straight from the featurizer — no dense tensor is ever
+    materialised.  Returns None in that mode if any row was not codable
+    (never true of featurizer output): the caller re-runs the chunk dense."""
     lib = load_library()
     assert lib is not None, "native library unavailable"
     n_bams = len(bams)
@@ -767,7 +784,8 @@ def chunk_sites(bams: Sequence["NativeBam"], chromosome: str,
     def ptr(arr, typ):
         return arr.ctypes.data_as(ctypes.POINTER(typ))
 
-    h = lib.htpu_chunk_sites(
+    entry = lib.htpu_chunk_sites_coded if coded else lib.htpu_chunk_sites
+    h = entry(
         handles, ptr(pb_flags, ctypes.c_uint8), ptr(rids, ctypes.c_int32),
         n_bams, chunk_start, chunk_stop, chrom_len,
         subchunk_size, min_distance, flanking, max_items_per_group,
@@ -795,13 +813,25 @@ def chunk_sites(bams: Sequence["NativeBam"], chromosome: str,
         a_len = lib.htpu_chunk_alleles_len(h)
         raw = ctypes.string_at(lib.htpu_chunk_alleles(h), a_len) if a_len else b""
         alleles = raw.decode().split("\0")[:-1] if a_len else []
-        f_len = lib.htpu_chunk_features_len(h)
-        features = _as_array(lib.htpu_chunk_features(h), f_len,
-                             np.uint8).copy()
+        features = codes = scalars = None
+        if coded:
+            if lib.htpu_chunk_coded(h) != 1:      # a row was not codable
+                return None
+            c_len = lib.htpu_chunk_codes_len(h)
+            codes = _as_array(lib.htpu_chunk_codes(h), c_len,
+                              np.uint8).copy().reshape(-1, feature_length)
+            nscal = 3 if include_hp else 2
+            s_len = lib.htpu_chunk_scalars_len(h)
+            scalars = _as_array(lib.htpu_chunk_scalars(h), s_len,
+                                np.uint8).copy().reshape(-1, nscal)
+        else:
+            f_len = lib.htpu_chunk_features_len(h)
+            features = _as_array(lib.htpu_chunk_features(h), f_len,
+                                 np.uint8).copy()
     finally:
         lib.htpu_chunk_destroy(h)
     return ChunkSites(positions, stops, nalleles, site_labels, alleles,
-                      rows0, rows1, labels, features)
+                      rows0, rows1, labels, features, codes, scalars)
 
 
 def _split_strings(raw: bytes, n: int) -> List[str]:

@@ -240,26 +240,36 @@ def native_chunk_site_work(bam_paths: Sequence[str], ref: FastaFile,
     channels = 7 if include_hp else 6
     row_bytes = feature_length * channels
 
-    out = native.chunk_sites(
-        bams, chromosome, start, stop, ref.length(chromosome),
-        lambda a, b: ref.fetch(chromosome, a, b), rng,
-        subchunk_size=(CHUNK_SIZE_PACBIO if (pacbio or hybrid)
-                       else CHUNK_SIZE_ILLUMINA),
-        hybrid=hybrid, pacbio=pacbio,
-        hybrid_hotspot=options.get("hybrid_hotspot", False),
-        include_hp=include_hp,
-        feature_length=feature_length, max_allele_len=MAX_ALLELE_LENGTH,
-        hs_max_reads=hs_max, cand_cap=cap, cand_per=per,
-        q_threshold=options.get("q_threshold", 10),
-        min_mapq=options.get("min_mapq", 10),
-        reassembly_size=options.get("reassembly_size", 10),
-        min_distance=MIN_DISTANCE, flanking=FLANKING_BASES,
-        max_items_per_group=MAX_ITEMS_PER_GROUP_CALL)
+    # coded emission (wire == "coded"): the featurizer's rows come back as
+    # 1-byte cell codes + per-row scalars and pack straight into
+    # CodedSiteWork — the dense [R, L, C] tensors are never materialised
+    wire_coded = options.get("wire") == "coded"
 
-    feat = out.features
-    sites: List[SiteWork] = []
+    def _run(coded):
+        return native.chunk_sites(
+            bams, chromosome, start, stop, ref.length(chromosome),
+            lambda a, b: ref.fetch(chromosome, a, b), rng,
+            subchunk_size=(CHUNK_SIZE_PACBIO if (pacbio or hybrid)
+                           else CHUNK_SIZE_ILLUMINA),
+            hybrid=hybrid, pacbio=pacbio,
+            hybrid_hotspot=options.get("hybrid_hotspot", False),
+            include_hp=include_hp,
+            feature_length=feature_length, max_allele_len=MAX_ALLELE_LENGTH,
+            hs_max_reads=hs_max, cand_cap=cap, cand_per=per,
+            q_threshold=options.get("q_threshold", 10),
+            min_mapq=options.get("min_mapq", 10),
+            reassembly_size=options.get("reassembly_size", 10),
+            min_distance=MIN_DISTANCE, flanking=FLANKING_BASES,
+            max_items_per_group=MAX_ITEMS_PER_GROUP_CALL, coded=coded)
+
+    out = _run(wire_coded)
+    if out is None:      # a row was not codable: identical seeds, dense run
+        return None      # (caller falls back to the staged Python pipeline)
+
+    coded_out = out.codes is not None
+    sites: list = []
     a_off = 0
-    f_off = 0
+    f_off = 0            # dense: bytes; coded: rows
     L = feature_length
     for si in range(len(out.positions)):
         na = int(out.nalleles[si])
@@ -268,27 +278,50 @@ def native_chunk_site_work(bam_paths: Sequence[str], ref: FastaFile,
         labels = []
         for k in range(na):
             r0 = int(out.rows0[a_off + k])
-            tensors0.append(feat[f_off:f_off + r0 * row_bytes]
-                            .reshape(r0, L, channels))
-            f_off += r0 * row_bytes
-            if hybrid:
-                r1 = int(out.rows1[a_off + k])
-                tensors1.append(feat[f_off:f_off + r1 * row_bytes]
-                                .reshape(r1, L, channels))
-                f_off += r1 * row_bytes
+            r1 = int(out.rows1[a_off + k]) if hybrid else 0
+            if coded_out:
+                tensors0.append((out.codes[f_off:f_off + r0],
+                                 out.scalars[f_off:f_off + r0]))
+                f_off += r0
+                if hybrid:
+                    tensors1.append((out.codes[f_off:f_off + r1],
+                                     out.scalars[f_off:f_off + r1]))
+                    f_off += r1
+            else:
+                tensors0.append(out.features[f_off:f_off + r0 * row_bytes]
+                                .reshape(r0, L, channels))
+                f_off += r0 * row_bytes
+                if hybrid:
+                    tensors1.append(
+                        out.features[f_off:f_off + r1 * row_bytes]
+                        .reshape(r1, L, channels))
+                    f_off += r1 * row_bytes
             labels.append(int(out.labels[a_off + k]))
         pos = int(out.positions[si])
         site_stop = int(out.stops[si])
         mid = (pos + site_stop) // 2
         left = mid - L // 2
-        seg = padded_ref_segment(ref.fetch(chromosome, left, left + L),
-                                 left, L)
-        sites.append(SiteWork(
-            chromosome=chromosome, start=pos, stop=site_stop,
-            alleles=alleles, tensors0=tensors0,
-            tensors1=tensors1 if hybrid else None,
-            ref_segment=seg, labels=labels,
-            site_label=int(out.site_labels[si])))
+        if coded_out:
+            from .batching import CodedSiteWork, ref_segment_codes
+            sites.append(CodedSiteWork(
+                chromosome=chromosome, start=pos, stop=site_stop,
+                alleles=alleles,
+                codes0=[t[0] for t in tensors0],
+                scal0=[t[1] for t in tensors0],
+                codes1=[t[0] for t in tensors1] if hybrid else None,
+                scal1=[t[1] for t in tensors1] if hybrid else None,
+                ref_codes=ref_segment_codes(
+                    ref.fetch(chromosome, left, left + L), left, L),
+                labels=labels, site_label=int(out.site_labels[si])))
+        else:
+            seg = padded_ref_segment(ref.fetch(chromosome, left, left + L),
+                                     left, L)
+            sites.append(SiteWork(
+                chromosome=chromosome, start=pos, stop=site_stop,
+                alleles=alleles, tensors0=tensors0,
+                tensors1=tensors1 if hybrid else None,
+                ref_segment=seg, labels=labels,
+                site_label=int(out.site_labels[si])))
         a_off += na
     return sites
 

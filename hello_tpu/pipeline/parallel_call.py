@@ -108,10 +108,13 @@ def host_sites_for_chunk(bam_paths, ref_path, chromosome, start, stop,
 def _maybe_encode(sites, options):
     """Re-encode a chunk's sites into the 1-byte coded wire representation
     (CodedSiteWork) when the run requested it: ~6x less worker->main IPC and
-    no dense batch assembly in the device-owning process.  Falls back to the
-    dense list if any site cannot be coded (never true of featurizer
-    output)."""
-    if options.get("wire") == "coded" and sites:
+    no dense batch assembly in the device-owning process.  The native chunk
+    orchestrator usually emits CodedSiteWork directly (code-on-copy, no
+    dense tensors at all) — this pass covers the staged Python pipeline and
+    falls back to the dense list if any site cannot be coded (never true of
+    featurizer output)."""
+    if options.get("wire") == "coded" and sites \
+            and not isinstance(sites[0], CodedSiteWork):
         from .compact import encode_chunk_sites
         coded = encode_chunk_sites(sites)
         if coded is not None:

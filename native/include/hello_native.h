@@ -135,6 +135,11 @@ int32_t htpu_compact_rows_coded(const uint8_t* reads, const int32_t* rows,
                                 int32_t channels, uint8_t* codes,
                                 uint8_t* scalars);
 
+/* Same coding over n_rows CONTIGUOUS rows (no row-index indirection). */
+int32_t htpu_encode_rows_coded(const uint8_t* rows, int64_t n_rows,
+                               int32_t feature_length, int32_t channels,
+                               uint8_t* codes, uint8_t* scalars);
+
 /* ---- BAM loader ---- */
 
 typedef struct htpu_bam htpu_bam;
@@ -242,6 +247,31 @@ const int8_t* htpu_chunk_labels(htpu_chunk* r);
  * [feature_length x channels] uint8 */
 const uint8_t* htpu_chunk_features(htpu_chunk* r);
 int64_t htpu_chunk_features_len(htpu_chunk* r);
+
+/* Coded emission (htpu_chunk_sites_coded): feature rows are 1-byte cell
+ * codes + per-row scalars (the compact wire representation) instead of
+ * dense [L x C] bytes — the dense tensor is never materialised.  Same
+ * row order as htpu_chunk_features.  htpu_chunk_coded: 1 = coded buffers
+ * valid, 0 = dense emission, -1 = a row was not codable (caller must
+ * re-run the chunk with the dense entry point; never true of featurizer
+ * output). */
+htpu_chunk* htpu_chunk_sites_coded(
+    htpu_bam** bams, const uint8_t* bam_pacbio, const int32_t* bam_rids,
+    int32_t n_bams,
+    int64_t chunk_start, int64_t chunk_stop, int64_t chrom_len,
+    int32_t subchunk_size, int32_t min_distance, int32_t flanking,
+    int32_t max_items_per_group,
+    int hybrid, int pacbio, int hybrid_hotspot, int include_hp,
+    int32_t feature_length, int32_t max_allele_len,
+    const int32_t* hs_max_reads,
+    const int32_t* cand_cap, const int32_t* cand_per,
+    const htpu_params* params,
+    htpu_seed_fn next_seed, htpu_ref_fn ref_fetch);
+int32_t htpu_chunk_coded(htpu_chunk* r);
+const uint8_t* htpu_chunk_codes(htpu_chunk* r);      /* [n_rows x L] */
+int64_t htpu_chunk_codes_len(htpu_chunk* r);
+const uint8_t* htpu_chunk_scalars(htpu_chunk* r);    /* [n_rows x nscal] */
+int64_t htpu_chunk_scalars_len(htpu_chunk* r);
 
 #ifdef __cplusplus
 }

@@ -344,11 +344,12 @@ struct htpu_chunk {
     std::vector<int32_t> rows0, rows1;
     std::vector<int8_t> labels;
     std::vector<uint8_t> feat;
+    // coded emission (code-on-copy, see htpu_chunk_sites_coded)
+    std::vector<uint8_t> codes, scalars;
+    int32_t coded = 0;
 };
 
-extern "C" {
-
-htpu_chunk* htpu_chunk_sites(
+static htpu_chunk* chunk_sites_impl(
         htpu_bam** bams, const uint8_t* bam_pacbio, const int32_t* bam_rids,
         int32_t n_bams,
         int64_t chunk_start, int64_t chunk_stop, int64_t chrom_len,
@@ -359,7 +360,7 @@ htpu_chunk* htpu_chunk_sites(
         const int32_t* hs_max_reads,
         const int32_t* cand_cap, const int32_t* cand_per,
         const htpu_params* params,
-        htpu_seed_fn next_seed, htpu_ref_fn ref_fetch) {
+        htpu_seed_fn next_seed, htpu_ref_fn ref_fetch, int coded) {
     Ctx c;
     c.bams = bams;
     c.pacbio = bam_pacbio;
@@ -397,6 +398,7 @@ htpu_chunk* htpu_chunk_sites(
         pos = end;
     }
     auto* out = new htpu_chunk();
+    out->coded = coded ? 1 : 0;
     if (positions.empty()) return out;
 
     // ---- phase 2: active regions (hotspots.cluster_hotspots) ----
@@ -571,11 +573,35 @@ htpu_chunk* htpu_chunk_sites(
                     label_sum += label;
                     out->rows0.push_back(q.rows0[i]);
                     out->rows1.push_back(hybrid ? q.rows1[i] : 0);
-                    int64_t nbytes = ((int64_t)q.rows0[i] +
-                                      (hybrid ? q.rows1[i] : 0)) * row_bytes;
-                    out->feat.insert(out->feat.end(),
-                                     q.feat.begin() + q.offsets[i],
-                                     q.feat.begin() + q.offsets[i] + nbytes);
+                    int64_t nrows = (int64_t)q.rows0[i] +
+                                    (hybrid ? q.rows1[i] : 0);
+                    if (coded) {
+                        // code-on-copy: emit 1-byte cell codes + per-row
+                        // scalars instead of the dense tensor (6-7x less)
+                        int32_t channels = include_hp ? 7 : 6;
+                        int32_t nscal = include_hp ? 3 : 2;
+                        size_t c0 = out->codes.size();
+                        size_t s0 = out->scalars.size();
+                        out->codes.resize(
+                            c0 + (size_t)nrows * feature_length);
+                        out->scalars.resize(s0 + (size_t)nrows * nscal);
+                        if (!htpu_encode_rows_coded(
+                                q.feat.data() + q.offsets[i], nrows,
+                                feature_length, channels,
+                                out->codes.data() + c0,
+                                out->scalars.data() + s0)) {
+                            // not codable (never true of featurizer output):
+                            // the caller re-runs this chunk dense
+                            out->coded = -1;
+                            cleanup();
+                            return out;
+                        }
+                    } else {
+                        out->feat.insert(
+                            out->feat.end(),
+                            q.feat.begin() + q.offsets[i],
+                            q.feat.begin() + q.offsets[i] + nrows * row_bytes);
+                    }
                     out->alleles.append(allele);
                     out->alleles.push_back('\0');
                     emitted++;
@@ -590,6 +616,58 @@ htpu_chunk* htpu_chunk_sites(
     }
     cleanup();
     return out;
+}
+
+extern "C" {
+
+htpu_chunk* htpu_chunk_sites(
+        htpu_bam** bams, const uint8_t* bam_pacbio, const int32_t* bam_rids,
+        int32_t n_bams,
+        int64_t chunk_start, int64_t chunk_stop, int64_t chrom_len,
+        int32_t subchunk_size, int32_t min_distance, int32_t flanking,
+        int32_t max_items_per_group,
+        int hybrid, int pacbio, int hybrid_hotspot, int include_hp,
+        int32_t feature_length, int32_t max_allele_len,
+        const int32_t* hs_max_reads,
+        const int32_t* cand_cap, const int32_t* cand_per,
+        const htpu_params* params,
+        htpu_seed_fn next_seed, htpu_ref_fn ref_fetch) {
+    return chunk_sites_impl(
+        bams, bam_pacbio, bam_rids, n_bams, chunk_start, chunk_stop,
+        chrom_len, subchunk_size, min_distance, flanking,
+        max_items_per_group, hybrid, pacbio, hybrid_hotspot, include_hp,
+        feature_length, max_allele_len, hs_max_reads, cand_cap, cand_per,
+        params, next_seed, ref_fetch, 0);
+}
+
+htpu_chunk* htpu_chunk_sites_coded(
+        htpu_bam** bams, const uint8_t* bam_pacbio, const int32_t* bam_rids,
+        int32_t n_bams,
+        int64_t chunk_start, int64_t chunk_stop, int64_t chrom_len,
+        int32_t subchunk_size, int32_t min_distance, int32_t flanking,
+        int32_t max_items_per_group,
+        int hybrid, int pacbio, int hybrid_hotspot, int include_hp,
+        int32_t feature_length, int32_t max_allele_len,
+        const int32_t* hs_max_reads,
+        const int32_t* cand_cap, const int32_t* cand_per,
+        const htpu_params* params,
+        htpu_seed_fn next_seed, htpu_ref_fn ref_fetch) {
+    return chunk_sites_impl(
+        bams, bam_pacbio, bam_rids, n_bams, chunk_start, chunk_stop,
+        chrom_len, subchunk_size, min_distance, flanking,
+        max_items_per_group, hybrid, pacbio, hybrid_hotspot, include_hp,
+        feature_length, max_allele_len, hs_max_reads, cand_cap, cand_per,
+        params, next_seed, ref_fetch, 1);
+}
+
+int32_t htpu_chunk_coded(htpu_chunk* r) { return r->coded; }
+const uint8_t* htpu_chunk_codes(htpu_chunk* r) { return r->codes.data(); }
+int64_t htpu_chunk_codes_len(htpu_chunk* r) {
+    return (int64_t)r->codes.size();
+}
+const uint8_t* htpu_chunk_scalars(htpu_chunk* r) { return r->scalars.data(); }
+int64_t htpu_chunk_scalars_len(htpu_chunk* r) {
+    return (int64_t)r->scalars.size();
 }
 
 void htpu_chunk_destroy(htpu_chunk* r) { delete r; }

@@ -1098,14 +1098,11 @@ void htpu_compact_rows(const uint8_t* reads, const int32_t* rows,
     }
 }
 
-int32_t htpu_compact_rows_coded(const uint8_t* reads, const int32_t* rows,
-                                int32_t n_rows, int32_t feature_length,
-                                int32_t channels, uint8_t* codes,
-                                uint8_t* scalars) {
-    const int32_t L = feature_length, C = channels;
-    const int32_t nscal = (C == 7) ? 3 : 2;
-    const size_t row_bytes = (size_t)L * C;
-    // inverse palettes: color byte -> index, 0xFF = not in palette
+// shared 1-byte cell coder (pipeline/compact.py palettes); returns 0 when a
+// present cell's color falls outside the palettes or an absent cell carries
+// a color (never true of featurizer output)
+static int encode_row_coded(const uint8_t* src, int32_t L, int32_t C,
+                            uint8_t* dst, uint8_t* sc) {
     static uint8_t base_lut[256];
     static uint8_t qual_lut[256];
     static bool lut_ready = false;
@@ -1117,31 +1114,56 @@ int32_t htpu_compact_rows_coded(const uint8_t* reads, const int32_t* rows,
             qual_lut[(int)(254.0f * (float)q / 40.0f)] = (uint8_t)q;
         lut_ready = true;
     }
-    for (int32_t r = 0; r < n_rows; r++) {
-        const uint8_t* src = reads + (size_t)rows[r] * row_bytes;
-        uint8_t* dst = codes + (size_t)r * L;
-        uint8_t m3 = 0, m4 = 0, m6 = 0;
-        for (int32_t i = 0; i < L; i++) {
-            const uint8_t* cell = src + (size_t)i * C;
-            if (cell[4] == 0) {
-                // absent cells decode as all-zero; a nonzero color here would
-                // be lost, so such (non-featurizer) tensors take the fallback
-                if (cell[0] | cell[2]) return 0;
-                dst[i] = 255;
-                continue;
-            }
-            const uint8_t b = base_lut[cell[0]];
-            const uint8_t q = qual_lut[cell[2]];
-            if (b == 0xFF || q == 0xFF) return 0;
-            dst[i] = (uint8_t)(b * 41 + q);
-            m3 = std::max(m3, cell[3]);
-            m4 = std::max(m4, cell[4]);
-            if (C == 7) m6 = std::max(m6, cell[6]);
+    uint8_t m3 = 0, m4 = 0, m6 = 0;
+    for (int32_t i = 0; i < L; i++) {
+        const uint8_t* cell = src + (size_t)i * C;
+        if (cell[4] == 0) {
+            // absent cells decode as all-zero; a nonzero color here would
+            // be lost, so such (non-featurizer) tensors take the fallback
+            if (cell[0] | cell[2]) return 0;
+            dst[i] = 255;
+            continue;
         }
-        uint8_t* sc = scalars + (size_t)r * nscal;
-        sc[0] = m3;
-        sc[1] = m4;
-        if (C == 7) sc[2] = m6;
+        const uint8_t b = base_lut[cell[0]];
+        const uint8_t q = qual_lut[cell[2]];
+        if (b == 0xFF || q == 0xFF) return 0;
+        dst[i] = (uint8_t)(b * 41 + q);
+        m3 = std::max(m3, cell[3]);
+        m4 = std::max(m4, cell[4]);
+        if (C == 7) m6 = std::max(m6, cell[6]);
+    }
+    sc[0] = m3;
+    sc[1] = m4;
+    if (C == 7) sc[2] = m6;
+    return 1;
+}
+
+int32_t htpu_encode_rows_coded(const uint8_t* rows, int64_t n_rows,
+                               int32_t feature_length, int32_t channels,
+                               uint8_t* codes, uint8_t* scalars) {
+    const int32_t L = feature_length, C = channels;
+    const int32_t nscal = (C == 7) ? 3 : 2;
+    for (int64_t r = 0; r < n_rows; r++) {
+        if (!encode_row_coded(rows + (size_t)r * L * C, L, C,
+                              codes + (size_t)r * L,
+                              scalars + (size_t)r * nscal))
+            return 0;
+    }
+    return 1;
+}
+
+int32_t htpu_compact_rows_coded(const uint8_t* reads, const int32_t* rows,
+                                int32_t n_rows, int32_t feature_length,
+                                int32_t channels, uint8_t* codes,
+                                uint8_t* scalars) {
+    const int32_t L = feature_length, C = channels;
+    const int32_t nscal = (C == 7) ? 3 : 2;
+    const size_t row_bytes = (size_t)L * C;
+    for (int32_t r = 0; r < n_rows; r++) {
+        if (!encode_row_coded(reads + (size_t)rows[r] * row_bytes, L, C,
+                              codes + (size_t)r * L,
+                              scalars + (size_t)r * nscal))
+            return 0;
     }
     return 1;
 }

@@ -67,6 +67,46 @@ def test_wire_pack_expands_byte_exact(tmp_path, platforms, hp):
         np.testing.assert_array_equal(out["read_mask1"], dense.read_mask1)
 
 
+@pytest.mark.parametrize("platforms,hp", [
+    (("illumina",), False),
+    (("illumina", "pacbio"), False),
+    (("pacbio",), True),
+])
+def test_native_coded_chunk_matches_encoded_dense(tmp_path, platforms, hp):
+    """The native orchestrator's code-on-copy emission (htpu_chunk_sites_coded
+    -> CodedSiteWork, no dense tensors ever materialised) must be
+    byte-identical to encoding the dense native output after the fact."""
+    from hello_tpu import native
+
+    assert native.available()
+    ds, dense = _sites(tmp_path / "nc", platforms=platforms, hp_tags=hp,
+                       include_hp=hp)
+    bams = [ds.bams[p] for p in platforms]
+    opts = {"wire": "coded", "include_hp": hp}
+    if platforms == ("pacbio",):
+        opts["pacbio"] = True
+    direct = host_sites_for_chunk(bams, ds.fasta, ds.chromosome, 0, 30_000,
+                                  opts)
+    assert all(isinstance(s, CodedSiteWork) for s in direct)
+    ref = encode_chunk_sites(dense)
+    assert len(direct) == len(ref)
+    for a, b in zip(direct, ref):
+        assert (a.chromosome, a.start, a.stop, a.alleles, a.labels,
+                a.site_label) == \
+               (b.chromosome, b.start, b.stop, b.alleles, b.labels,
+                b.site_label)
+        np.testing.assert_array_equal(a.ref_codes, b.ref_codes)
+        for ca, cb in zip(a.codes0, b.codes0):
+            np.testing.assert_array_equal(ca, cb)
+        for sa, sb in zip(a.scal0, b.scal0):
+            np.testing.assert_array_equal(sa, sb)
+        if a.codes1 is not None:
+            for ca, cb in zip(a.codes1, b.codes1):
+                np.testing.assert_array_equal(ca, cb)
+            for sa, sb in zip(a.scal1, b.scal1):
+                np.testing.assert_array_equal(sa, sb)
+
+
 def test_wire_scorer_logits_identical(tmp_path):
     """A Scorer fed the WireBatch must produce bit-identical logits to the
     dense PaddedBatch."""
