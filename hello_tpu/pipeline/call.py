@@ -315,7 +315,9 @@ def call_region(bam_paths: Sequence[str], ref: FastaFile, chromosome: str,
     rng = random.Random(seed)
 
     # fast path: the whole host pipeline in one native call per region
-    # (identical output to the staged path below; tests/test_native_chunk.py)
+    # (identical output to the staged path below; tests/test_native_chunk.py).
+    # Real scorers take the coded wire straight from the native featurizer
+    # (code-on-copy CodedSiteWork — no dense tensors materialise).
     from .candidates import native_chunk_site_work
     with telemetry.stage("host_sites_native"):
         sites = native_chunk_site_work(
@@ -323,7 +325,9 @@ def call_region(bam_paths: Sequence[str], ref: FastaFile, chromosome: str,
             dict(pacbio=pacbio, include_hp=include_hp,
                  hybrid_hotspot=hybrid_hotspot, q_threshold=q_threshold,
                  min_mapq=min_mapq, reassembly_size=reassembly_size,
-                 feature_length=feature_length), rng)
+                 feature_length=feature_length,
+                 wire=("coded" if getattr(scorer, "accepts_wire", False)
+                       else "dense")), rng)
 
     if sites is None:
         with telemetry.stage("hotspot_detection"):
@@ -469,13 +473,19 @@ def call_region(bam_paths: Sequence[str], ref: FastaFile, chromosome: str,
     # by_read_bucket: batches are classed by read depth so one deep site
     # cannot inflate the padded read axis of every other site's batch;
     # outputs are re-sorted below, so cross-class scoring order is free
+    from .batching import CodedSiteWork
     for group in group_sites_for_batching(sites, max_alleles_per_batch,
                                           by_read_bucket=True):
         with telemetry.stage("batch_packing"):
-            batch = pack_sites(group, hybrid=hybrid_model,
-                               feature_length=feature_length,
-                               channels0=7 if include_hp else 6,
-                               channels1=7 if include_hp else 6)
+            if isinstance(group[0], CodedSiteWork):
+                from .compact import pack_sites_wire
+                batch = pack_sites_wire(group, hybrid=hybrid_model,
+                                        feature_length=feature_length)
+            else:
+                batch = pack_sites(group, hybrid=hybrid_model,
+                                   feature_length=feature_length,
+                                   channels0=7 if include_hp else 6,
+                                   channels1=7 if include_hp else 6)
         with telemetry.stage("device_scoring"):
             out = _dispatch(batch)
         pending.append((group, batch, out))
