@@ -71,10 +71,10 @@ _QUAL_LUT[QUAL_PALETTE] = np.arange(len(QUAL_PALETTE), dtype=np.uint8)
 ABSENT_CODE = 255  # also > any valid code = 4 * 41 + 40 = 204
 
 
-def _bucket(n: int, cap: int) -> int:
+def _bucket(n: int, cap: int, ladder: Sequence[int] = ROW_BUCKETS) -> int:
     # like batching._bucket, but clamped to cap (= A*R) AND never smaller
     # than n: packed rows must not be truncated past the ladder's top
-    for b in ROW_BUCKETS:
+    for b in ladder:
         if n <= b:
             return min(b, cap)
     return cap
@@ -238,6 +238,7 @@ class WireBatch:
     num_sites: int
     sites: List[CodedSiteWork]
     allele_site_index: List[tuple]
+    labels: Optional[np.ndarray] = None      # [A] float32 (allele labels)
 
 
 def pack_sites_wire(
@@ -247,10 +248,16 @@ def pack_sites_wire(
     read_buckets: Sequence[int] = DEFAULT_READ_BUCKETS,
     allele_buckets: Sequence[int] = DEFAULT_ALLELE_BUCKETS,
     site_buckets: Sequence[int] = DEFAULT_SITE_BUCKETS,
+    row_buckets: Sequence[int] = ROW_BUCKETS,
 ) -> WireBatch:
     """Pack CodedSiteWork straight into a device wire dict — the coded-path
     twin of ``pack_sites`` + ``compact_batch`` with no dense intermediate
     (byte-equivalent on-device expansion asserted in tests/test_coded_wire).
+
+    ``row_buckets``: ladder for the packed-row axis; pass ``(0,)`` to pin the
+    row axis at its cap ``A*R`` (a fixed shape regardless of occupancy — the
+    training loader uses this under ``fixed_shape`` so every step compiles
+    once).
     """
     num_alleles = sum(len(s.alleles) for s in sites)
     A = _batch_bucket(max(num_alleles, 1), allele_buckets)
@@ -262,38 +269,46 @@ def pack_sites_wire(
     L = feature_length
 
     def _platform(get_codes, get_scal):
-        max_r = 1
+        # vectorised packing: this runs in the device-owning main process on
+        # the calling hot path (~40 us/site in the loop form it replaces)
+        row_codes: List[np.ndarray] = []
+        row_scals: List[np.ndarray] = []
         for s in sites:
-            for c in get_codes(s):
-                max_r = max(max_r, c.shape[0])
-        R = _batch_bucket(max_r, read_buckets)
-        mask = np.zeros((A, R), np.float32)
-        row_codes, row_scals, slot_list = [], [], []
-        slot = 0
-        for s in sites:
-            for c, sc in zip(get_codes(s), get_scal(s)):
-                r = min(c.shape[0], R)
-                mask[slot, :r] = 1.0
-                row_codes.append(c[:r])
-                row_scals.append(sc[:r])
-                slot_list.append(slot * R + np.arange(r, dtype=np.int32))
-                slot += 1
-        n = int(mask.sum())
-        nb = _bucket(max(n, 1), A * R)
+            row_codes.extend(get_codes(s))
+            row_scals.extend(get_scal(s))
+        counts = np.fromiter((c.shape[0] for c in row_codes), np.int64,
+                             len(row_codes))
+        max_r = int(counts.max()) if counts.size else 1
+        R = _batch_bucket(max(max_r, 1), read_buckets)
+        if max_r > R:     # reads beyond the ladder top: truncate (backstop)
+            row_codes = [c[:R] for c in row_codes]
+            row_scals = [sc[:R] for sc in row_scals]
+            counts = np.minimum(counts, R)
+        n = int(counts.sum())
+        nb = _bucket(max(n, 1), A * R, row_buckets)
         codes = np.full((nb, L), ABSENT_CODE, np.uint8)
         nscal = row_scals[0].shape[1] if row_scals else 2
         scalars = np.zeros((nb, nscal), np.uint8)
         slots = np.full(nb, A * R, np.int32)
+        mask = np.zeros((A, R), np.float32)
         if n:
-            codes[:n] = np.concatenate(row_codes)
-            scalars[:n] = np.concatenate(row_scals)
-            slots[:n] = np.concatenate(slot_list)
+            np.concatenate(row_codes, out=codes[:n])
+            np.concatenate(row_scals, out=scalars[:n])
+            # flat slot index per real row: slot*R + intra-slot row number
+            starts = np.repeat(np.cumsum(counts) - counts, counts)
+            intra = np.arange(n, dtype=np.int64) - starts
+            flat = np.repeat(np.arange(len(counts), dtype=np.int64) * R,
+                             counts) + intra
+            slots[:n] = flat
+            mask.reshape(-1)[flat] = 1.0
         return codes, scalars, slots, mask
 
     site_ids = np.full((A,), S - 1, np.int32)
     allele_mask = np.zeros((A,), np.float32)
     ref_codes = np.full((S, L), 5, np.uint8)
     rel = np.zeros((S, 2), np.int32)
+    labels = np.zeros((A,), np.float32)
+    has_labels = all(s.labels is not None for s in sites) and sites
     index = []
     slot = 0
     for si, site in enumerate(sites):
@@ -306,6 +321,8 @@ def pack_sites_wire(
         for ai in range(len(site.alleles)):
             site_ids[slot] = si
             allele_mask[slot] = 1.0
+            if has_labels:
+                labels[slot] = site.labels[ai]
             index.append((si, ai))
             slot += 1
 
@@ -327,7 +344,51 @@ def pack_sites_wire(
         wire.update(read_mask1=mask1, codes1=codes1, row_scalars1=scal1,
                     row_slots1=slots1)
     return WireBatch(wire=wire, num_sites=S, sites=list(sites),
-                     allele_site_index=index)
+                     allele_site_index=index,
+                     labels=labels if has_labels else None)
+
+
+def training_wire_dict(wb: WireBatch) -> Dict[str, np.ndarray]:
+    """Coded-wire device dict + labels for training (the wire twin of
+    batching.training_dict); the trainer expands it inside the jitted step."""
+    assert wb.labels is not None, "training batches need labels"
+    d = dict(wb.wire)
+    d["labels"] = wb.labels
+    return d
+
+
+def stack_wire_batches(dicts: Sequence[Dict[str, np.ndarray]]) -> Dict[str, np.ndarray]:
+    """Stack per-device wire dicts along a new leading device axis.
+
+    Unlike dense batches, wire dicts packed to the same allele/read/site
+    buckets can still differ on the packed-row axis (occupancy-dependent row
+    bucket); rows are padded up to the group maximum first.  Padding rows are
+    inert by construction: codes = ABSENT, scalars = 0, and slots point at
+    the dummy scatter row ``A*R``."""
+    keys = dicts[0].keys()
+    row_keys = [k for k in keys if k.startswith(("codes", "row_scalars",
+                                                 "row_slots"))]
+    nb = {}
+    for k in row_keys:
+        nb[k] = max(d[k].shape[0] for d in dicts)
+
+    def _pad(k, arr):
+        want = nb.get(k)
+        if want is None or arr.shape[0] == want:
+            return arr
+        pad = want - arr.shape[0]
+        if k.startswith("codes"):
+            fill = np.full((pad,) + arr.shape[1:], ABSENT_CODE, arr.dtype)
+        elif k.startswith("row_slots"):
+            # the dummy row index is A*R of the matching platform's mask
+            platform = k[-1]
+            mask = dicts[0][f"read_mask{platform}"]
+            fill = np.full((pad,), mask.shape[0] * mask.shape[1], arr.dtype)
+        else:
+            fill = np.zeros((pad,) + arr.shape[1:], arr.dtype)
+        return np.concatenate([arr, fill])
+
+    return {k: np.stack([_pad(k, d[k]) for d in dicts], axis=0) for k in keys}
 
 
 def compact_batch(batch: PaddedBatch) -> Dict[str, np.ndarray]:

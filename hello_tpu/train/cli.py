@@ -53,9 +53,20 @@ def train_from_shards(
     smoothing: float = 0.0, aux_weight: float = 0.0, weight_decay: float = 1e-4,
     seed: int = 13, channels: int = None, resume: str = None,
     coverage_range=None, checkpoint_every: int = 0,
-    steps_per_epoch: int = 0,
+    steps_per_epoch: int = 0, wire: bool = None,
 ):
     import jax
+
+    # coded-wire training batches (pipeline/compact.py, expanded on device
+    # inside the jitted step): ~6x less host->device staging per step — the
+    # same default policy as the inference Scorer (worth it on accelerators,
+    # pure overhead on the CPU backend where transfer is free)
+    if wire is None:
+        env = os.environ.get("HELLO_TPU_COMPACT", "")
+        if env in ("0", "1"):
+            wire = env == "1"
+        else:
+            wire = jax.devices()[0].platform not in ("cpu",)
 
     model = create_model(model_name)
     mesh = data_mesh(num_devices)
@@ -136,7 +147,7 @@ def train_from_shards(
         start_t = time.time()
         batch_iter = iter(device_batches(dataset, model.hybrid, n_dev,
                                          batch_alleles, channels=channels,
-                                         fixed_shape=fixed))
+                                         fixed_shape=fixed, wire=wire))
         multihost = jax.process_count() > 1
         while True:
             stacked = next(batch_iter, None)
@@ -166,7 +177,8 @@ def train_from_shards(
         if val_files:
             val_ds = SiteDataset(val_files, max_reads_per_site, shuffle=False)
             val_loss = trainer.evaluate(
-                batches(val_ds, model.hybrid, batch_alleles, channels=channels))
+                batches(val_ds, model.hybrid, batch_alleles, channels=channels,
+                        wire=wire))
         logger.info(
             "epoch %d: train_loss=%.4f (%d batches, %.1fs) val_loss=%s",
             epoch, epoch_loss / max(n_trained, 1), n_trained, elapsed,
@@ -234,6 +246,10 @@ def main(argv=None):
                              "coordinator via JAX_COORDINATOR_ADDRESS etc.)")
     parser.add_argument("--profile_dir", default=None,
                         help="write a jax.profiler trace of the run here")
+    parser.add_argument("--wire", choices=["auto", "0", "1"], default="auto",
+                        help="coded-wire training batches (1-byte cells "
+                             "expanded on device): auto = on for "
+                             "accelerators, off on the CPU backend")
     args = parser.parse_args(argv)
 
     logging.basicConfig(level=logging.INFO,
@@ -296,7 +312,8 @@ def main(argv=None):
         aux_weight=args.aux_loss, weight_decay=args.weight_decay,
         seed=args.seed, channels=7 if args.include_hp else None,
         resume=args.resume, coverage_range=coverage_range,
-        checkpoint_every=args.checkpoint_every)
+        checkpoint_every=args.checkpoint_every,
+        wire=None if args.wire == "auto" else args.wire == "1")
     if args.profile_dir:
         jax.profiler.stop_trace()
         logger.info("profiler trace written to %s", args.profile_dir)
