@@ -603,7 +603,34 @@ int32_t htpu_bam_select(htpu_bam* b, int32_t ref_id, int64_t start,
     const uint16_t UNMAPPED = 0x4, SECONDARY = 0x100, SUP = 0x800,
                    DUP = 0x400, PAIRED = 0x1, PROPER = 0x2, REVERSE = 0x10;
     std::vector<int32_t> kept;
-    std::unordered_set<std::string> seen;
+    // dedup key = (read name, strand), exactly as hello_tpu/reads.py — but
+    // without materialising a std::string per candidate read (this loop runs
+    // once per window over every overlapping record): keys are (offset into
+    // the shared name pool | strand bit) and equality compares the pooled
+    // bytes in place
+    struct NameKey {
+        const BamData* d;
+        size_t operator()(int64_t k) const {
+            int64_t i = k >> 1;
+            const char* s = d->names.data() + d->name_offsets[i];
+            size_t n = (size_t)(d->name_offsets[i + 1] - d->name_offsets[i]) - 1;
+            size_t h = 1469598103934665603ull;          // FNV-1a
+            for (size_t j = 0; j < n; j++)
+                h = (h ^ (uint8_t)s[j]) * 1099511628211ull;
+            return h ^ (size_t)(k & 1);
+        }
+        bool operator()(int64_t a, int64_t b) const {
+            if ((a & 1) != (b & 1)) return false;
+            int64_t i = a >> 1, j = b >> 1;
+            size_t ni = (size_t)(d->name_offsets[i + 1] - d->name_offsets[i]);
+            size_t nj = (size_t)(d->name_offsets[j + 1] - d->name_offsets[j]);
+            if (ni != nj) return false;
+            return std::memcmp(d->names.data() + d->name_offsets[i],
+                               d->names.data() + d->name_offsets[j], ni) == 0;
+        }
+    };
+    NameKey nk{&d};
+    std::unordered_set<int64_t, NameKey, NameKey> seen(64, nk, nk);
     std::mt19937_64 rng(seed);
     int64_t encountered = 0;
     // coordinate-sorted records: binary-search the candidate index range
@@ -636,10 +663,7 @@ int32_t htpu_bam_select(htpu_bam* b, int32_t ref_id, int64_t start,
         if (f & (UNMAPPED | SECONDARY | SUP | DUP)) continue;
         if ((f & PAIRED) && !(f & PROPER)) continue;
         if (d.mapqs[i] <= 0) continue;
-        std::string key(d.names.data() + d.name_offsets[i],
-                        d.names.data() + d.name_offsets[i + 1] - 1);
-        key.push_back((f & REVERSE) ? '-' : '+');
-        if (!seen.insert(std::move(key)).second) continue;
+        if (!seen.insert((i << 1) | ((f & REVERSE) ? 1 : 0)).second) continue;
         double p_keep = (double)max_reads / (double)(encountered + 1);
         double u = std::uniform_real_distribution<double>(0.0, 1.0)(rng);
         if (u < p_keep) {

@@ -745,6 +745,23 @@ struct Window {
     static int qual_color(int q, int cap) {
         return (int)(254.0f * (float)std::min(q, cap) / cap);
     }
+    // per-byte lookup twins of base_color / qual_color(q, 40): the featurizer
+    // inner loop touches every cell of every read row (the hottest native
+    // function in the chunk profile) — identical values by construction
+    struct ColorLuts {
+        uint8_t base[256];
+        uint8_t q40[256];
+        ColorLuts() {
+            for (int i = 0; i < 256; i++) {
+                base[i] = (uint8_t)base_color((char)i);
+                q40[i] = (uint8_t)qual_color(i, 40);
+            }
+        }
+    };
+    static const ColorLuts& luts() {
+        static const ColorLuts l;
+        return l;
+    }
 
     int32_t features(int64_t a_start, int64_t a_stop, const std::string& allele,
                      int32_t feature_length, bool pacbio, bool include_hp,
@@ -761,6 +778,21 @@ struct Window {
         int64_t mid = (a_start + a_stop) / 2;
         int64_t fstart = mid - feature_length / 2;
         int64_t fend = fstart + feature_length;
+        const ColorLuts& lut = luts();
+        // precompute the window's reference-color and region-marker rows
+        // (identical for every read row and, for the marker, every cell the
+        // cigar walk can touch)
+        static thread_local std::vector<uint8_t> ref_row, pos_row;
+        ref_row.resize((size_t)feature_length);
+        pos_row.resize((size_t)feature_length);
+        int64_t rlen = (int64_t)reference.size();
+        for (int64_t fi = 0; fi < feature_length; fi++) {
+            int64_t off = fstart + fi - window_start;
+            ref_row[fi] = (off >= 0 && off < rlen) ? lut.base[(uint8_t)reference[(size_t)off]]
+                                                   : 0;
+            int64_t p = fstart + fi;
+            pos_row[fi] = (a_start <= p && p < a_stop) ? 240 : 70;
+        }
         int32_t row = 0;
         size_t row_bytes = (size_t)feature_length * channels;
         for (int32_t rid : ids) {
@@ -769,15 +801,9 @@ struct Window {
             if (row >= max_rows) break;
             uint8_t* arr = out + (size_t)row * row_bytes;
             std::memset(arr, 0, row_bytes);
-            int mapq_color = qual_color(rv.mapq, 60);
-            int strand_color = rv.orientation > 0 ? 70 : 240;
-            int hp_color = rv.hp == 1 ? 120 : (rv.hp == 2 ? 240 : 0);
-            auto pos_color = [&](int64_t p) {
-                return (a_start <= p && p < a_stop) ? 240 : 70;
-            };
-            auto cell = [&](int64_t fi, int track) -> uint8_t& {
-                return arr[(size_t)fi * channels + track];
-            };
+            uint8_t mapq_color = (uint8_t)qual_color(rv.mapq, 60);
+            uint8_t strand_color = rv.orientation > 0 ? 70 : 240;
+            uint8_t hp_color = rv.hp == 1 ? 120 : (rv.hp == 2 ? 240 : 0);
             int64_t rf = rv.ref_start, rd = 0;
             for (int64_t ci = 0; ci < rv.n_cigars; ci++) {
                 // all later ops fall past the window (D/I anchor at rf - 1,
@@ -792,16 +818,19 @@ struct Window {
                         // beyond the 150 bp view)
                         int64_t j0 = std::max<int64_t>(0, fstart - rf);
                         int64_t j1 = std::min<int64_t>(len, fend - rf);
-                        for (int64_t j = j0; j < j1; j++) {
-                            int64_t p = rf + j;
-                            int64_t fi = p - fstart;
-                            cell(fi, 0) = base_color(rv.seq[rd + j]);
-                            cell(fi, 1) = base_color(ref_at(p));
-                            cell(fi, 2) = qual_color(rv.qual[rd + j], 40);
-                            cell(fi, 3) = mapq_color;
-                            cell(fi, 4) = strand_color;
-                            cell(fi, 5) = pos_color(p);
-                            if (include_hp) cell(fi, 6) = hp_color;
+                        int64_t fi = rf + j0 - fstart;
+                        uint8_t* px = arr + (size_t)fi * channels;
+                        const char* sp = rv.seq + rd + j0;
+                        const uint8_t* qp = rv.qual + rd + j0;
+                        for (int64_t j = j0; j < j1;
+                             j++, fi++, px += channels) {
+                            px[0] = lut.base[(uint8_t)sp[j - j0]];
+                            px[1] = ref_row[fi];
+                            px[2] = lut.q40[qp[j - j0]];
+                            px[3] = mapq_color;
+                            px[4] = strand_color;
+                            px[5] = pos_row[fi];
+                            if (include_hp) px[6] = hp_color;
                         }
                         rf += len; rd += len;
                         break;
@@ -812,16 +841,17 @@ struct Window {
                             for (int64_t p = rf - 1; p < rf + len; p++) {
                                 if (!(fstart <= p && p < fend)) continue;
                                 int64_t fi = p - fstart;
-                                cell(fi, 1) = base_color(ref_at(p));
-                                cell(fi, 3) = mapq_color;
-                                cell(fi, 4) = strand_color;
-                                cell(fi, 5) = pos_color(p);
-                                if (include_hp) cell(fi, 6) = hp_color;
+                                uint8_t* px = arr + (size_t)fi * channels;
+                                px[1] = ref_row[fi];
+                                px[3] = mapq_color;
+                                px[4] = strand_color;
+                                px[5] = pos_row[fi];
+                                if (include_hp) px[6] = hp_color;
                             }
                             int64_t fi = rf - 1 - fstart;
-                            cell(fi, 0) = 0;  // gap color
-                            cell(fi, 2) = rd > 0 ? qual_color(rv.qual[rd - 1], 40)
-                                                 : 0;
+                            uint8_t* px = arr + (size_t)fi * channels;
+                            px[0] = 0;  // gap color
+                            px[2] = rd > 0 ? lut.q40[rv.qual[rd - 1]] : 0;
                         }
                         rf += len;
                         break;
@@ -836,13 +866,14 @@ struct Window {
                             for (int64_t i = lo; i < rd + len; i++)
                                 mq = std::min(mq, (int32_t)rv.qual[i]);
                             int64_t fi = rf - 1 - fstart;
-                            cell(fi, 0) = 0;  // gap color
-                            cell(fi, 1) = base_color(ref_at(rf - 1));
-                            cell(fi, 2) = qual_color(mq, 40);
-                            cell(fi, 3) = mapq_color;
-                            cell(fi, 4) = strand_color;
-                            cell(fi, 5) = pos_color(rf - 1);
-                            if (include_hp) cell(fi, 6) = hp_color;
+                            uint8_t* px = arr + (size_t)fi * channels;
+                            px[0] = 0;  // gap color
+                            px[1] = ref_row[fi];
+                            px[2] = (uint8_t)qual_color(mq, 40);
+                            px[3] = mapq_color;
+                            px[4] = strand_color;
+                            px[5] = pos_row[fi];
+                            if (include_hp) px[6] = hp_color;
                         }
                         rd += len;
                         break;
