@@ -12,6 +12,8 @@ from __future__ import annotations
 import dataclasses
 from typing import Dict, Iterator, List, Optional, Sequence, Tuple
 
+import numpy as np
+
 from ..constants import (
     FEATURE_LENGTH, FLANKING_BASES, MAX_ALLELE_LENGTH, MIN_DISTANCE,
 )
@@ -19,6 +21,69 @@ from ..io.fasta import ChromView, FastaFile
 from ..window import LocationOutOfBounds, Window
 from .batching import SiteWork, padded_ref_segment
 from .hotspots import ReadSource, build_window
+
+
+@dataclasses.dataclass
+class CodedChunkBlock:
+    """A whole chunk's coded sites as a handful of contiguous arrays — the
+    worker->main IPC payload of the production caller.
+
+    The native orchestrator already emits one contiguous codes/scalars block
+    per chunk; shipping per-site :class:`CodedSiteWork` views re-pickles
+    thousands of small arrays per chunk (~90 ms serialise + ~60 ms
+    deserialise per bench pass, the latter serial in the device-owning
+    process).  This container pickles as ~10 arrays; the main process
+    expands it back to the identical CodedSiteWork views with
+    :meth:`to_sites` (asserted in tests/test_coded_wire.py)."""
+    chromosome: str
+    hybrid: bool
+    positions: "np.ndarray"
+    stops: "np.ndarray"
+    nalleles: "np.ndarray"
+    rows0: "np.ndarray"
+    rows1: Optional["np.ndarray"]
+    labels: "np.ndarray"
+    site_labels: "np.ndarray"
+    alleles: List[str]            # flat, emission order
+    codes: "np.ndarray"           # [n_rows, L] uint8
+    scalars: "np.ndarray"         # [n_rows, nscal] uint8
+    ref_codes: "np.ndarray"       # [num_sites, L] uint8
+
+    def __len__(self) -> int:
+        return len(self.positions)
+
+    def to_sites(self) -> List["CodedSiteWork"]:
+        from .batching import CodedSiteWork
+
+        sites: List[CodedSiteWork] = []
+        a_off = 0
+        f_off = 0
+        for si in range(len(self.positions)):
+            na = int(self.nalleles[si])
+            c0, s0, c1, s1 = [], [], [], []
+            labels = []
+            for k in range(na):
+                r0 = int(self.rows0[a_off + k])
+                c0.append(self.codes[f_off:f_off + r0])
+                s0.append(self.scalars[f_off:f_off + r0])
+                f_off += r0
+                if self.hybrid:
+                    r1 = int(self.rows1[a_off + k])
+                    c1.append(self.codes[f_off:f_off + r1])
+                    s1.append(self.scalars[f_off:f_off + r1])
+                    f_off += r1
+                labels.append(int(self.labels[a_off + k]))
+            sites.append(CodedSiteWork(
+                chromosome=self.chromosome, start=int(self.positions[si]),
+                stop=int(self.stops[si]),
+                alleles=self.alleles[a_off:a_off + na],
+                codes0=c0, scal0=s0,
+                codes1=c1 if self.hybrid else None,
+                scal1=s1 if self.hybrid else None,
+                ref_codes=self.ref_codes[si],
+                labels=labels, site_label=int(self.site_labels[si])))
+            a_off += na
+        return sites
 
 
 @dataclasses.dataclass
@@ -267,10 +332,28 @@ def native_chunk_site_work(bam_paths: Sequence[str], ref: FastaFile,
         return None      # (caller falls back to the staged Python pipeline)
 
     coded_out = out.codes is not None
+    L = feature_length
+    if coded_out and options.get("chunk_block"):
+        # consolidated IPC payload: ship the orchestrator's contiguous
+        # arrays as-is; the main process expands to CodedSiteWork views
+        from .batching import ref_segment_codes
+        S = len(out.positions)
+        refc = np.empty((S, L), np.uint8)
+        for si in range(S):
+            pos, st = int(out.positions[si]), int(out.stops[si])
+            left = (pos + st) // 2 - L // 2
+            refc[si] = ref_segment_codes(
+                ref.fetch(chromosome, left, left + L), left, L)
+        return CodedChunkBlock(
+            chromosome=chromosome, hybrid=hybrid,
+            positions=out.positions, stops=out.stops, nalleles=out.nalleles,
+            rows0=out.rows0, rows1=out.rows1 if hybrid else None,
+            labels=out.labels, site_labels=out.site_labels,
+            alleles=out.alleles, codes=out.codes, scalars=out.scalars,
+            ref_codes=refc)
     sites: list = []
     a_off = 0
     f_off = 0            # dense: bytes; coded: rows
-    L = feature_length
     for si in range(len(out.positions)):
         na = int(out.nalleles[si])
         alleles = out.alleles[a_off:a_off + na]

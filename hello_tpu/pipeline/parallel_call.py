@@ -113,6 +113,8 @@ def _maybe_encode(sites, options):
     dense tensors at all) — this pass covers the staged Python pipeline and
     falls back to the dense list if any site cannot be coded (never true of
     featurizer output)."""
+    if hasattr(sites, "to_sites"):      # CodedChunkBlock: already coded
+        return sites
     if options.get("wire") == "coded" and sites \
             and not isinstance(sites[0], CodedSiteWork):
         from .compact import encode_chunk_sites
@@ -319,6 +321,10 @@ def call_parallel(bam_paths: Sequence[str], ref_path: str, scorer: Scorer,
     # Duck-typed scorers (tests, oracles) get dense SiteWork + PaddedBatch.
     if getattr(scorer, "accepts_wire", False):
         options.setdefault("wire", "coded")
+        # one consolidated IPC payload per chunk (CodedChunkBlock) instead
+        # of thousands of per-site array pickles; expanded to the identical
+        # CodedSiteWork views in the result loop below
+        options.setdefault("chunk_block", True)
 
     jobs = list(make_chunks(regions, chunk_size))
     own_pool = pool is None
@@ -492,6 +498,8 @@ def call_parallel(bam_paths: Sequence[str], ref_path: str, scorer: Scorer,
             logger.error("chunk %s failed: %s", job, payload)
             continue
         completed += 1
+        if hasattr(payload, "to_sites"):   # CodedChunkBlock -> site views
+            payload = payload.to_sites()
         if stats is not None:
             stats["sites"] = stats.get("sites", 0) + len(payload)
         buffer_sites(payload)
@@ -511,6 +519,8 @@ def call_parallel(bam_paths: Sequence[str], ref_path: str, scorer: Scorer,
             if status == "error":
                 failures.append((job, payload))
                 continue
+            if hasattr(payload, "to_sites"):
+                payload = payload.to_sites()
             if stats is not None:
                 stats["sites"] = stats.get("sites", 0) + len(payload)
             buffer_sites(payload)

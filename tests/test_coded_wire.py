@@ -107,6 +107,45 @@ def test_native_coded_chunk_matches_encoded_dense(tmp_path, platforms, hp):
                 np.testing.assert_array_equal(sa, sb)
 
 
+def test_chunk_block_expands_to_identical_sites(tmp_path):
+    """The consolidated IPC payload (CodedChunkBlock, what workers actually
+    ship) must expand to exactly the CodedSiteWork list the per-site path
+    produces."""
+    from hello_tpu import native
+    from hello_tpu.pipeline.candidates import CodedChunkBlock
+
+    assert native.available()
+    ds, _ = _sites(tmp_path / "blk", platforms=("illumina", "pacbio"))
+    bams = [ds.bams[p] for p in ("illumina", "pacbio")]
+    block = host_sites_for_chunk(bams, ds.fasta, ds.chromosome, 0, 30_000,
+                                 {"wire": "coded", "chunk_block": True})
+    assert isinstance(block, CodedChunkBlock)
+    persite = host_sites_for_chunk(bams, ds.fasta, ds.chromosome, 0, 30_000,
+                                   {"wire": "coded"})
+    expanded = block.to_sites()
+    assert len(block) == len(expanded) == len(persite) >= 40
+    for a, b in zip(expanded, persite):
+        assert (a.chromosome, a.start, a.stop, a.alleles, a.labels,
+                a.site_label) == \
+               (b.chromosome, b.start, b.stop, b.alleles, b.labels,
+                b.site_label)
+        np.testing.assert_array_equal(a.ref_codes, b.ref_codes)
+        for ca, cb in zip(a.codes0, b.codes0):
+            np.testing.assert_array_equal(ca, cb)
+        for sa, sb in zip(a.scal0, b.scal0):
+            np.testing.assert_array_equal(sa, sb)
+        for ca, cb in zip(a.codes1, b.codes1):
+            np.testing.assert_array_equal(ca, cb)
+        for sa, sb in zip(a.scal1, b.scal1):
+            np.testing.assert_array_equal(sa, sb)
+    # the block must survive IPC (pickle) as a handful of buffers
+    import pickle
+    back = pickle.loads(pickle.dumps(block, pickle.HIGHEST_PROTOCOL))
+    got = back.to_sites()
+    assert len(got) == len(persite)
+    np.testing.assert_array_equal(got[0].codes0[0], persite[0].codes0[0])
+
+
 def test_wire_scorer_logits_identical(tmp_path):
     """A Scorer fed the WireBatch must produce bit-identical logits to the
     dense PaddedBatch."""
