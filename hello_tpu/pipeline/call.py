@@ -79,6 +79,10 @@ class Scorer:
         self._outstanding: Dict = {}
         self._out_device: Dict[int, object] = {}
         self.peak_concurrent_devices = 0
+        # dispatch (caller thread) and finalize (a drainer thread,
+        # parallel_call._AsyncDrainer) mutate the accounting concurrently
+        import threading
+        self._account_lock = threading.Lock()
 
         from ..ops.read_conv import enable_pallas_read_convs
         enabled = enable_pallas_read_convs(model, params, use_pallas)
@@ -204,11 +208,13 @@ class Scorer:
         multichip dryrun / bench can assert all devices hold work at once
         (scaling-efficiency evidence, not just round-robin equality)."""
         key = str(dev)
-        self.dispatch_counts[key] = self.dispatch_counts.get(key, 0) + 1
-        self._outstanding[key] = self._outstanding.get(key, 0) + 1
-        self._out_device[id(out)] = key
-        busy = sum(1 for v in self._outstanding.values() if v > 0)
-        self.peak_concurrent_devices = max(self.peak_concurrent_devices, busy)
+        with self._account_lock:
+            self.dispatch_counts[key] = self.dispatch_counts.get(key, 0) + 1
+            self._outstanding[key] = self._outstanding.get(key, 0) + 1
+            self._out_device[id(out)] = key
+            busy = sum(1 for v in self._outstanding.values() if v > 0)
+            self.peak_concurrent_devices = max(self.peak_concurrent_devices,
+                                               busy)
         return out
 
     def _start_readback(self, out):
@@ -243,10 +249,11 @@ class Scorer:
         their in-flight queue in one call)."""
         if not outs:
             return []
-        for out in outs:
-            key = self._out_device.pop(id(out), None)
-            if key is not None:
-                self._outstanding[key] -= 1
+        with self._account_lock:
+            for out in outs:
+                key = self._out_device.pop(id(out), None)
+                if key is not None:
+                    self._outstanding[key] -= 1
         fetched = self._jax.device_get(list(outs))
         return [self._host_form(out) for out in fetched]
 

@@ -13,9 +13,11 @@ index (hello_tpu.parallel.mesh.shard_regions) with a final VCF merge.
 
 from __future__ import annotations
 
+import collections
 import logging
 import multiprocessing as mp
 import os
+import threading
 import time
 from typing import List, Optional, Sequence, Tuple
 
@@ -204,29 +206,16 @@ class HostWorkerPool:
                 f"{len(dead)} pool worker(s) died "
                 f"(exitcodes {[w.exitcode for w in dead]}); see worker stderr")
 
-    def _get(self, timeout: float, idle=None):
-        """Queue get that notices dead workers instead of blocking forever.
-
-        ``idle`` (optional callable) runs whenever the queue is momentarily
-        empty — the consumer can use the wait to drain finished device
-        results instead of sitting blocked (see ``call_parallel``)."""
+    def _get(self, timeout: float):
+        """Queue get that notices dead workers instead of blocking forever."""
         import queue as _q
         deadline = time.monotonic() + timeout
-        # coarse poll: idle work is opportunistic, and a tight poll would
-        # busy-spin this process's core against the host workers
-        poll = 0.05 if idle is not None else 5.0
-        last_alive = time.monotonic()
         while True:
             try:
-                return self._result_queue.get(timeout=poll)
+                return self._result_queue.get(timeout=5.0)
             except _q.Empty:
-                if idle is not None:
-                    idle()
-                now = time.monotonic()
-                if now - last_alive > 5.0:
-                    self._check_alive()
-                    last_alive = now
-                if now > deadline:
+                self._check_alive()
+                if time.monotonic() > deadline:
                     raise TimeoutError(
                         f"no worker result within {timeout:.0f}s")
 
@@ -249,13 +238,12 @@ class HostWorkerPool:
         self._job_queue.put((self._run_id, list(bam_paths), ref_path,
                              dict(options), chromosome, start, stop))
 
-    def results(self, n: int, timeout: float = 3600.0, idle=None):
+    def results(self, n: int, timeout: float = 3600.0):
         """Yield n ('ok'|'error', region, payload) messages of the CURRENT
-        run as they arrive; stale runs' messages are dropped.  ``idle`` runs
-        while the queue is empty (see ``_get``)."""
+        run as they arrive; stale runs' messages are dropped."""
         got = 0
         while got < n:
-            msg = self._get(timeout, idle=idle)
+            msg = self._get(timeout)
             if msg[0] == "ready":          # late startup acks interleave
                 self._ready += 1
                 continue
@@ -277,6 +265,108 @@ class HostWorkerPool:
 
     def __exit__(self, *exc):
         self.shutdown()
+
+
+def _out_ready(out) -> bool:
+    """Whether a dispatched batch's device arrays are done (non-blocking).
+    Duck-typed scorers (tests, oracles) return host arrays — always ready."""
+    if isinstance(out, dict):
+        arr = out.get("experts", out.get("best_p"))
+    else:
+        arr = out
+    is_ready = getattr(arr, "is_ready", None)
+    return is_ready() if callable(is_ready) else True
+
+
+class _AsyncDrainer:
+    """Background consumer of dispatched scoring batches.
+
+    Device readbacks through remote-TPU tunnels pay a full round trip per
+    drain (~30-250 ms) and intermittently stall for seconds; paying them on
+    the dispatching thread serialises the whole caller behind the tunnel.
+    This thread owns the in-flight queue's downstream half: it blocks on the
+    oldest dispatched batch, bulk-fetches the finished prefix in ONE
+    ``finalize_many`` call, and runs genotype decode + record assembly —
+    all overlapped with the main thread's packing/dispatching and the
+    workers' host production.
+
+    ``put`` enforces the in-flight window (bounds live batch inputs in HBM);
+    ``close`` joins and re-raises any consumer-side failure.  Only this
+    thread touches the result callback, so record lists need no locking —
+    the caller reads them after ``close`` returns.
+    """
+
+    def __init__(self, scorer, on_result, t_acc, max_in_flight: int):
+        self._on_result = on_result
+        self._t_acc = t_acc
+        self._max = max_in_flight
+        self._finalize_many = getattr(scorer, "finalize_many", None)
+        self._finalize = getattr(scorer, "finalize", lambda out: out)
+        self._q: collections.deque = collections.deque()
+        self._cv = threading.Condition()
+        self._done = False
+        self._exc: Optional[BaseException] = None
+        self._in_flight = 0
+        self._thread = threading.Thread(target=self._run, daemon=True,
+                                        name="hello-tpu-drain")
+        self._thread.start()
+
+    def put(self, group, batch, out):
+        """Queue a dispatched batch; blocks while the in-flight window is
+        full (the wait is the back-pressure that used to be the main loop's
+        blocking drain)."""
+        t0 = time.perf_counter()
+        with self._cv:
+            while self._in_flight >= self._max and self._exc is None:
+                self._cv.wait()
+            if self._exc is not None:
+                raise self._exc
+            self._q.append((group, batch, out))
+            self._in_flight += 1
+            self._cv.notify_all()
+        self._t_acc["backpressure_s"] += time.perf_counter() - t0
+
+    def close(self):
+        """Signal end of input, wait for the queue to drain, re-raise any
+        consumer failure."""
+        with self._cv:
+            self._done = True
+            self._cv.notify_all()
+        self._thread.join()
+        if self._exc is not None:
+            raise self._exc
+
+    def _run(self):
+        try:
+            while True:
+                with self._cv:
+                    while not self._q and not self._done:
+                        self._cv.wait()
+                    if not self._q and self._done:
+                        return
+                    # oldest entry (blocking) + the already-finished prefix
+                    # behind it: ONE bulk fetch per round trip
+                    take = [self._q.popleft()]
+                    while self._q and _out_ready(self._q[0][2]):
+                        take.append(self._q.popleft())
+                t0 = time.perf_counter()
+                if self._finalize_many is not None:
+                    fins = self._finalize_many([e[2] for e in take])
+                else:
+                    fins = [self._finalize(e[2]) for e in take]
+                t1 = time.perf_counter()
+                self._t_acc["fetch_s"] += t1 - t0
+                for (group, batch, _out), fin in zip(take, fins):
+                    self._on_result(group, batch, fin)
+                self._t_acc["decode_s"] += time.perf_counter() - t1
+                self._t_acc["drain_s"] += time.perf_counter() - t0
+                with self._cv:
+                    self._in_flight -= len(take)
+                    self._cv.notify_all()
+        except BaseException as exc:   # surfaced by put()/close()
+            with self._cv:
+                self._exc = exc
+                self._cv.notify_all()
 
 
 def make_chunks(regions: Sequence[Tuple[str, int, int]],
@@ -340,13 +430,11 @@ def call_parallel(bam_paths: Sequence[str], ref_path: str, scorer: Scorer,
     failures = []
     completed = 0
 
-    # Pipelined scoring (as in call_region): dispatch ahead with jax async
-    # dispatch, decode behind, so device execution overlaps both the host
-    # decode AND worker result collection.
-    from collections import deque
-    in_flight: deque = deque()
-    # deep enough that every local chip holds work (scorer round-robins
-    # batches across devices)
+    # Pipelined scoring: the main thread packs and dispatches (jax async
+    # dispatch), a background drainer thread (_AsyncDrainer) blocks on
+    # device results and runs genotype decode + record assembly — so tunnel
+    # readback latency/stalls overlap with host production AND dispatch
+    # instead of serialising the loop.
     MAX_IN_FLIGHT = getattr(scorer, "max_in_flight", 3)
     _score_async = getattr(scorer, "score_async", None)
     if _score_async is not None and getattr(scorer, "device_decode", False):
@@ -357,70 +445,31 @@ def call_parallel(bam_paths: Sequence[str], ref_path: str, scorer: Scorer,
         _dispatch = _score_async
     else:
         _dispatch = scorer
-    _finalize = getattr(scorer, "finalize", lambda out: out)
-    # main-loop stage accounting (seconds), reported through ``stats``:
-    # wait = blocked on worker results (host-stage bound), pack/dispatch =
-    # batch assembly + device dispatch, drain = blocked on device results +
-    # genotype decode + record assembly (device/decode bound)
-    t_acc = {"wait_s": 0.0, "pack_s": 0.0, "dispatch_s": 0.0, "drain_s": 0.0,
-             "fetch_s": 0.0, "decode_s": 0.0}
+    # stage accounting (seconds), reported through ``stats``: wait = main
+    # thread blocked on worker results (host-stage bound), pack/dispatch =
+    # batch assembly + device dispatch, backpressure = main thread blocked
+    # on the full in-flight window; drain/fetch/decode accrue on the drainer
+    # thread and OVERLAP the main-thread stages (they only bound the wall
+    # clock when the device or the readback tunnel is the bottleneck)
+    t_acc = {"wait_s": 0.0, "pack_s": 0.0, "dispatch_s": 0.0,
+             "backpressure_s": 0.0, "drain_s": 0.0, "fetch_s": 0.0,
+             "decode_s": 0.0}
 
-    def _out_ready(out) -> bool:
-        """Whether a dispatched batch's device arrays are done (non-blocking).
-        Duck-typed scorers (tests, oracles) return host arrays — always
-        ready."""
-        if isinstance(out, dict):
-            arr = out.get("experts", out.get("best_p"))
+    def _on_result(group, batch, fin):
+        if isinstance(fin, dict) and "best_i" in fin:
+            from ..nn.genotype import calls_from_device_decode
+            calls = calls_from_device_decode(fin, batch.allele_site_index,
+                                             group)
         else:
-            arr = out
-        is_ready = getattr(arr, "is_ready", None)
-        return is_ready() if callable(is_ready) else True
+            experts, meta = fin
+            calls = decode_batch(experts, meta, batch.allele_site_index,
+                                 group, full=False)
+        for call in calls:
+            rec = vcf_record_from_call(call, ref_lookup)
+            if rec is not None:
+                records.append(rec)
 
-    _finalize_many = getattr(scorer, "finalize_many", None)
-
-    def _drain(min_count=0):
-        """Drain the finished prefix of the in-flight queue — plus at least
-        ``min_count`` entries, blocking — with ONE bulk device fetch.
-        Device execution is in-order, so any entry behind a finished one is
-        finished too; fetching them together pays the readback round trip
-        (~100 ms through remote-TPU tunnels) once per drain, not per batch."""
-        take = []
-        while in_flight and (len(take) < min_count
-                             or _out_ready(in_flight[0][2])):
-            take.append(in_flight.popleft())
-        if not take:
-            return
-        t0 = time.perf_counter()
-        if _finalize_many is not None:
-            fins = _finalize_many([e[2] for e in take])
-        else:
-            fins = [_finalize(e[2]) for e in take]
-        t1 = time.perf_counter()
-        t_acc["fetch_s"] += t1 - t0
-        for (group, batch, _out), fin in zip(take, fins):
-            if isinstance(fin, dict) and "best_i" in fin:
-                from ..nn.genotype import calls_from_device_decode
-                calls = calls_from_device_decode(fin, batch.allele_site_index,
-                                                 group)
-            else:
-                experts, meta = fin
-                calls = decode_batch(experts, meta, batch.allele_site_index,
-                                     group, full=False)
-            for call in calls:
-                rec = vcf_record_from_call(call, ref_lookup)
-                if rec is not None:
-                    records.append(rec)
-        t_acc["decode_s"] += time.perf_counter() - t1
-        t_acc["drain_s"] += time.perf_counter() - t0
-
-    def _drain_ready():
-        """Opportunistic drain while blocked on worker results: finished
-        device batches get decoded during the wait instead of serialising
-        behind it at the end of the run."""
-        _drain(0)
-
-    def _drain_one():
-        _drain(min_count=1)
+    drainer = _AsyncDrainer(scorer, _on_result, t_acc, MAX_IN_FLIGHT)
 
     def score_group(group):
         t0 = time.perf_counter()
@@ -437,10 +486,9 @@ def call_parallel(bam_paths: Sequence[str], ref_path: str, scorer: Scorer,
                                channels1=7 if include_hp else 6)
         t1 = time.perf_counter()
         t_acc["pack_s"] += t1 - t0
-        in_flight.append((group, batch, _dispatch(batch)))
+        out = _dispatch(batch)
         t_acc["dispatch_s"] += time.perf_counter() - t1
-        if len(in_flight) >= MAX_IN_FLIGHT:
-            _drain_one()
+        drainer.put(group, batch, out)
 
     # Sites are buffered ACROSS chunk results so the device sees full
     # max_alleles_per_batch batches: per-chunk site counts are small, and
@@ -485,51 +533,65 @@ def call_parallel(bam_paths: Sequence[str], ref_path: str, scorer: Scorer,
         # must stay a deterministic function of the workload; overlap comes
         # from the allele budget (smaller budget = more, earlier batches).
 
-    _results = pool.results(len(jobs), idle=_drain_ready)
-    while True:
-        t0 = time.perf_counter()
-        msg = next(_results, None)
-        t_acc["wait_s"] += time.perf_counter() - t0
-        if msg is None:
-            break
-        status, job, payload = msg
-        if status == "error":
-            failures.append((job, payload))
-            logger.error("chunk %s failed: %s", job, payload)
-            continue
-        completed += 1
-        if hasattr(payload, "to_sites"):   # CodedChunkBlock -> site views
-            payload = payload.to_sites()
-        if stats is not None:
-            stats["sites"] = stats.get("sites", 0) + len(payload)
-        buffer_sites(payload)
-        if completed % 20 == 0:
-            logger.info("completed %d/%d chunks (%d records)",
-                        completed, len(jobs), len(records))
-    # recovery = rerun failed shard (the reference's model): failed chunks
-    # get one retry — a transient worker fault (OOM kill, IO hiccup) should
-    # not abort a genome-scale run; a deterministic fault still raises
-    if failures:
-        retry = [job for job, _ in failures]
-        logger.warning("retrying %d failed chunk(s)", len(retry))
-        failures = []
-        for job in retry:
-            pool.submit(bam_paths, ref_path, options, job)
-        for status, job, payload in pool.results(len(retry)):
+    body_ok = False
+    try:
+        _results = pool.results(len(jobs))
+        while True:
+            t0 = time.perf_counter()
+            msg = next(_results, None)
+            t_acc["wait_s"] += time.perf_counter() - t0
+            if msg is None:
+                break
+            status, job, payload = msg
             if status == "error":
                 failures.append((job, payload))
+                logger.error("chunk %s failed: %s", job, payload)
                 continue
-            if hasattr(payload, "to_sites"):
+            completed += 1
+            if hasattr(payload, "to_sites"):   # CodedChunkBlock -> site views
                 payload = payload.to_sites()
             if stats is not None:
                 stats["sites"] = stats.get("sites", 0) + len(payload)
             buffer_sites(payload)
+            if completed % 20 == 0:
+                logger.info("completed %d/%d chunks (%d records)",
+                            completed, len(jobs), len(records))
+        # recovery = rerun failed shard (the reference's model): failed chunks
+        # get one retry — a transient worker fault (OOM kill, IO hiccup)
+        # should not abort a genome-scale run; a deterministic fault raises
+        if failures:
+            retry = [job for job, _ in failures]
+            logger.warning("retrying %d failed chunk(s)", len(retry))
+            failures = []
+            for job in retry:
+                pool.submit(bam_paths, ref_path, options, job)
+            for status, job, payload in pool.results(len(retry)):
+                if status == "error":
+                    failures.append((job, payload))
+                    continue
+                if hasattr(payload, "to_sites"):
+                    payload = payload.to_sites()
+                if stats is not None:
+                    stats["sites"] = stats.get("sites", 0) + len(payload)
+                buffer_sites(payload)
 
-    for key in sorted(pending):
-        for group in group_sites_for_batching(pending[key],
-                                              max_alleles_per_batch):
-            score_group(group)
-    _drain(min_count=len(in_flight))       # bulk-fetch the tail in one call
+        for key in sorted(pending):
+            for group in group_sites_for_batching(pending[key],
+                                                  max_alleles_per_batch):
+                score_group(group)
+        body_ok = True
+    finally:
+        # always join the drainer (records are only complete — and only
+        # safely readable — after it returns); re-raises consumer failures,
+        # except while an earlier exception is already propagating (the
+        # root cause must not be masked by a secondary drain failure)
+        if body_ok:
+            drainer.close()
+        else:
+            try:
+                drainer.close()
+            except BaseException:
+                logger.exception("drainer failed during abort")
     if stats is not None:
         stats.update(t_acc)
 
