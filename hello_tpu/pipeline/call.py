@@ -381,6 +381,11 @@ def call_region(bam_paths: Sequence[str], ref: FastaFile, chromosome: str,
     # async dispatch), decode behind — host packing/decoding overlaps device
     # execution.  In-flight inputs stay alive in HBM, so the window is small;
     # Scorer.max_in_flight scales it so every local chip holds work.
+    # Plain calling additionally moves fetch + decode onto a background
+    # drainer thread (parallel_call._AsyncDrainer) so tunnel readback
+    # latency/stalls overlap host work; the provide_experts path keeps the
+    # inline drain (its record assembly is heavy and order-coupled enough
+    # that the thread buys little).
     MAX_IN_FLIGHT = getattr(scorer, "max_in_flight", 3)
     from collections import deque
     pending: deque = deque()
@@ -480,26 +485,49 @@ def call_region(bam_paths: Sequence[str], ref: FastaFile, chromosome: str,
     # by_read_bucket: batches are classed by read depth so one deep site
     # cannot inflate the padded read axis of every other site's batch;
     # outputs are re-sorted below, so cross-class scoring order is free
+    drainer = None
+    if expert_records is None:
+        from .parallel_call import _AsyncDrainer
+        drainer = _AsyncDrainer(scorer, _decode_entry,
+                                {"backpressure_s": 0.0, "drain_s": 0.0,
+                                 "fetch_s": 0.0, "decode_s": 0.0},
+                                MAX_IN_FLIGHT)
     from .batching import CodedSiteWork
-    for group in group_sites_for_batching(sites, max_alleles_per_batch,
-                                          by_read_bucket=True):
-        with telemetry.stage("batch_packing"):
-            if isinstance(group[0], CodedSiteWork):
-                from .compact import pack_sites_wire
-                batch = pack_sites_wire(group, hybrid=hybrid_model,
-                                        feature_length=feature_length)
-            else:
-                batch = pack_sites(group, hybrid=hybrid_model,
-                                   feature_length=feature_length,
-                                   channels0=7 if include_hp else 6,
-                                   channels1=7 if include_hp else 6)
-        with telemetry.stage("device_scoring"):
-            out = _dispatch(batch)
-        pending.append((group, batch, out))
-        if len(pending) >= MAX_IN_FLIGHT:
-            _consume()
-    while pending:
-        _consume(drain_all=True)
+    body_ok = False
+    try:
+        for group in group_sites_for_batching(sites, max_alleles_per_batch,
+                                              by_read_bucket=True):
+            with telemetry.stage("batch_packing"):
+                if isinstance(group[0], CodedSiteWork):
+                    from .compact import pack_sites_wire
+                    batch = pack_sites_wire(group, hybrid=hybrid_model,
+                                            feature_length=feature_length)
+                else:
+                    batch = pack_sites(group, hybrid=hybrid_model,
+                                       feature_length=feature_length,
+                                       channels0=7 if include_hp else 6,
+                                       channels1=7 if include_hp else 6)
+            with telemetry.stage("device_scoring"):
+                out = _dispatch(batch)
+            if drainer is not None:
+                drainer.put(group, batch, out)
+                continue
+            pending.append((group, batch, out))
+            if len(pending) >= MAX_IN_FLIGHT:
+                _consume()
+        while pending:
+            _consume(drain_all=True)
+        body_ok = True
+    finally:
+        # join the drainer before reading `records`; a close() failure must
+        # not mask an exception already propagating from the loop above
+        if drainer is not None and body_ok:
+            drainer.close()
+        elif drainer is not None:
+            try:
+                drainer.close()
+            except BaseException:
+                logger.exception("drainer failed during abort")
 
     records.sort(key=lambda r: r.key())
     if expert_records is not None:
