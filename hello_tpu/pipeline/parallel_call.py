@@ -385,7 +385,12 @@ def call_parallel(bam_paths: Sequence[str], ref_path: str, scorer: Scorer,
                   # earlier, so device scoring overlaps host production
                   # instead of serialising at the end of the stream — worth
                   # ~15% end-to-end on a 4-core host (A/B on a v5e), and the
-                  # shapes stay a deterministic function of the workload
+                  # shapes stay a deterministic function of the workload.
+                  # Re-A/B'd after the _AsyncDrainer landed (interleaved
+                  # 5x5 on a v5e): 1024 -> 5815 w/s median, 2048 -> 5491,
+                  # spreads overlap — the budget no longer matters once
+                  # readbacks are off the dispatching thread; keeping 1024
+                  # for the earlier first batch on slow hosts.
                   max_alleles_per_batch: int = 1024,
                   include_hp: bool = False,
                   stats: Optional[dict] = None,
