@@ -55,6 +55,30 @@ htpu_window* htpu_window_create(
     const int8_t* hp,
     const htpu_params* params);
 
+/* Scatter-gather window creation: one source descriptor per read, each
+ * pointing into caller-owned pools (e.g. a BamData's flat arrays).  The
+ * window copies each read's bytes ONCE straight into its own bulk buffers —
+ * htpu_window_create requires pre-concatenated inputs, which costs callers
+ * marshalling from per-record pools a second full copy. */
+typedef struct htpu_read_src {
+    const char* seq;
+    const uint8_t* qual;
+    int64_t seq_len;
+    const uint32_t* cigars;
+    int64_t n_cigars;
+    int64_t ref_start;
+    int32_t mapq;
+    int8_t orientation;
+    uint8_t pacbio;
+    int8_t hp;
+} htpu_read_src;
+
+htpu_window* htpu_window_create_gather(
+    const char* reference, int64_t ref_len, int64_t window_start,
+    int64_t region_start, int64_t region_stop,
+    const htpu_read_src* srcs, int32_t num_reads,
+    const htpu_params* params);
+
 void htpu_window_destroy(htpu_window* w);
 
 /* Differing regions: writes up to max_out (start, stop) pairs; returns count

@@ -13,7 +13,8 @@
 #include <cstring>
 #include <random>
 #include <string>
-#include <unordered_set>
+#include <string_view>
+#include <unordered_map>
 #include <vector>
 
 namespace {
@@ -54,7 +55,33 @@ struct BamData {
     // binary-search [start - max_span, stop) instead of scanning every read
     bool pos_sorted = true;
     int64_t max_span = 0;
+
+    // dedup fast path: (read name, strand) equivalence classes are a
+    // property of the record set, but select() runs once per WINDOW over
+    // every overlapping record — hashing the name bytes there dominated the
+    // host profile.  name_ids (built once, lazily, after the pool is
+    // stable) turn per-window dedup into an O(1) epoch-stamp check.
+    std::vector<int32_t> name_ids;   // per record: id of its name class
+    int32_t n_names = 0;
 };
+
+// build (read name -> small id) once per opened region; the names pool is
+// stable once parsing is done, so ids index it by view without copies
+static void ensure_name_ids(BamData& d) {
+    if (!d.name_ids.empty() || d.ref_ids.empty()) return;
+    size_t n = d.ref_ids.size();
+    d.name_ids.resize(n);
+    std::unordered_map<std::string_view, int32_t> ids;
+    ids.reserve(n);
+    for (size_t i = 0; i < n; i++) {
+        std::string_view nm(
+            d.names.data() + d.name_offsets[i],
+            (size_t)(d.name_offsets[i + 1] - d.name_offsets[i]) - 1);
+        auto it = ids.emplace(nm, (int32_t)ids.size()).first;
+        d.name_ids[i] = it->second;
+    }
+    d.n_names = (int32_t)ids.size();
+}
 
 bool bgzf_decompress(const char* path, std::vector<uint8_t>& out) {
     FILE* fh = std::fopen(path, "rb");
@@ -443,6 +470,11 @@ void record_span(const uint8_t* rec, int32_t* rid, int64_t* pos, int64_t* end) {
 
 struct htpu_bam {
     BamData d;
+    // per-window dedup scratch (select() is called from one thread per
+    // process): stamp[name_id * 2 + strand] == epoch marks "already seen
+    // this window" without clearing between windows
+    std::vector<uint32_t> dedup_stamp;
+    uint32_t dedup_epoch = 0;
 };
 
 extern "C" {
@@ -603,34 +635,20 @@ int32_t htpu_bam_select(htpu_bam* b, int32_t ref_id, int64_t start,
     const uint16_t UNMAPPED = 0x4, SECONDARY = 0x100, SUP = 0x800,
                    DUP = 0x400, PAIRED = 0x1, PROPER = 0x2, REVERSE = 0x10;
     std::vector<int32_t> kept;
-    // dedup key = (read name, strand), exactly as hello_tpu/reads.py — but
-    // without materialising a std::string per candidate read (this loop runs
-    // once per window over every overlapping record): keys are (offset into
-    // the shared name pool | strand bit) and equality compares the pooled
-    // bytes in place
-    struct NameKey {
-        const BamData* d;
-        size_t operator()(int64_t k) const {
-            int64_t i = k >> 1;
-            const char* s = d->names.data() + d->name_offsets[i];
-            size_t n = (size_t)(d->name_offsets[i + 1] - d->name_offsets[i]) - 1;
-            size_t h = 1469598103934665603ull;          // FNV-1a
-            for (size_t j = 0; j < n; j++)
-                h = (h ^ (uint8_t)s[j]) * 1099511628211ull;
-            return h ^ (size_t)(k & 1);
-        }
-        bool operator()(int64_t a, int64_t b) const {
-            if ((a & 1) != (b & 1)) return false;
-            int64_t i = a >> 1, j = b >> 1;
-            size_t ni = (size_t)(d->name_offsets[i + 1] - d->name_offsets[i]);
-            size_t nj = (size_t)(d->name_offsets[j + 1] - d->name_offsets[j]);
-            if (ni != nj) return false;
-            return std::memcmp(d->names.data() + d->name_offsets[i],
-                               d->names.data() + d->name_offsets[j], ni) == 0;
-        }
-    };
-    NameKey nk{&d};
-    std::unordered_set<int64_t, NameKey, NameKey> seen(64, nk, nk);
+    // dedup key = (read name, strand), exactly as hello_tpu/reads.py.
+    // Name classes are precomputed once per region (ensure_name_ids); per
+    // window, "seen" is one epoch-stamp compare — no hashing in this loop
+    // (it runs once per window over every overlapping record and dominated
+    // the host profile when it hashed name bytes per candidate).
+    ensure_name_ids(b->d);
+    if (b->dedup_stamp.size() != (size_t)d.n_names * 2)
+        b->dedup_stamp.assign((size_t)d.n_names * 2, 0);
+    if (++b->dedup_epoch == 0) {               // uint32 wrap: stale stamps
+        std::fill(b->dedup_stamp.begin(), b->dedup_stamp.end(), 0u);
+        ++b->dedup_epoch;
+    }
+    const uint32_t epoch = b->dedup_epoch;
+    uint32_t* stamp = b->dedup_stamp.data();
     std::mt19937_64 rng(seed);
     int64_t encountered = 0;
     // coordinate-sorted records: binary-search the candidate index range
@@ -663,7 +681,9 @@ int32_t htpu_bam_select(htpu_bam* b, int32_t ref_id, int64_t start,
         if (f & (UNMAPPED | SECONDARY | SUP | DUP)) continue;
         if ((f & PAIRED) && !(f & PROPER)) continue;
         if (d.mapqs[i] <= 0) continue;
-        if (!seen.insert((i << 1) | ((f & REVERSE) ? 1 : 0)).second) continue;
+        uint32_t key = (uint32_t)d.name_ids[i] * 2 + ((f & REVERSE) ? 1 : 0);
+        if (stamp[key] == epoch) continue;
+        stamp[key] = epoch;
         double p_keep = (double)max_reads / (double)(encountered + 1);
         double u = std::uniform_real_distribution<double>(0.0, 1.0)(rng);
         if (u < p_keep) {
@@ -702,45 +722,31 @@ htpu_window* htpu_window_create_from_bam(
         const char* reference, int64_t ref_len, int64_t window_start,
         int64_t region_start, int64_t region_stop,
         const htpu_params* params) {
-    // marshal the selection into the flat-buffer constructor entirely in C++
-    std::string seqs;
-    std::vector<int64_t> seq_offsets{0};
-    std::vector<uint8_t> quals;
-    std::vector<uint32_t> cigars;
-    std::vector<int64_t> cigar_offsets{0};
-    std::vector<int64_t> ref_starts;
-    std::vector<int32_t> mapqs;
-    std::vector<int8_t> orientation;
-    std::vector<uint8_t> pacbio;
-    std::vector<int8_t> hps;
-
-    int32_t total = 0;
+    // describe the selection as per-read views into the BamData pools; the
+    // gather constructor copies each read's bytes once (the previous
+    // marshal-then-construct path concatenated everything here AND copied
+    // again inside the window)
+    std::vector<htpu_read_src> srcs;
     const int32_t* cursor = idx;
     for (int32_t bi = 0; bi < n_bams; bi++) {
         const BamData& d = bams[bi]->d;
         for (int32_t k = 0; k < counts[bi]; k++) {
             int32_t i = cursor[k];
-            int64_t s0 = d.seq_offsets[i], s1 = d.seq_offsets[i + 1];
-            seqs.append(d.seqs.data() + s0, (size_t)(s1 - s0));
-            quals.insert(quals.end(), d.quals.begin() + s0, d.quals.begin() + s1);
-            seq_offsets.push_back((int64_t)seqs.size());
-            int64_t c0 = d.cigar_offsets[i], c1 = d.cigar_offsets[i + 1];
-            cigars.insert(cigars.end(), d.cigars.begin() + c0, d.cigars.begin() + c1);
-            cigar_offsets.push_back((int64_t)cigars.size());
-            ref_starts.push_back(d.ref_starts[i]);
-            mapqs.push_back(d.mapqs[i]);
-            orientation.push_back((d.flags[i] & 0x10) ? -1 : 1);
-            pacbio.push_back(bam_pacbio[bi]);
-            hps.push_back(d.hps[i]);
-            total++;
+            int64_t s0 = d.seq_offsets[i];
+            int64_t c0 = d.cigar_offsets[i];
+            srcs.push_back(htpu_read_src{
+                d.seqs.data() + s0, d.quals.data() + s0,
+                d.seq_offsets[i + 1] - s0,
+                d.cigars.data() + c0, d.cigar_offsets[i + 1] - c0,
+                d.ref_starts[i], d.mapqs[i],
+                (int8_t)((d.flags[i] & 0x10) ? -1 : 1),
+                bam_pacbio[bi], d.hps[i]});
         }
         cursor += counts[bi];
     }
-    return htpu_window_create(
-        reference, ref_len, window_start, region_start, region_stop, total,
-        seqs.data(), seq_offsets.data(), quals.data(),
-        cigars.data(), cigar_offsets.data(), ref_starts.data(), mapqs.data(),
-        orientation.data(), pacbio.data(), hps.data(), params);
+    return htpu_window_create_gather(
+        reference, ref_len, window_start, region_start, region_stop,
+        srcs.data(), (int32_t)srcs.size(), params);
 }
 
 }  // extern "C"

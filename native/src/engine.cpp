@@ -913,6 +913,68 @@ void htpu_default_params(htpu_params* out) {
     out->max_reassembly_region_size = 10;
 }
 
+// shared core: copy each read's bytes ONCE from wherever they live into the
+// window's bulk buffers, then build views + counts
+static htpu_window* window_create_impl(
+        const char* reference, int64_t ref_len, int64_t window_start,
+        int64_t region_start, int64_t region_stop,
+        const htpu_read_src* srcs, int32_t num_reads,
+        const htpu_params* params) {
+    auto* h = new htpu_window();
+    Window& w = h->w;
+    w.reference.assign(reference, (size_t)ref_len);
+    w.window_start = window_start;
+    w.region_start = region_start;
+    w.region_stop = region_stop;
+    if (params) w.params = *params;
+    else htpu_default_params(&w.params);
+
+    int64_t seq_total = 0, cig_total = 0;
+    for (int32_t i = 0; i < num_reads; i++) {
+        seq_total += srcs[i].seq_len;
+        cig_total += srcs[i].n_cigars;
+    }
+    w.seqs_buf.resize((size_t)seq_total);
+    w.quals_buf.resize((size_t)seq_total);
+    w.cigars_buf.resize((size_t)cig_total);
+    w.reads.reserve(num_reads);
+    int64_t so = 0, co = 0;
+    for (int32_t i = 0; i < num_reads; i++) {
+        const htpu_read_src& s = srcs[i];
+        std::memcpy(&w.seqs_buf[so], s.seq, (size_t)s.seq_len);
+        std::memcpy(&w.quals_buf[so], s.qual, (size_t)s.seq_len);
+        if (s.n_cigars)
+            std::memcpy(&w.cigars_buf[co], s.cigars,
+                        (size_t)s.n_cigars * sizeof(uint32_t));
+        ReadView rv;
+        rv.seq = w.seqs_buf.data() + so;
+        rv.qual = w.quals_buf.data() + so;
+        rv.seq_len = s.seq_len;
+        rv.cigars = w.cigars_buf.data() + co;
+        rv.n_cigars = s.n_cigars;
+        rv.ref_start = s.ref_start;
+        rv.mapq = s.mapq;
+        rv.orientation = s.orientation;
+        rv.pacbio = s.pacbio != 0;
+        rv.hp = s.hp;
+        w.reads.push_back(rv);
+        so += s.seq_len;
+        co += s.n_cigars;
+    }
+    w.count_reads();
+    return h;
+}
+
+htpu_window* htpu_window_create_gather(
+        const char* reference, int64_t ref_len, int64_t window_start,
+        int64_t region_start, int64_t region_stop,
+        const htpu_read_src* srcs, int32_t num_reads,
+        const htpu_params* params) {
+    return window_create_impl(reference, ref_len, window_start,
+                              region_start, region_stop, srcs, num_reads,
+                              params);
+}
+
 htpu_window* htpu_window_create(
         const char* reference, int64_t ref_len, int64_t window_start,
         int64_t region_start, int64_t region_stop,
@@ -926,41 +988,19 @@ htpu_window* htpu_window_create(
         const uint8_t* pacbio,
         const int8_t* hp,
         const htpu_params* params) {
-    auto* h = new htpu_window();
-    Window& w = h->w;
-    w.reference.assign(reference, (size_t)ref_len);
-    w.window_start = window_start;
-    w.region_start = region_start;
-    w.region_stop = region_stop;
-    if (params) w.params = *params;
-    else htpu_default_params(&w.params);
-
-    // the inputs are contiguous concatenated buffers: one bulk copy each,
-    // then views at the recorded offsets (no per-read allocations)
-    int64_t seq_total = seq_offsets[num_reads];
-    int64_t cig_total = cigar_offsets[num_reads];
-    w.seqs_buf.assign(seqs, (size_t)seq_total);
-    w.quals_buf.assign(quals, quals + seq_total);
-    w.cigars_buf.assign(cigars, cigars + cig_total);
-    w.reads.reserve(num_reads);
+    // concatenated-buffer form (the ctypes binding's layout): adapt to the
+    // gather core with per-read views into the caller's buffers
+    std::vector<htpu_read_src> srcs((size_t)num_reads);
     for (int32_t i = 0; i < num_reads; i++) {
         int64_t s0 = seq_offsets[i], s1 = seq_offsets[i + 1];
         int64_t c0 = cigar_offsets[i], c1 = cigar_offsets[i + 1];
-        ReadView rv;
-        rv.seq = w.seqs_buf.data() + s0;
-        rv.qual = w.quals_buf.data() + s0;
-        rv.seq_len = s1 - s0;
-        rv.cigars = w.cigars_buf.data() + c0;
-        rv.n_cigars = c1 - c0;
-        rv.ref_start = ref_starts[i];
-        rv.mapq = mapq[i];
-        rv.orientation = orientation[i];
-        rv.pacbio = pacbio[i] != 0;
-        rv.hp = hp[i];
-        w.reads.push_back(rv);
+        srcs[i] = htpu_read_src{seqs + s0, quals + s0, s1 - s0,
+                                cigars + c0, c1 - c0, ref_starts[i],
+                                mapq[i], orientation[i], pacbio[i], hp[i]};
     }
-    w.count_reads();
-    return h;
+    return window_create_impl(reference, ref_len, window_start,
+                              region_start, region_stop,
+                              srcs.data(), num_reads, params);
 }
 
 void htpu_window_destroy(htpu_window* w) { delete w; }
