@@ -366,3 +366,107 @@ def test_gen_dump_combinations(tmp_path):
     assert "hello_tpu.pipeline.dump" in cmd
     assert f"--bam {ds.bams['illumina']},{ds.bams['pacbio']}" in cmd
     assert (work / "commands.sh").exists()
+
+
+# ---------------------------------------------------------------------------
+# _AsyncDrainer: the background consumer both callers hand their dispatched
+# batches to (pipeline/parallel_call.py); these pin its contract directly —
+# completeness, bounded in-flight window, and failure propagation without
+# hangs — independent of the e2e paths that exercise it implicitly.
+# ---------------------------------------------------------------------------
+
+class _FakeScorer:
+    """Duck-typed scorer: finalize_many is the only method the drainer needs;
+    optionally fails on the nth finalize call."""
+
+    def __init__(self, fail_on=None):
+        self.calls = 0
+        self.fail_on = fail_on
+
+    def finalize_many(self, outs):
+        self.calls += 1
+        if self.fail_on is not None and self.calls >= self.fail_on:
+            raise RuntimeError("injected finalize failure")
+        return [o * 10 for o in outs]
+
+
+def test_async_drainer_drains_everything_in_order():
+    from hello_tpu.pipeline.parallel_call import _AsyncDrainer
+    got = []
+    t_acc = {"backpressure_s": 0.0, "drain_s": 0.0, "fetch_s": 0.0,
+             "decode_s": 0.0}
+    d = _AsyncDrainer(_FakeScorer(), lambda g, b, fin: got.append((g, fin)),
+                      t_acc, max_in_flight=3)
+    for i in range(20):
+        d.put(f"g{i}", None, i)
+    d.close()
+    assert got == [(f"g{i}", i * 10) for i in range(20)]
+    assert t_acc["drain_s"] >= 0.0
+
+
+def test_async_drainer_bounds_in_flight():
+    """put() must block while max_in_flight entries are queued: the window
+    is what bounds live batch inputs in device memory."""
+    import threading
+    import time
+
+    from hello_tpu.pipeline.parallel_call import _AsyncDrainer
+
+    release = threading.Event()
+    seen_peak = [0]
+
+    class SlowScorer:
+        def finalize_many(self, outs):
+            release.wait(5.0)
+            return list(outs)
+
+    t_acc = {"backpressure_s": 0.0, "drain_s": 0.0, "fetch_s": 0.0,
+             "decode_s": 0.0}
+    d = _AsyncDrainer(SlowScorer(), lambda g, b, fin: None, t_acc,
+                      max_in_flight=2)
+    d.put("a", None, 1)
+    d.put("b", None, 2)   # fills the window (one popped + one queued is fine)
+
+    def putter():
+        d.put("c", None, 3)
+        seen_peak[0] = 1
+
+    t = threading.Thread(target=putter)
+    t.start()
+    time.sleep(0.2)
+    blocked = seen_peak[0] == 0   # third put is parked on the window
+    release.set()
+    t.join(5.0)
+    d.close()
+    assert blocked
+    assert seen_peak[0] == 1
+    assert t_acc["backpressure_s"] > 0.0
+
+
+def test_async_drainer_propagates_consumer_failure():
+    """A finalize failure on the drainer thread must surface on the caller
+    thread (via put or close), never hang or vanish."""
+    from hello_tpu.pipeline.parallel_call import _AsyncDrainer
+
+    t_acc = {"backpressure_s": 0.0, "drain_s": 0.0, "fetch_s": 0.0,
+             "decode_s": 0.0}
+    d = _AsyncDrainer(_FakeScorer(fail_on=1), lambda g, b, fin: None, t_acc,
+                      max_in_flight=2)
+    with pytest.raises(RuntimeError, match="injected finalize failure"):
+        for i in range(50):
+            d.put(f"g{i}", None, i)
+        d.close()
+
+
+def test_async_drainer_propagates_callback_failure():
+    from hello_tpu.pipeline.parallel_call import _AsyncDrainer
+
+    def bad_callback(g, b, fin):
+        raise ValueError("decode exploded")
+
+    t_acc = {"backpressure_s": 0.0, "drain_s": 0.0, "fetch_s": 0.0,
+             "decode_s": 0.0}
+    d = _AsyncDrainer(_FakeScorer(), bad_callback, t_acc, max_in_flight=2)
+    with pytest.raises(ValueError, match="decode exploded"):
+        d.put("g", None, 1)
+        d.close()
