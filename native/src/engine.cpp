@@ -31,16 +31,35 @@ using AlleleKey = std::pair<std::string, std::string>;
 // dense per-position triple-map layout this replaces paid ~160 bytes of
 // construction + destruction per position per platform for nothing.
 struct AlleleCounts {
-    std::map<AlleleKey, int32_t> alt;
-    std::map<AlleleKey, int32_t> left_partial;
-    std::map<AlleleKey, int32_t> right_partial;
+    // flat small-vector tables instead of std::map: a position holds 1-3
+    // distinct alleles in practice, the tables' iteration order never
+    // escapes (every consumer aggregates into sorted sets or does
+    // commutative adds), and per-node heap alloc/free of map entries
+    // dominated window construction/destruction in host profiles
+    using Table = std::vector<std::pair<AlleleKey, int32_t>>;
+    Table alt;
+    Table left_partial;
+    Table right_partial;
+
+    static int32_t& at(Table& t, const AlleleKey& k) {
+        for (auto& e : t)
+            if (e.first == k) return e.second;
+        t.emplace_back(k, 0);
+        return t.back().second;
+    }
+    static const int32_t* find(const Table& t, const AlleleKey& k) {
+        for (auto& e : t)
+            if (e.first == k) return &e.second;
+        return nullptr;
+    }
 
     void resolve_partials() {
         for (int side = 0; side < 2; side++) {
             bool from_left = (side == 0);
             auto& partials = from_left ? left_partial : right_partial;
             // collect matches first (alt must not change while matching)
-            std::vector<std::pair<AlleleKey, std::vector<AlleleKey>>> matches;
+            std::vector<std::pair<int32_t, std::vector<AlleleKey>>> matches;
+            std::vector<const AlleleKey*> match_keys;
             for (auto& kv : partials) {
                 const std::string& alt_allele = kv.first.second;
                 std::vector<AlleleKey> matched;
@@ -52,13 +71,15 @@ struct AlleleCounts {
                         : full_alt.substr(0, alt_allele.size());
                     if (piece == alt_allele) matched.push_back(full.first);
                 }
-                matches.emplace_back(kv.first, std::move(matched));
+                matches.emplace_back(kv.second, std::move(matched));
+                match_keys.push_back(&kv.first);
             }
-            for (auto& m : matches) {
+            for (size_t mi = 0; mi < matches.size(); mi++) {
+                auto& m = matches[mi];
                 if (m.second.size() == 1) {
-                    alt[m.second[0]] += partials[m.first];
+                    at(alt, m.second[0]) += m.first;
                 } else if (m.second.empty()) {
-                    alt[m.first] += partials[m.first];
+                    at(alt, *match_keys[mi]) += m.first;
                 }
             }
             partials.clear();
@@ -356,7 +377,7 @@ struct Window {
             if (mq < params.q_threshold) return;
         }
         auto& table = partial ? (left ? c.left_partial : c.right_partial) : c.alt;
-        table[{ref_allele, read_allele}] += inc;
+        AlleleCounts::at(table, {ref_allele, read_allele}) += inc;
     }
 
     void count_reads() {
@@ -517,8 +538,8 @@ struct Window {
                 const std::string& ab = kv.first.second;
                 double vi = kv.second;
                 double vp = 0;
-                auto it = cp->alt.find(kv.first);
-                if (it != cp->alt.end()) vp = it->second;
+                if (const int32_t* pv = AlleleCounts::find(cp->alt, kv.first))
+                    vp = *pv;
                 if (rb.size() == 1 && ab.size() == 1) {
                     if ((vi + vp) / total >= params.snv_threshold &&
                         (vi + vp) >= params.min_count)
