@@ -104,21 +104,25 @@ def format_record(r: VcfRecord) -> str:
         r.filter, r.info, "/".join(str(g) for g in r.gt))
 
 
+def record_sort_key(contigs: Optional[Dict[str, int]] = None):
+    """Output ordering for VCFs: record order must follow the ##contig header
+    order; lexicographic chromosome sort (chr1, chr10, chr11, ..., chr2)
+    would break tabix/bcftools on multi-chromosome outputs."""
+    if contigs:
+        order = {name: i for i, name in enumerate(contigs)}
+        return lambda r: (order.get(r.chromosome, len(order)),
+                          r.chromosome, r.position)
+    return lambda r: (r.chromosome, r.position)
+
+
 def write_vcf(path: str, records: Iterable[VcfRecord],
               contigs: Optional[Dict[str, int]] = None, sort: bool = True):
-    """Write records to a VCF file with a minimal header."""
-    records = list(records)
+    """Write records to a VCF file with a minimal header.
+
+    With ``sort=False`` the records stream straight to disk (no
+    materialisation) — the caller asserts they are already in output order."""
     if sort:
-        # VCF requires record order to follow the ##contig header order;
-        # lexicographic chromosome sort (chr1, chr10, chr11, ..., chr2) would
-        # break tabix/bcftools on multi-chromosome outputs
-        if contigs:
-            order = {name: i for i, name in enumerate(contigs)}
-            key = lambda r: (order.get(r.chromosome, len(order)),
-                             r.chromosome, r.position)
-        else:
-            key = lambda r: (r.chromosome, r.position)
-        records.sort(key=key)
+        records = sorted(records, key=record_sort_key(contigs))
     contig_lines = ""
     if contigs:
         contig_lines = "".join(
@@ -135,13 +139,12 @@ def _open_maybe_gz(path):
     return open(path, "r")
 
 
-def read_vcf(path: str) -> List[VcfRecord]:
-    """Parse a VCF into records (positions converted to 0-based).
+def iter_vcf(path: str):
+    """Parse a VCF lazily into records (positions converted to 0-based).
 
     GT is taken from the first sample column when present; '.' alleles and
     phased separators are handled.
     """
-    records = []
     with _open_maybe_gz(path) as fh:
         for line in fh:
             if line.startswith("#"):
@@ -170,9 +173,13 @@ def read_vcf(path: str) -> List[VcfRecord]:
                         vals = vals * 2
                     gt = tuple(vals[:2])
             alts = [] if alt in (".", "") else alt.split(",")
-            records.append(VcfRecord(chrom, pos, ref, alts, gt, qual=qual,
-                                     filter=filt, info=fields[7]))
-    return records
+            yield VcfRecord(chrom, pos, ref, alts, gt, qual=qual,
+                            filter=filt, info=fields[7])
+
+
+def read_vcf(path: str) -> List[VcfRecord]:
+    """Parse a VCF into a record list (see iter_vcf)."""
+    return list(iter_vcf(path))
 
 
 def left_align_normalize(chromosome: str, position: int, ref: str, alt: str,
@@ -205,11 +212,38 @@ def left_align_normalize(chromosome: str, position: int, ref: str, alt: str,
     return position, ref, alt
 
 
+class _UnsortedInput(Exception):
+    pass
+
+
 def merge_vcfs(paths: Sequence[str], out_path: str,
                contigs: Optional[Dict[str, int]] = None):
     """Merge per-shard VCFs into one sorted output (replaces the reference's
-    cat + vcf-sort step, reference prepareVcf.py:185-260)."""
-    all_records: List[VcfRecord] = []
-    for p in paths:
-        all_records.extend(read_vcf(p))
-    write_vcf(out_path, all_records, contigs=contigs, sort=True)
+    cat + vcf-sort step, reference prepareVcf.py:185-260).
+
+    Per-shard outputs are written sorted, so the merge streams: a k-way heap
+    over lazy readers holds one record per input — O(shards) memory, not
+    O(records), which is what whole-genome merges need.  An input that turns
+    out not to be internally sorted (foreign VCFs are accepted, like the
+    reference's vcf-sort) aborts the stream and falls back to an in-memory
+    sort of everything."""
+    import heapq
+
+    key = record_sort_key(contigs)
+
+    def _checked_merge():
+        last = None
+        for r in heapq.merge(*(iter_vcf(p) for p in paths), key=key):
+            k = key(r)
+            if last is not None and k < last:
+                raise _UnsortedInput
+            last = k
+            yield r
+
+    try:
+        write_vcf(out_path, _checked_merge(), contigs=contigs, sort=False)
+    except _UnsortedInput:
+        all_records: List[VcfRecord] = []
+        for p in paths:
+            all_records.extend(read_vcf(p))
+        write_vcf(out_path, all_records, contigs=contigs, sort=True)

@@ -391,3 +391,45 @@ def test_stream_writer_matches_write_bam(tmp_path):
         assert a.read() == b.read()
     with open(one + ".bai", "rb") as a, open(two + ".bai", "rb") as b:
         assert a.read() == b.read()
+
+
+def test_merge_vcfs_streams_sorted_shards(tmp_path):
+    """Per-shard sorted VCFs k-way merge into one sorted output (the
+    whole-genome path: O(shards) memory, reference prepareVcf.py:185-260)."""
+    from hello_tpu.io.vcf import VcfRecord, merge_vcfs, read_vcf, write_vcf
+
+    contigs = {"chr2": 1000, "chr10": 1000}   # header order != lexicographic
+    a = [VcfRecord("chr2", 5, "A", ["T"], (0, 1)),
+         VcfRecord("chr10", 7, "C", ["G"], (1, 1))]
+    b = [VcfRecord("chr2", 3, "G", ["C"], (0, 1)),
+         VcfRecord("chr2", 50, "T", ["A"], (0, 1)),
+         VcfRecord("chr10", 2, "A", ["AC"], (0, 1))]
+    pa, pb = str(tmp_path / "a.vcf"), str(tmp_path / "b.vcf")
+    write_vcf(pa, a, contigs=contigs)
+    write_vcf(pb, b, contigs=contigs)
+    out = str(tmp_path / "merged.vcf")
+    merge_vcfs([pa, pb], out, contigs=contigs)
+    got = read_vcf(out)
+    assert [(r.chromosome, r.position) for r in got] == [
+        ("chr2", 3), ("chr2", 5), ("chr2", 50), ("chr10", 2), ("chr10", 7)]
+
+
+def test_merge_vcfs_unsorted_input_falls_back(tmp_path):
+    """A foreign, internally-unsorted input must still merge correctly
+    (in-memory fallback — the reference's vcf-sort accepts any order)."""
+    from hello_tpu.io.vcf import VcfRecord, format_record, merge_vcfs, read_vcf
+
+    # hand-write an UNSORTED shard (write_vcf would sort it)
+    unsorted = tmp_path / "u.vcf"
+    recs = [VcfRecord("chr1", 90, "A", ["T"], (0, 1)),
+            VcfRecord("chr1", 10, "C", ["G"], (1, 1))]
+    with open(unsorted, "w") as fh:
+        fh.write("##fileformat=VCFv4.2\n#CHROM\tPOS\tID\tREF\tALT\tQUAL"
+                 "\tFILTER\tINFO\tFORMAT\tS\n")
+        for r in recs:
+            fh.write(format_record(r) + "\n")
+    out = str(tmp_path / "merged.vcf")
+    merge_vcfs([str(unsorted)], out)
+    got = read_vcf(out)
+    assert [(r.chromosome, r.position) for r in got] == [
+        ("chr1", 10), ("chr1", 90)]
