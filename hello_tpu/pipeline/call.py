@@ -643,6 +643,11 @@ def main(argv=None):
     parser.add_argument("--num_workers", type=int, default=0,
                         help="host-side worker processes (0 = in-process)")
     parser.add_argument("--chunk_size", type=int, default=200_000)
+    parser.add_argument("--spill_records", type=int, default=400_000,
+                        help="worker-pool caller: spill sorted record runs "
+                        "to disk beyond this many in-memory records and "
+                        "stream-merge at the end (bounds RSS on "
+                        "whole-genome runs)")
     parser.add_argument("--process_index", type=int, default=0,
                         help="this host's index for multi-host region sharding")
     parser.add_argument("--process_count", type=int, default=1,
@@ -705,7 +710,8 @@ def main(argv=None):
             pacbio=args.pacbio, include_hp=args.include_hp,
             hybrid_hotspot=args.hybrid_hotspot, q_threshold=args.q_threshold,
             min_mapq=args.mapq_threshold,
-            reassembly_size=args.reconcilement_size)
+            reassembly_size=args.reconcilement_size,
+            spill_records=args.spill_records)
     else:
         call_genome(
             args.bam.split(","), args.ref, scorer, args.out, regions=regions,

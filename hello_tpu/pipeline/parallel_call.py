@@ -369,6 +369,65 @@ class _AsyncDrainer:
                 self._cv.notify_all()
 
 
+class _RecordSpiller:
+    """Bounds the caller's in-memory VCF record set.
+
+    Records accumulate in memory until ``threshold``; then the current set
+    is sorted and spilled to a temp shard next to the output, and
+    ``finish`` streams a k-way merge of the spills plus the in-memory tail
+    (io.vcf.merge_vcfs) — whole-genome runs hold O(threshold) records
+    instead of every record of the genome.  Below the threshold the
+    behavior is byte-identical to the old sort-everything-and-write path.
+
+    add() is called only from the drainer thread; finish() only after the
+    drainer is joined — no locking needed."""
+
+    def __init__(self, out_vcf: str, contigs, threshold: int):
+        from ..io.vcf import record_sort_key
+        self.out_vcf = out_vcf
+        self.contigs = contigs
+        self.threshold = threshold
+        self.key = record_sort_key(contigs)
+        self.records: List[VcfRecord] = []
+        self.paths: List[str] = []
+        self.count = 0
+
+    def add(self, rec: VcfRecord):
+        self.records.append(rec)
+        self.count += 1
+        if len(self.records) >= self.threshold:
+            self._spill()
+
+    def _spill(self):
+        self.records.sort(key=self.key)
+        path = f"{self.out_vcf}.spill{len(self.paths)}.tmp.vcf"
+        write_vcf(path, self.records, sort=False)
+        self.paths.append(path)
+        self.records = []
+
+    def finish(self) -> int:
+        from ..io.vcf import merge_vcfs
+        if not self.paths:
+            write_vcf(self.out_vcf, self.records, contigs=self.contigs,
+                      sort=True)
+            return self.count
+        if self.records:
+            self._spill()
+        try:
+            merge_vcfs(self.paths, self.out_vcf, contigs=self.contigs)
+        finally:
+            self.cleanup()
+        return self.count
+
+    def cleanup(self):
+        for p in self.paths:
+            try:
+                os.unlink(p)
+            except OSError:
+                pass
+        self.paths = []
+
+
 def make_chunks(regions: Sequence[Tuple[str, int, int]],
                 chunk_size: int = 200_000):
     """Split regions into worker-sized genome chunks."""
@@ -396,6 +455,10 @@ def call_parallel(bam_paths: Sequence[str], ref_path: str, scorer: Scorer,
                   stats: Optional[dict] = None,
                   pool: Optional[HostWorkerPool] = None,
                   class_by_read_bucket: bool = True,
+                  # in-memory record bound: beyond this, sorted runs spill
+                  # to disk and the final output is a streamed k-way merge
+                  # (whole-genome RSS stays O(spill_records), not O(genome))
+                  spill_records: int = 400_000,
                   **options) -> str:
     """Parallel genome calling into a sorted VCF.
 
@@ -431,7 +494,8 @@ def call_parallel(bam_paths: Sequence[str], ref_path: str, scorer: Scorer,
 
     ref_lookup = lambda chrom, pos: ref.fetch(chrom, pos, pos + 1)
     hybrid_model = scorer.model.hybrid
-    records: List[VcfRecord] = []
+    contigs = {c: ref.length(c) for c in ref.chromosomes()}
+    spiller = _RecordSpiller(out_vcf, contigs, threshold=spill_records)
     failures = []
     completed = 0
 
@@ -472,7 +536,7 @@ def call_parallel(bam_paths: Sequence[str], ref_path: str, scorer: Scorer,
         for call in calls:
             rec = vcf_record_from_call(call, ref_lookup)
             if rec is not None:
-                records.append(rec)
+                spiller.add(rec)
 
     drainer = _AsyncDrainer(scorer, _on_result, t_acc, MAX_IN_FLIGHT)
 
@@ -560,7 +624,7 @@ def call_parallel(bam_paths: Sequence[str], ref_path: str, scorer: Scorer,
             buffer_sites(payload)
             if completed % 20 == 0:
                 logger.info("completed %d/%d chunks (%d records)",
-                            completed, len(jobs), len(records))
+                            completed, len(jobs), spiller.count)
         # recovery = rerun failed shard (the reference's model): failed chunks
         # get one retry — a transient worker fault (OOM kill, IO hiccup)
         # should not abort a genome-scale run; a deterministic fault raises
@@ -597,6 +661,7 @@ def call_parallel(bam_paths: Sequence[str], ref_path: str, scorer: Scorer,
                 drainer.close()
             except BaseException:
                 logger.exception("drainer failed during abort")
+            spiller.cleanup()          # drop temp spill shards on abort
     if stats is not None:
         stats.update(t_acc)
 
@@ -604,10 +669,10 @@ def call_parallel(bam_paths: Sequence[str], ref_path: str, scorer: Scorer,
         pool.shutdown()
 
     if failures:
+        spiller.cleanup()
         raise RuntimeError(f"{len(failures)} chunks failed twice: "
                            f"{failures[:3]}")
 
-    contigs = {c: ref.length(c) for c in ref.chromosomes()}
-    write_vcf(out_vcf, records, contigs=contigs, sort=True)
-    logger.info("wrote %d records to %s", len(records), out_vcf)
+    n_written = spiller.finish()
+    logger.info("wrote %d records to %s", n_written, out_vcf)
     return out_vcf

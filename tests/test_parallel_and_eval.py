@@ -470,3 +470,42 @@ def test_async_drainer_propagates_callback_failure():
     with pytest.raises(ValueError, match="decode exploded"):
         d.put("g", None, 1)
         d.close()
+
+
+def test_call_parallel_spill_matches_in_memory(tmp_path):
+    """A tiny spill threshold (forcing many disk spill shards + streamed
+    merge) must produce a byte-identical VCF to the in-memory path, and
+    clean its temp shards up."""
+    import glob
+    import subprocess
+    import sys
+
+    script = tmp_path / "driver.py"
+    script.write_text(f"""
+import sys; sys.path.insert(0, {repr(str(__import__('os').path.dirname(__import__('os').path.dirname(__import__('os').path.abspath(__file__)))))})
+import jax
+jax.config.update("jax_platforms", "cpu")
+from hello_tpu import sim
+from hello_tpu.pipeline.call import load_scorer
+from hello_tpu.pipeline.parallel_call import call_parallel
+
+if __name__ == "__main__":
+    out_dir = {repr(str(tmp_path))}
+    ds = sim.make_dataset(out_dir, ref_length=30000, num_variants=25,
+                          coverage=30, read_length=120, seed=31)
+    scorer = load_scorer("illumina")
+    for name, spill in (("memory.vcf", 400000), ("spilled.vcf", 5)):
+        call_parallel([ds.bams["illumina"]], ds.fasta, scorer,
+                      out_dir + "/" + name, num_workers=2, chunk_size=8000,
+                      regions=[(ds.chromosome, 0, 30000)],
+                      spill_records=spill)
+    print("DRIVER_OK")
+""")
+    res = subprocess.run([sys.executable, str(script)], capture_output=True,
+                         text=True, timeout=600)
+    assert "DRIVER_OK" in res.stdout, res.stderr[-3000:]
+    mem = (tmp_path / "memory.vcf").read_text()
+    spl = (tmp_path / "spilled.vcf").read_text()
+    assert mem == spl
+    assert len([l for l in mem.splitlines() if not l.startswith("#")]) >= 20
+    assert not glob.glob(str(tmp_path / "*.tmp.vcf"))   # spills cleaned up
