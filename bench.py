@@ -118,7 +118,7 @@ def bench_tpu(sites, iters, precision, num_rotations=2):
     return len(sites) / statistics.median(times)
 
 
-def bench_train(sites, iters=10, precision="default"):
+def bench_train(sites, iters=10, precision="default", sustained=True):
     """Sharded training-step throughput on the local device(s): windows/s
     through forward + EM MoE loss + backward + psum + optimizer update,
     with a per-stage breakdown (host pack, host->device staging, device
@@ -196,17 +196,20 @@ def bench_train(sites, iters=10, precision="default"):
 
     # sustained: stage a FRESH host batch every step (two rotations so no
     # transfer layer can memoize), overlapping staging with the in-flight
-    # step via async dispatch; sync once at the end
-    rot = [wire, {k: v.copy() for k, v in wire.items()}]
-    out = trainer.train_batch(jax.device_put(rot[1]))  # both rotations warm
-    assert np.isfinite(out["loss"])
-    t0 = time.perf_counter()
-    last = None
-    for i in range(iters):
-        db_i = jax.device_put(rot[i % 2])
-        last = trainer.train_batch(db_i, sync=False)
-    assert np.isfinite(float(last["loss_device"]))     # syncs the chain
-    sustained_s = (time.perf_counter() - t0) / iters
+    # step via async dispatch; sync once at the end.  Skipped when the
+    # caller only wants the step rate (the bf16 headroom leg).
+    sustained_s = None
+    if sustained:
+        rot = [wire, {k: v.copy() for k, v in wire.items()}]
+        out = trainer.train_batch(jax.device_put(rot[1]))  # both warm
+        assert np.isfinite(out["loss"])
+        t0 = time.perf_counter()
+        last = None
+        for i in range(iters):
+            db_i = jax.device_put(rot[i % 2])
+            last = trainer.train_batch(db_i, sync=False)
+        assert np.isfinite(float(last["loss_device"]))     # syncs the chain
+        sustained_s = (time.perf_counter() - t0) / iters
 
     # FLOPs lower bound: the two read-conv stacks dominate (~10.2 MFLOP per
     # read row, ops/bench_read_conv.FLOPS_PER_READ); backward ~ 2x forward
@@ -224,12 +227,15 @@ def bench_train(sites, iters=10, precision="default"):
         "dense_host_to_device_s": round(dense_h2d_s, 3),
         "dense_mb": round(dense_mb, 1),
         "step_s": round(step_s, 3),
-        "sustained_step_s": round(sustained_s, 3),
+        "sustained_step_s": (round(sustained_s, 3)
+                             if sustained_s is not None else None),
         "step_tflops_lower_bound": round(step_tflops, 3),
         "train_mfu_lower_bound_pct": round(
             100 * step_tflops / step_s / 394.0, 2),
     }
-    return len(sites) / step_s, len(sites) / sustained_s, breakdown
+    sustained_rate = (len(sites) / sustained_s
+                      if sustained_s is not None else None)
+    return len(sites) / step_s, sustained_rate, breakdown
 
 
 def bench_torch_baseline(sites, iters=5):
@@ -403,7 +409,7 @@ def main():
             sys.stderr.write(f"train leg: {breakdown}\n")
             # tried-and-measured bf16-activation training headroom
             train_bf16_rate, _, bf16_breakdown = bench_train(
-                sites[:512], precision="bf16")
+                sites[:512], precision="bf16", sustained=False)
             sys.stderr.write(f"train leg (bf16 act): {bf16_breakdown}\n")
         except Exception as exc:
             sys.stderr.write(f"train leg failed: {exc!r}\n")

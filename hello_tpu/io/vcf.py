@@ -217,19 +217,43 @@ class _UnsortedInput(Exception):
 
 
 def merge_vcfs(paths: Sequence[str], out_path: str,
-               contigs: Optional[Dict[str, int]] = None):
+               contigs: Optional[Dict[str, int]] = None,
+               max_open: int = 256):
     """Merge per-shard VCFs into one sorted output (replaces the reference's
     cat + vcf-sort step, reference prepareVcf.py:185-260).
 
     Per-shard outputs are written sorted, so the merge streams: a k-way heap
     over lazy readers holds one record per input — O(shards) memory, not
-    O(records), which is what whole-genome merges need.  An input that turns
-    out not to be internally sorted (foreign VCFs are accepted, like the
-    reference's vcf-sort) aborts the stream and falls back to an in-memory
-    sort of everything."""
+    O(records), which is what whole-genome merges need.  More than
+    ``max_open`` inputs merge hierarchically (groups into intermediate
+    shards, then a final pass) so the heap never holds more than ``max_open``
+    open file handles.  An input that turns out not to be internally sorted
+    (foreign VCFs are accepted, like the reference's vcf-sort) aborts the
+    stream and falls back to an in-memory sort of everything."""
     import heapq
 
     key = record_sort_key(contigs)
+
+    if len(paths) > max_open:
+        import os
+        import tempfile
+        intermediates = []
+        try:
+            for i in range(0, len(paths), max_open):
+                fd, tmp = tempfile.mkstemp(suffix=".merge.vcf")
+                os.close(fd)
+                intermediates.append(tmp)
+                merge_vcfs(paths[i:i + max_open], tmp, contigs=contigs,
+                           max_open=max_open)
+            merge_vcfs(intermediates, out_path, contigs=contigs,
+                       max_open=max_open)
+        finally:
+            for tmp in intermediates:
+                try:
+                    os.unlink(tmp)
+                except OSError:
+                    pass
+        return
 
     def _checked_merge():
         last = None

@@ -409,13 +409,9 @@ def call_region(bam_paths: Sequence[str], ref: FastaFile, chromosome: str,
         """Consume the oldest in-flight batch plus every other FINISHED one
         behind it (device execution is in-order) in one bulk fetch — each
         separate readback costs a full round trip through remote tunnels."""
+        from .parallel_call import _out_ready
         take = [pending.popleft()]
-        def _ready(out):
-            arr = out.get("experts", out.get("best_p")) \
-                if isinstance(out, dict) else out
-            is_ready = getattr(arr, "is_ready", None)
-            return is_ready() if callable(is_ready) else True
-        while pending and (drain_all or _ready(pending[0][2])):
+        while pending and (drain_all or _out_ready(pending[0][2])):
             take.append(pending.popleft())
         with telemetry.stage("device_wait"):
             if _finalize_many is not None:

@@ -654,13 +654,22 @@ def call_parallel(bam_paths: Sequence[str], ref_path: str, scorer: Scorer,
         # safely readable — after it returns); re-raises consumer failures,
         # except while an earlier exception is already propagating (the
         # root cause must not be masked by a secondary drain failure)
-        if body_ok:
-            drainer.close()
-        else:
-            try:
+        try:
+            if body_ok:
                 drainer.close()
-            except BaseException:
-                logger.exception("drainer failed during abort")
+            else:
+                try:
+                    drainer.close()
+                except BaseException:
+                    logger.exception("drainer failed during abort")
+        except BaseException:
+            # consumer failure surfaced by the success-path close: still
+            # drop temp shards and the pool before propagating
+            spiller.cleanup()
+            if own_pool:
+                pool.shutdown()
+            raise
+        if not body_ok:
             spiller.cleanup()          # drop temp spill shards on abort
     if stats is not None:
         stats.update(t_acc)

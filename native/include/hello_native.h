@@ -205,7 +205,10 @@ const int64_t* htpu_bam_name_offsets(htpu_bam* b);
 
 /* Select usable reads overlapping [start, stop): DeepVariant-style flag
  * filter, (name, strand) dedup, reservoir subsampling to max_reads (mt19937
- * seeded with `seed`).  Returns the number written to out_idx. */
+ * seeded with `seed`).  Returns the number written to out_idx.
+ * NOT thread-safe per handle: dedup uses per-handle mutable scratch (the
+ * production model is one single-threaded worker process per chunk) —
+ * concurrent selects on one htpu_bam* need external serialisation. */
 int32_t htpu_bam_select(htpu_bam* b, int32_t ref_id, int64_t start,
                         int64_t stop, int32_t max_reads, uint64_t seed,
                         int32_t* out_idx, int32_t max_out);

@@ -433,3 +433,21 @@ def test_merge_vcfs_unsorted_input_falls_back(tmp_path):
     got = read_vcf(out)
     assert [(r.chromosome, r.position) for r in got] == [
         ("chr1", 10), ("chr1", 90)]
+
+
+def test_merge_vcfs_hierarchical_many_shards(tmp_path):
+    """More shards than max_open merge hierarchically (bounded file handles)
+    with output identical to a flat merge."""
+    from hello_tpu.io.vcf import VcfRecord, merge_vcfs, read_vcf, write_vcf
+
+    paths = []
+    for i in range(9):
+        p = str(tmp_path / f"s{i}.vcf")
+        write_vcf(p, [VcfRecord("chr1", 10 * i + j, "A", ["T"], (0, 1))
+                      for j in range(3)])
+        paths.append(p)
+    flat, hier = str(tmp_path / "flat.vcf"), str(tmp_path / "hier.vcf")
+    merge_vcfs(paths, flat)
+    merge_vcfs(paths, hier, max_open=2)
+    assert open(flat).read() == open(hier).read()
+    assert len(read_vcf(hier)) == 27
