@@ -45,7 +45,14 @@ from .batching import (DEFAULT_ALLELE_BUCKETS, DEFAULT_READ_BUCKETS,
                        DEFAULT_SITE_BUCKETS, CodedSiteWork, PaddedBatch,
                        _bucket as _batch_bucket)
 
-# geometric ladder for the packed-row count (compiles once per bucket)
+# Legacy geometric ladder for the packed-row count (kept for explicit
+# callers/tests).  The DEFAULT policy (ladder=None) quantises the row axis
+# to {cap/4, cap/2, cap} instead: every distinct row count is a fresh XLA
+# compile of the whole forward — minutes through remote-TPU tunnels — so the
+# row axis must add at most two shapes per (A, R) bucket pair (a 100 Mb
+# soak's live compile set dominated its wall clock under the deep ladder);
+# the transfer inflation vs the deep ladder is <2x and only for
+# below-quarter-occupancy batches.
 ROW_BUCKETS = (128, 256, 512, 1024, 2048, 4096, 8192, 16384, 32768,
                65536, 131072, 262144)
 
@@ -71,9 +78,16 @@ _QUAL_LUT[QUAL_PALETTE] = np.arange(len(QUAL_PALETTE), dtype=np.uint8)
 ABSENT_CODE = 255  # also > any valid code = 4 * 41 + 40 = 204
 
 
-def _bucket(n: int, cap: int, ladder: Sequence[int] = ROW_BUCKETS) -> int:
+def _bucket(n: int, cap: int, ladder: Optional[Sequence[int]] = None) -> int:
     # like batching._bucket, but clamped to cap (= A*R) AND never smaller
-    # than n: packed rows must not be truncated past the ladder's top
+    # than n: packed rows must not be truncated past the ladder's top.
+    # Default (ladder=None): the {cap/4, cap/2, cap} compile-shape policy
+    # (see ROW_BUCKETS note).
+    if ladder is None:
+        for b in (cap // 4, cap // 2):
+            if b >= n and b >= 1:
+                return b
+        return cap
     for b in ladder:
         if n <= b:
             return min(b, cap)
@@ -248,7 +262,7 @@ def pack_sites_wire(
     read_buckets: Sequence[int] = DEFAULT_READ_BUCKETS,
     allele_buckets: Sequence[int] = DEFAULT_ALLELE_BUCKETS,
     site_buckets: Sequence[int] = DEFAULT_SITE_BUCKETS,
-    row_buckets: Sequence[int] = ROW_BUCKETS,
+    row_buckets: Optional[Sequence[int]] = None,
 ) -> WireBatch:
     """Pack CodedSiteWork straight into a device wire dict — the coded-path
     twin of ``pack_sites`` + ``compact_batch`` with no dense intermediate

@@ -231,6 +231,11 @@ def main(argv=None):
 
     from ..parallel.mesh import enable_compilation_cache
     enable_compilation_cache()
+    # the production precision (call.py's CLI default) — without this the
+    # soak measured the f32 path: ~2x device time AND a separate compile
+    # cache namespace, so no prior production run pre-warms its shapes
+    from ..nn import layers
+    layers.set_precision(os.environ.get("HELLO_TPU_PRECISION", "bf16"))
     from .call import load_scorer
     from .parallel_call import HostWorkerPool, call_parallel
 
