@@ -256,3 +256,21 @@ def test_call_region_compact_vcf_identical(tmp_path):
                                  0, 30_000, scorer)
     assert [str(r) for r in recs[True]] == [str(r) for r in recs[False]]
     assert len(recs[True]) >= 40
+
+
+def test_row_bucket_policy_bounded_shapes():
+    """The default packed-row bucket must come from {cap/4, cap/2, cap}:
+    every distinct row count is a fresh XLA compile of the whole forward
+    (minutes through remote-TPU tunnels), so the row axis may add at most
+    two shapes per (A, R) bucket pair."""
+    from hello_tpu.pipeline.compact import _bucket
+
+    for cap in (64, 2048, 32768, 65536):
+        seen = {_bucket(n, cap) for n in range(1, cap + 1)}
+        assert seen <= {cap // 4, cap // 2, cap}, (cap, seen)
+        # never truncates
+        for n in (1, cap // 4, cap // 4 + 1, cap // 2 + 1, cap):
+            assert _bucket(n, cap) >= n
+    # explicit ladders (training fixed_shape etc.) still honoured
+    assert _bucket(5, 100, ladder=(0,)) == 100     # pin-at-cap sentinel
+    assert _bucket(5, 100, ladder=(8, 16)) == 8
