@@ -120,7 +120,13 @@ def write_vcf(path: str, records: Iterable[VcfRecord],
     """Write records to a VCF file with a minimal header.
 
     With ``sort=False`` the records stream straight to disk (no
-    materialisation) — the caller asserts they are already in output order."""
+    materialisation) — the caller asserts they are already in output order.
+    A ``.gz`` path writes BGZF-compressed with a tabix .tbi index alongside
+    (write_vcf_gz), so ``--out calls.vcf.gz`` works through every caller,
+    the spiller, and the multi-shard merge."""
+    if path.endswith(".gz"):
+        write_vcf_gz(path, records, contigs=contigs, sort=sort)
+        return
     if sort:
         records = sorted(records, key=record_sort_key(contigs))
     contig_lines = ""
@@ -146,35 +152,8 @@ def iter_vcf(path: str):
     phased separators are handled.
     """
     with _open_maybe_gz(path) as fh:
-        for line in fh:
-            if line.startswith("#"):
-                continue
-            fields = line.rstrip("\n").split("\t")
-            if len(fields) < 8:
-                continue
-            chrom, pos, _id, ref, alt = fields[0], int(fields[1]) - 1, fields[2], fields[3], fields[4]
-            try:
-                qual = float(fields[5])
-            except ValueError:
-                qual = 0.0
-            filt = fields[6]
-            gt = (0, 0)
-            if len(fields) >= 10:
-                fmt = fields[8].split(":")
-                sample = fields[9].split(":")
-                if "GT" in fmt:
-                    gtstr = sample[fmt.index("GT")]
-                    sep = "|" if "|" in gtstr else "/"
-                    parts = [p for p in gtstr.split(sep)]
-                    vals = []
-                    for p in parts:
-                        vals.append(0 if p == "." else int(p))
-                    if len(vals) == 1:
-                        vals = vals * 2
-                    gt = tuple(vals[:2])
-            alts = [] if alt in (".", "") else alt.split(",")
-            yield VcfRecord(chrom, pos, ref, alts, gt, qual=qual,
-                            filter=filt, info=fields[7])
+        yield from iter_vcf_lines(
+            line for line in fh if not line.startswith("#"))
 
 
 def read_vcf(path: str) -> List[VcfRecord]:
@@ -271,3 +250,208 @@ def merge_vcfs(paths: Sequence[str], out_path: str,
         for p in paths:
             all_records.extend(read_vcf(p))
         write_vcf(out_path, all_records, contigs=contigs, sort=True)
+
+
+# ---------------------------------------------------------------------------
+# BGZF-compressed VCF (.vcf.gz) + tabix (.tbi) index
+#
+# The reference pipeline stops at plain sorted VCFs (prepareVcf.py merge +
+# vcf-sort); production consumers then run bgzip + tabix externally.  The
+# framework carries its own BGZF codec for BAM already (io/bam.py), so the
+# compressed + indexed form is built in: write_vcf_gz streams records into
+# BGZF blocks while building the standard tabix index (binning + 16 kb
+# linear index, the same scheme as .bai), and fetch_vcf_gz answers region
+# queries in O(region) via the index — the symmetric reader that also
+# serves as the index's self-verification (no htslib in this environment).
+# ---------------------------------------------------------------------------
+
+
+class _BgzfTextWriter:
+    """Streaming BGZF writer that exposes htslib virtual offsets
+    (``coffset << 16 | in-block offset``) for index construction."""
+
+    BLOCK = 60000          # uncompressed payload per block (max 65535)
+
+    def __init__(self, fh):
+        self._fh = fh
+        self._buf = bytearray()
+        self._coffset = 0
+
+    @property
+    def voffset(self) -> int:
+        return (self._coffset << 16) | len(self._buf)
+
+    def write(self, data: bytes):
+        self._buf += data
+        while len(self._buf) >= self.BLOCK:
+            self._flush(self.BLOCK)
+
+    def _flush(self, n: Optional[int] = None):
+        from .bam import _bgzf_compress_block
+        chunk = bytes(self._buf[:n] if n else self._buf)
+        del self._buf[:len(chunk)]
+        block = _bgzf_compress_block(chunk)
+        self._fh.write(block)
+        self._coffset += len(block)
+
+    def close(self):
+        from .bam import BGZF_EOF
+        if self._buf:
+            self._flush()
+        self._fh.write(BGZF_EOF)
+
+
+def write_vcf_gz(path: str, records: Iterable[VcfRecord],
+                 contigs: Optional[Dict[str, int]] = None, sort: bool = True,
+                 index: bool = True) -> str:
+    """Write a BGZF-compressed VCF with a tabix ``.tbi`` index alongside.
+
+    Returns the index path (or the empty string with ``index=False``).
+    Records must arrive in output order when ``sort=False`` (as write_vcf).
+    """
+    import struct
+
+    from .bam import BaiIndex
+
+    if sort:
+        records = sorted(records, key=record_sort_key(contigs))
+    contig_lines = ""
+    if contigs:
+        contig_lines = "".join(
+            f"##contig=<ID={name},length={length}>\n"
+            for name, length in contigs.items())
+
+    names: List[str] = []          # contigs in order of appearance
+    ids: Dict[str, int] = {}
+    idx = BaiIndex(0)              # bins/linear grown on demand
+    with open(path, "wb") as fh:
+        w = _BgzfTextWriter(fh)
+        w.write(VCF_HEADER.format(contigs=contig_lines).encode())
+        for r in records:
+            rid = ids.get(r.chromosome)
+            if rid is None:
+                rid = ids[r.chromosome] = len(names)
+                names.append(r.chromosome)
+                idx.bins.append({})
+                idx.linear.append([])
+            vbeg = w.voffset
+            w.write((format_record(r) + "\n").encode())
+            idx.add_record(rid, r.position, r.position + len(r.ref),
+                           vbeg, w.voffset)
+        w.close()
+
+    if not index:
+        return ""
+    nm = b"".join(n.encode() + b"\0" for n in names)
+    out = bytearray(b"TBI\x01")
+    out += struct.pack("<8i", len(names), 2, 1, 2, 0, ord("#"), 0, len(nm))
+    out += nm
+    for bins, linear in zip(idx.bins, idx.linear):
+        out += struct.pack("<i", len(bins))
+        for bin_id in sorted(bins):
+            chunks = bins[bin_id]
+            out += struct.pack("<Ii", bin_id, len(chunks))
+            for vbeg, vend in chunks:
+                out += struct.pack("<QQ", vbeg, vend)
+        out += struct.pack("<i", len(linear))
+        for ioffset in linear:
+            out += struct.pack("<Q", ioffset)
+    tbi_path = path + ".tbi"
+    with open(tbi_path, "wb") as fh:
+        fh.write(bytes(out))
+    return tbi_path
+
+
+def fetch_vcf_gz(path: str, chromosome: str, start: int, stop: int):
+    """Region query over an indexed ``.vcf.gz``: yields VcfRecords whose
+    [position, position + len(ref)) overlaps [start, stop) — O(region)
+    through the .tbi linear index, like the BAM region fetch."""
+    import struct
+
+    from .bam import BgzfFile, BgzfStream
+
+    with open(path + ".tbi", "rb") as fh:
+        data = fh.read()
+    if data[:4] != b"TBI\x01":
+        raise ValueError(f"not a tabix index: {path}.tbi")
+    n_ref, _fmt, _cs, _cb, _ce, _meta, _skip, l_nm = struct.unpack_from(
+        "<8i", data, 4)
+    pos = 36
+    names = bytes(data[pos:pos + l_nm]).split(b"\0")[:-1]
+    pos += l_nm
+    linear_by_ref: List[List[int]] = []
+    for _ in range(n_ref):
+        (n_bin,) = struct.unpack_from("<i", data, pos)
+        pos += 4
+        for _b in range(n_bin):
+            _bin_id, n_chunk = struct.unpack_from("<Ii", data, pos)
+            pos += 8 + 16 * n_chunk
+        (n_intv,) = struct.unpack_from("<i", data, pos)
+        pos += 4
+        linear_by_ref.append(
+            list(struct.unpack_from(f"<{n_intv}Q", data, pos)))
+        pos += 8 * n_intv
+
+    try:
+        rid = names.index(chromosome.encode())
+    except ValueError:
+        return
+    voffset = None
+    lin = linear_by_ref[rid]
+    for w in range(start >> 14, len(lin)):
+        if lin[w]:
+            voffset = lin[w]
+            break
+    if voffset is None:
+        return
+
+    bgzf = BgzfFile(path)
+    try:
+        stream = BgzfStream(bgzf, voffset)
+        tail = b""
+        while True:
+            chunk = stream.read(65536)
+            if not chunk:
+                break
+            tail += chunk
+            *lines, tail = tail.split(b"\n")
+            for line in lines:
+                if not line or line.startswith(b"#"):
+                    continue
+                for r in iter_vcf_lines([line.decode()]):
+                    if r.chromosome != chromosome or r.position >= stop:
+                        return
+                    if r.position + len(r.ref) <= start:
+                        continue
+                    yield r
+    finally:
+        bgzf.close()
+
+
+def iter_vcf_lines(lines: Iterable[str]):
+    """Parse VCF body lines (no header) into records — the line-level core
+    of iter_vcf, shared with the indexed .vcf.gz fetch path."""
+    for line in lines:
+        fields = line.rstrip("\n").split("\t")
+        if len(fields) < 8:
+            continue
+        chrom, p, _id, ref, alt = (fields[0], int(fields[1]) - 1, fields[2],
+                                   fields[3], fields[4])
+        try:
+            qual = float(fields[5])
+        except ValueError:
+            qual = 0.0
+        gt = (0, 0)
+        if len(fields) >= 10:
+            fmt = fields[8].split(":")
+            sample = fields[9].split(":")
+            if "GT" in fmt:
+                gtstr = sample[fmt.index("GT")]
+                sep = "|" if "|" in gtstr else "/"
+                vals = [0 if x == "." else int(x) for x in gtstr.split(sep)]
+                if len(vals) == 1:
+                    vals = vals * 2
+                gt = tuple(vals[:2])
+        alts = [] if alt in (".", "") else alt.split(",")
+        yield VcfRecord(chrom, p, ref, alts, gt, qual=qual,
+                        filter=fields[6], info=fields[7])

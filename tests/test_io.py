@@ -451,3 +451,59 @@ def test_merge_vcfs_hierarchical_many_shards(tmp_path):
     merge_vcfs(paths, hier, max_open=2)
     assert open(flat).read() == open(hier).read()
     assert len(read_vcf(hier)) == 27
+
+
+def test_vcf_gz_roundtrip_and_region_fetch(tmp_path):
+    """BGZF .vcf.gz + .tbi: gzip-readable roundtrip, and the indexed region
+    fetch returns exactly the overlapping records (the index's
+    self-verification — no htslib in this environment)."""
+    import os
+    import random
+
+    from hello_tpu.io.vcf import (VcfRecord, fetch_vcf_gz, read_vcf,
+                                  write_vcf, write_vcf_gz)
+
+    rng = random.Random(7)
+    contigs = {"chr2": 400_000, "chr10": 400_000}
+    records = []
+    for chrom in contigs:
+        for _ in range(2000):
+            p = rng.randrange(0, 399_000)
+            records.append(VcfRecord(chrom, p, "ACGT"[p % 4] * (1 + p % 3),
+                                     ["T"], (0, 1)))
+    path = str(tmp_path / "calls.vcf.gz")
+    tbi = write_vcf_gz(path, records, contigs=contigs)
+    assert os.path.exists(tbi)
+
+    got = read_vcf(path)              # gzip reads BGZF (multi-member gzip)
+    assert len(got) == len(records)
+    assert [r.chromosome for r in got[:1]] == ["chr2"]
+
+    # region fetches vs a brute-force scan, incl. spanning-deletion overlap
+    for chrom, start, stop in (("chr2", 100_000, 120_000),
+                               ("chr10", 0, 5_000),
+                               ("chr10", 399_000, 400_000),
+                               ("chr2", 0, 400_000)):
+        want = [(r.chromosome, r.position, r.ref) for r in got
+                if r.chromosome == chrom
+                and r.position + len(r.ref) > start and r.position < stop]
+        have = [(r.chromosome, r.position, r.ref)
+                for r in fetch_vcf_gz(path, chrom, start, stop)]
+        assert have == want, (chrom, start, stop, len(have), len(want))
+    assert list(fetch_vcf_gz(path, "chrMissing", 0, 100)) == []
+
+
+def test_write_vcf_delegates_gz(tmp_path):
+    """write_vcf with a .gz path produces indexed BGZF output — so every
+    caller/merge path supports --out calls.vcf.gz transparently."""
+    import os
+
+    from hello_tpu.io.vcf import VcfRecord, read_vcf, write_vcf
+
+    recs = [VcfRecord("chr1", 5, "A", ["G"], (1, 1)),
+            VcfRecord("chr1", 2, "C", ["T"], (0, 1))]
+    path = str(tmp_path / "out.vcf.gz")
+    write_vcf(path, recs, contigs={"chr1": 1000})
+    assert os.path.exists(path + ".tbi")
+    got = read_vcf(path)
+    assert [(r.position, r.ref) for r in got] == [(2, "C"), (5, "A")]
