@@ -26,6 +26,42 @@ from .trainer import TrainConfig, Trainer
 logger = logging.getLogger(__name__)
 
 
+def prefetch_iter(it, depth: int = 2):
+    """Background-thread batch prefetch: the host-side packing of the next
+    ``depth`` batches overlaps the in-flight device step (the reference's
+    torch DataLoader workers play this role,
+    MixtureOfExpertsDNNFastDistributed.py:269-400).  Exceptions from the
+    producer re-raise at the consuming ``next()``."""
+    import queue
+    import threading
+
+    q: "queue.Queue" = queue.Queue(maxsize=max(depth, 1))
+    END, ERR = object(), object()
+
+    def run():
+        try:
+            for item in it:
+                q.put(item)
+        except BaseException as exc:   # surfaced to the consumer
+            q.put((ERR, exc))
+            return
+        q.put(END)
+
+    threading.Thread(target=run, daemon=True,
+                     name="hello-tpu-train-prefetch").start()
+
+    def gen():
+        while True:
+            item = q.get()
+            if item is END:
+                return
+            if isinstance(item, tuple) and len(item) == 2 and item[0] is ERR:
+                raise item[1]
+            yield item
+
+    return gen()
+
+
 def read_file_list(spec: str):
     if spec.endswith(".lst"):
         with open(spec) as fh:
@@ -145,9 +181,9 @@ def train_from_shards(
                               coverage_range=coverage_range)
         epoch_loss, n_batches, n_trained = 0.0, 0, 0
         start_t = time.time()
-        batch_iter = iter(device_batches(dataset, model.hybrid, n_dev,
-                                         batch_alleles, channels=channels,
-                                         fixed_shape=fixed, wire=wire))
+        batch_iter = prefetch_iter(
+            device_batches(dataset, model.hybrid, n_dev, batch_alleles,
+                           channels=channels, fixed_shape=fixed, wire=wire))
         multihost = jax.process_count() > 1
         while True:
             stacked = next(batch_iter, None)
