@@ -210,16 +210,41 @@ def merge_vcfs(paths: Sequence[str], out_path: str,
     (foreign VCFs are accepted, like the reference's vcf-sort) aborts the
     stream and falls back to an in-memory sort of everything."""
     import heapq
+    import os
 
     key = record_sort_key(contigs)
 
+    # the output may be among the inputs (e.g. a rerun of
+    # `merge --inputs 'dir/*.vcf' --out dir/calls.vcf` globs the previous
+    # output): write_vcf would truncate it before the lazy readers open it,
+    # silently dropping its records — stage through a sibling temp file
+    out_real = os.path.realpath(out_path)
+    if any(os.path.realpath(p) == out_real for p in paths):
+        suffix = ".gz" if out_path.endswith(".gz") else ""
+        staged = out_path + ".merging.tmp" + suffix
+        try:
+            merge_vcfs(paths, staged, contigs=contigs, max_open=max_open)
+            os.replace(staged, out_path)
+            if os.path.exists(staged + ".tbi"):     # .gz staging wrote one
+                os.replace(staged + ".tbi", out_path + ".tbi")
+        finally:
+            for leftover in (staged, staged + ".tbi"):
+                if os.path.exists(leftover):
+                    try:
+                        os.unlink(leftover)
+                    except OSError:
+                        pass
+        return
+
     if len(paths) > max_open:
-        import os
         import tempfile
+        out_dir = os.path.dirname(os.path.abspath(out_path)) or "."
         intermediates = []
         try:
             for i in range(0, len(paths), max_open):
-                fd, tmp = tempfile.mkstemp(suffix=".merge.vcf")
+                # intermediates live next to the output (same filesystem,
+                # not a possibly-small /tmp) — they can be GBs
+                fd, tmp = tempfile.mkstemp(suffix=".merge.vcf", dir=out_dir)
                 os.close(fd)
                 intermediates.append(tmp)
                 merge_vcfs(paths[i:i + max_open], tmp, contigs=contigs,

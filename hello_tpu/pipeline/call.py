@@ -482,11 +482,11 @@ def call_region(bam_paths: Sequence[str], ref: FastaFile, chromosome: str,
     # cannot inflate the padded read axis of every other site's batch;
     # outputs are re-sorted below, so cross-class scoring order is free
     drainer = None
+    drainer_acc = {"backpressure_s": 0.0, "drain_s": 0.0,
+                   "fetch_s": 0.0, "decode_s": 0.0}
     if expert_records is None:
         from .parallel_call import _AsyncDrainer
-        drainer = _AsyncDrainer(scorer, _decode_entry,
-                                {"backpressure_s": 0.0, "drain_s": 0.0,
-                                 "fetch_s": 0.0, "decode_s": 0.0},
+        drainer = _AsyncDrainer(scorer, _decode_entry, drainer_acc,
                                 MAX_IN_FLIGHT)
     from .batching import CodedSiteWork
     body_ok = False
@@ -524,6 +524,13 @@ def call_region(bam_paths: Sequence[str], ref: FastaFile, chromosome: str,
                 drainer.close()
             except BaseException:
                 logger.exception("drainer failed during abort")
+        if drainer is not None:
+            # fold the drainer thread's timing into the stage telemetry the
+            # inline path records directly (decode is already counted by
+            # _decode_entry's own stage)
+            telemetry.add("device_wait", drainer_acc["fetch_s"])
+            telemetry.add("dispatch_backpressure",
+                          drainer_acc["backpressure_s"])
 
     records.sort(key=lambda r: r.key())
     if expert_records is not None:

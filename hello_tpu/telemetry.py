@@ -35,6 +35,14 @@ def stage(name: str):
             _counts[name] += 1
 
 
+def add(name: str, seconds: float, calls: int = 1):
+    """Accumulate externally-measured time into a stage (e.g. timings that
+    accrued in a worker/drainer thread's own dict)."""
+    with _lock:
+        _totals[name] += seconds
+        _counts[name] += calls
+
+
 def report() -> Dict[str, dict]:
     with _lock:
         return {name: {"seconds": round(_totals[name], 4),

@@ -31,33 +31,55 @@ def prefetch_iter(it, depth: int = 2):
     ``depth`` batches overlaps the in-flight device step (the reference's
     torch DataLoader workers play this role,
     MixtureOfExpertsDNNFastDistributed.py:269-400).  Exceptions from the
-    producer re-raise at the consuming ``next()``."""
+    producer re-raise at the consuming ``next()``.
+
+    Abandoning the generator mid-stream (multihost epochs break as soon as
+    ANY rank runs dry; an exception may escape the train step) must not
+    leak the producer: closing/exiting the generator sets a stop flag the
+    producer polls between puts, releasing the thread and its buffered
+    batches — callers should ``close()`` it (or rely on GC finalising the
+    generator, which calls the same finally block)."""
     import queue
     import threading
 
     q: "queue.Queue" = queue.Queue(maxsize=max(depth, 1))
+    stop = threading.Event()
     END, ERR = object(), object()
+
+    def _put(item) -> bool:
+        while not stop.is_set():
+            try:
+                q.put(item, timeout=0.2)
+                return True
+            except queue.Full:
+                continue
+        return False
 
     def run():
         try:
             for item in it:
-                q.put(item)
+                if not _put(item):
+                    return
         except BaseException as exc:   # surfaced to the consumer
-            q.put((ERR, exc))
+            _put((ERR, exc))
             return
-        q.put(END)
+        _put(END)
 
     threading.Thread(target=run, daemon=True,
                      name="hello-tpu-train-prefetch").start()
 
     def gen():
-        while True:
-            item = q.get()
-            if item is END:
-                return
-            if isinstance(item, tuple) and len(item) == 2 and item[0] is ERR:
-                raise item[1]
-            yield item
+        try:
+            while True:
+                item = q.get()
+                if item is END:
+                    return
+                if (isinstance(item, tuple) and len(item) == 2
+                        and item[0] is ERR):
+                    raise item[1]
+                yield item
+        finally:
+            stop.set()
 
     return gen()
 
@@ -185,28 +207,35 @@ def train_from_shards(
             device_batches(dataset, model.hybrid, n_dev, batch_alleles,
                            channels=channels, fixed_shape=fixed, wire=wire))
         multihost = jax.process_count() > 1
-        while True:
-            stacked = next(batch_iter, None)
-            if multihost:
-                # every rank must enter the psum collectives the same number
-                # of times per epoch: stop as soon as ANY rank runs dry
-                # (ranks' shard files never split sites identically)
-                if not trainer.all_ranks_have(stacked is not None):
+        try:
+            while True:
+                stacked = next(batch_iter, None)
+                if multihost:
+                    # every rank must enter the psum collectives the same
+                    # number of times per epoch: stop as soon as ANY rank
+                    # runs dry (ranks' shard files never split sites
+                    # identically)
+                    if not trainer.all_ranks_have(stacked is not None):
+                        break
+                elif stacked is None:
                     break
-            elif stacked is None:
-                break
-            n_batches += 1        # absolute position within the epoch
-            if skip_batches > 0:
-                # deterministic sampler fast-forward on mid-epoch resume
-                skip_batches -= 1
-                continue
-            metrics = trainer.train_batch(stacked)
-            epoch_loss += metrics["loss"]
-            n_trained += 1
-            if checkpoint_every and trainer.step % checkpoint_every == 0:
-                trainer.save(f"{out_prefix}.step{trainer.step}.ckpt",
-                             extra={"epoch": epoch, "batches_done": n_batches,
-                                    "seed": seed, "best_val": best_val})
+                n_batches += 1        # absolute position within the epoch
+                if skip_batches > 0:
+                    # deterministic sampler fast-forward on mid-epoch resume
+                    skip_batches -= 1
+                    continue
+                metrics = trainer.train_batch(stacked)
+                epoch_loss += metrics["loss"]
+                n_trained += 1
+                if checkpoint_every and trainer.step % checkpoint_every == 0:
+                    trainer.save(
+                        f"{out_prefix}.step{trainer.step}.ckpt",
+                        extra={"epoch": epoch, "batches_done": n_batches,
+                               "seed": seed, "best_val": best_val})
+        finally:
+            # release the prefetch producer (multihost epochs break while
+            # the local iterator still has batches; see prefetch_iter)
+            batch_iter.close()
         elapsed = time.time() - start_t
 
         val_loss = None

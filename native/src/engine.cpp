@@ -962,10 +962,15 @@ static htpu_window* window_create_impl(
     int64_t so = 0, co = 0;
     for (int32_t i = 0; i < num_reads; i++) {
         const htpu_read_src& s = srcs[i];
-        std::memcpy(&w.seqs_buf[so], s.seq, (size_t)s.seq_len);
-        std::memcpy(&w.quals_buf[so], s.qual, (size_t)s.seq_len);
+        // .data() + offset, not &buf[offset]: a trailing zero-length read
+        // (l_seq=0 records pass every select filter) makes `so` one past
+        // the end, where operator[] is UB
+        if (s.seq_len) {
+            std::memcpy(w.seqs_buf.data() + so, s.seq, (size_t)s.seq_len);
+            std::memcpy(w.quals_buf.data() + so, s.qual, (size_t)s.seq_len);
+        }
         if (s.n_cigars)
-            std::memcpy(&w.cigars_buf[co], s.cigars,
+            std::memcpy(w.cigars_buf.data() + co, s.cigars,
                         (size_t)s.n_cigars * sizeof(uint32_t));
         ReadView rv;
         rv.seq = w.seqs_buf.data() + so;

@@ -507,3 +507,20 @@ def test_write_vcf_delegates_gz(tmp_path):
     assert os.path.exists(path + ".tbi")
     got = read_vcf(path)
     assert [(r.position, r.ref) for r in got] == [(2, "C"), (5, "A")]
+
+
+def test_merge_vcfs_output_among_inputs(tmp_path):
+    """Re-running `merge --inputs 'dir/*.vcf' --out dir/calls.vcf` globs the
+    previous output as an input; the merge must not truncate it before
+    reading (staged write + atomic replace)."""
+    from hello_tpu.io.vcf import VcfRecord, merge_vcfs, read_vcf, write_vcf
+
+    a = str(tmp_path / "a.vcf")
+    out = str(tmp_path / "calls.vcf")
+    write_vcf(a, [VcfRecord("chr1", 1, "A", ["T"], (0, 1)),
+                  VcfRecord("chr1", 9, "C", ["G"], (1, 1))])
+    write_vcf(out, [VcfRecord("chr1", 4, "G", ["C"], (0, 1)),
+                    VcfRecord("chr1", 6, "T", ["A"], (0, 1))])
+    merge_vcfs([a, out], out)
+    got = [(r.position, r.ref) for r in read_vcf(out)]
+    assert got == [(1, "A"), (4, "G"), (6, "T"), (9, "C")]

@@ -395,3 +395,45 @@ def test_scorer_params_hot_swap_invalidate(tmp_path):
     s0.params, s0.state = s1.params, s1.state
     e_swapped, _ = s0(batch)
     np.testing.assert_array_equal(e_swapped, e1)
+
+
+def test_prefetch_iter_releases_abandoned_producer():
+    """Breaking out of a prefetched epoch early (the multihost any-rank-dry
+    path) must stop the producer thread instead of leaving it parked in
+    q.put holding the dataset and buffered batches."""
+    import threading
+    import time
+
+    from hello_tpu.train.cli import prefetch_iter
+
+    produced = []
+
+    def slow_source():
+        for i in range(1000):
+            produced.append(i)
+            yield i
+
+    before = threading.active_count()
+    it = prefetch_iter(slow_source(), depth=2)
+    assert next(it) == 0
+    it.close()                      # abandon mid-stream
+    deadline = time.time() + 5.0
+    while threading.active_count() > before and time.time() < deadline:
+        time.sleep(0.05)
+    assert threading.active_count() <= before
+    assert len(produced) < 1000     # producer stopped early
+
+
+def test_prefetch_iter_propagates_producer_error():
+    import pytest
+
+    from hello_tpu.train.cli import prefetch_iter
+
+    def bad_source():
+        yield 1
+        raise RuntimeError("pack exploded")
+
+    it = prefetch_iter(bad_source())
+    assert next(it) == 1
+    with pytest.raises(RuntimeError, match="pack exploded"):
+        list(it)
