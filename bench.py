@@ -214,13 +214,20 @@ def bench_train(sites, iters=10, precision="default", sustained=True):
         rot = [wire, {k: v.copy() for k, v in wire.items()}]
         out = trainer.train_batch(jax.device_put(rot[1]))  # both warm
         assert np.isfinite(out["loss"])
-        t0 = time.perf_counter()
-        last = None
-        for i in range(iters):
-            db_i = jax.device_put(rot[i % 2])
-            last = trainer.train_batch(db_i, sync=False)
-        assert np.isfinite(float(last["loss_device"]))     # syncs the chain
-        sustained_s = (time.perf_counter() - t0) / iters
+        # best of three spaced windows, like bench_tpu: the tunnel's
+        # degraded-latency phases uniformly slow one window
+        for rep in range(3):
+            if rep:
+                time.sleep(2.0)
+            t0 = time.perf_counter()
+            last = None
+            for i in range(iters):
+                db_i = jax.device_put(rot[i % 2])
+                last = trainer.train_batch(db_i, sync=False)
+            assert np.isfinite(float(last["loss_device"]))  # syncs the chain
+            window = (time.perf_counter() - t0) / iters
+            sustained_s = window if sustained_s is None \
+                else min(sustained_s, window)
 
     # FLOPs lower bound: the two read-conv stacks dominate (~10.2 MFLOP per
     # read row, ops/bench_read_conv.FLOPS_PER_READ); backward ~ 2x forward
