@@ -509,3 +509,26 @@ if __name__ == "__main__":
     assert mem == spl
     assert len([l for l in mem.splitlines() if not l.startswith("#")]) >= 20
     assert not glob.glob(str(tmp_path / "*.tmp.vcf"))   # spills cleaned up
+
+
+def test_record_spiller_gz_output(tmp_path):
+    """Spilled runs writing a .vcf.gz output stream the merged records into
+    BGZF with a .tbi index (the spill shards stay plain VCF)."""
+    import os
+
+    from hello_tpu.io.vcf import VcfRecord, fetch_vcf_gz, read_vcf
+    from hello_tpu.pipeline.parallel_call import _RecordSpiller
+
+    out = str(tmp_path / "calls.vcf.gz")
+    sp = _RecordSpiller(out, {"chr1": 10_000}, threshold=3)
+    for pos in (50, 10, 90, 30, 70, 20, 60):
+        sp.add(VcfRecord("chr1", pos, "A", ["T"], (0, 1)))
+    n = sp.finish()
+    assert n == 7
+    got = [r.position for r in read_vcf(out)]
+    assert got == [10, 20, 30, 50, 60, 70, 90]
+    assert os.path.exists(out + ".tbi")
+    assert [r.position for r in fetch_vcf_gz(out, "chr1", 25, 65)] == \
+        [30, 50, 60]
+    import glob
+    assert not glob.glob(str(tmp_path / "*.tmp.vcf"))
