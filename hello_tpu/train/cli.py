@@ -111,7 +111,7 @@ def train_from_shards(
     smoothing: float = 0.0, aux_weight: float = 0.0, weight_decay: float = 1e-4,
     seed: int = 13, channels: int = None, resume: str = None,
     coverage_range=None, checkpoint_every: int = 0,
-    steps_per_epoch: int = 0, wire: bool = None,
+    steps_per_epoch: int = 0, wire: bool = None, remat: bool = False,
 ):
     import jax
 
@@ -156,7 +156,8 @@ def train_from_shards(
         t0=t0, t_mult=t_mult, warmup=warmup,
         steps_per_epoch=max(steps_per_epoch, 1),
         entropy_regularizer=entropy_regularizer, entropy_decay=entropy_decay,
-        smoothing=smoothing, aux_weight=aux_weight, binary=binary)
+        smoothing=smoothing, aux_weight=aux_weight, binary=binary,
+        remat=remat)
     trainer = Trainer(model, config, mesh=mesh, seed=seed)
     start_epoch, skip_batches = 0, 0
     best_val = float("inf")
@@ -298,6 +299,11 @@ def main(argv=None):
                         help="assert 7-channel (haplotagged) data; the "
                              "channel count itself derives from --model")
     parser.add_argument("--seed", type=int, default=13)
+    parser.add_argument("--remat", action="store_true",
+                        help="rematerialise the forward in the backward "
+                             "(jax.checkpoint): ~37%% slower steps for "
+                             "activation-memory headroom (see "
+                             "TrainConfig.remat for measured limits)")
     parser.add_argument("--subsample_coverage", default=None,
                         help="LO,HI coverage-fraction range for per-site "
                              "read-thinning augmentation (e.g. 0.3,1.0)")
@@ -378,7 +384,8 @@ def main(argv=None):
         seed=args.seed, channels=7 if args.include_hp else None,
         resume=args.resume, coverage_range=coverage_range,
         checkpoint_every=args.checkpoint_every,
-        wire=None if args.wire == "auto" else args.wire == "1")
+        wire=None if args.wire == "auto" else args.wire == "1",
+        remat=args.remat)
     if args.profile_dir:
         jax.profiler.stop_trace()
         logger.info("profiler trace written to %s", args.profile_dir)

@@ -437,3 +437,30 @@ def test_prefetch_iter_propagates_producer_error():
     assert next(it) == 1
     with pytest.raises(RuntimeError, match="pack exploded"):
         list(it)
+
+
+def test_remat_step_matches_plain_step():
+    """jax.checkpoint rematerialisation must not change the training math:
+    identical params/batch give identical loss and identical updated
+    parameters (remat recomputes the forward, it must not alter it)."""
+    from hello_tpu.nn.moe import create_model
+    from hello_tpu.parallel.mesh import data_mesh
+    from hello_tpu.pipeline.batching import stack_device_batches
+    from hello_tpu.train.trainer import Trainer, TrainConfig
+    import __graft_entry__ as ge
+
+    model = create_model("illumina")
+    batch = ge._example_batch(np.random.RandomState(9), hybrid=False,
+                              A=8, R=4, S=4, labels=True)
+    stacked = stack_device_batches([batch])
+    outs = {}
+    for remat in (False, True):
+        trainer = Trainer(model, TrainConfig(binary=True, remat=remat),
+                          mesh=data_mesh(1), seed=21)
+        m = trainer.train_batch(stacked)
+        outs[remat] = (m["loss"], trainer.params)
+    np.testing.assert_allclose(outs[False][0], outs[True][0], rtol=1e-6)
+    for a, b in zip(jax.tree_util.tree_leaves(outs[False][1]),
+                    jax.tree_util.tree_leaves(outs[True][1])):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-7)
