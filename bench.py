@@ -388,8 +388,11 @@ def main():
     parser.add_argument("--baseline_sites", type=int, default=32,
                         help="baseline torch workload size (scaled per-site)")
     parser.add_argument("--iters", type=int, default=20)
+    # cpus + 2: host stages block on BAM IO and IPC enough that modest
+    # oversubscription keeps cores busy (interleaved A/B on the 4-vCPU
+    # bench host: 6 workers 5,960 w/s median vs 4 workers 3,446)
     parser.add_argument("--pipeline_workers", type=int,
-                        default=min(4, os.cpu_count() or 1),
+                        default=(os.cpu_count() or 2) + 2,
                         help="host worker processes for the end-to-end leg")
     # "bf16" (bf16 matmuls + bf16 conv activations) matches the inference
     # default in pipeline/call.py: validated on a 700-variant sim A/B on a
