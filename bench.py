@@ -107,11 +107,13 @@ def bench_tpu(sites, iters, precision, num_rotations=2):
 
     for b in batches:
         np.asarray(forward(params, state, b)[0])
-    # best median across three spaced repetitions: the remote tunnel has
-    # multi-minute degraded-latency phases that uniformly slow a single
-    # window (measured same-day swings of >2x with identical code); the
-    # capability number is the best sustained window, standard practice for
-    # shared-infrastructure benchmarks.  Each window is still
+    # best median across three spaced repetitions: mitigates short tunnel
+    # stalls and transient latency spikes inside a run (a window that eats
+    # a one-off multi-second stall no longer poisons the median).  NOTE:
+    # the tunnel also has multi-MINUTE degraded phases that outlast all
+    # three windows — a run landing wholly inside one still reports the
+    # degraded rate (measured same-day swings of >2x with identical code);
+    # treat cross-run disagreement accordingly.  Each window is
     # per-iteration-synced with a host readback (block_until_ready alone
     # can return early through remote-TPU tunnels).
     best = None
@@ -197,13 +199,22 @@ def bench_train(sites, iters=10, precision="default", sustained=True):
     h2d_s = time.perf_counter() - t0
 
     trainer.train_batch(db)              # compile + first step
-    times = []
-    for _ in range(iters):
-        t0 = time.perf_counter()
-        metrics = trainer.train_batch(db)   # returns host floats => synced
-        times.append(time.perf_counter() - t0)
-        assert np.isfinite(metrics["loss"])
-    step_s = statistics.median(times)
+    # best median of three spaced windows, like the device leg — and the
+    # same scheme as the sustained loop below, so sustained (which adds
+    # per-step staging) cannot report HIGHER than step-only just because
+    # the step windows landed in a worse tunnel phase
+    step_s = None
+    for rep in range(3):
+        if rep:
+            time.sleep(2.0)
+        times = []
+        for _ in range(iters):
+            t0 = time.perf_counter()
+            metrics = trainer.train_batch(db)   # host floats => synced
+            times.append(time.perf_counter() - t0)
+            assert np.isfinite(metrics["loss"])
+        med = statistics.median(times)
+        step_s = med if step_s is None else min(step_s, med)
 
     # sustained: stage a FRESH host batch every step (two rotations so no
     # transfer layer can memoize), overlapping staging with the in-flight
@@ -390,9 +401,12 @@ def main():
     parser.add_argument("--iters", type=int, default=20)
     # cpus + 2: host stages block on BAM IO and IPC enough that modest
     # oversubscription keeps cores busy (interleaved A/B on the 4-vCPU
-    # bench host: 6 workers 5,960 w/s median vs 4 workers 3,446)
+    # bench host: 6 workers 5,960 w/s median vs 4 workers 3,446).  Capped
+    # at 8: the A/B evidence covers small hosts, and the leg's fixed-size
+    # region only yields ~70 chunks — more workers would idle behind
+    # stragglers rather than add throughput
     parser.add_argument("--pipeline_workers", type=int,
-                        default=(os.cpu_count() or 2) + 2,
+                        default=min(8, (os.cpu_count() or 2) + 2),
                         help="host worker processes for the end-to-end leg")
     # "bf16" (bf16 matmuls + bf16 conv activations) matches the inference
     # default in pipeline/call.py: validated on a 700-variant sim A/B on a
