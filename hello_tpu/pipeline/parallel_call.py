@@ -386,7 +386,9 @@ class _RecordSpiller:
         from ..io.vcf import record_sort_key
         self.out_vcf = out_vcf
         self.contigs = contigs
-        self.threshold = threshold
+        # a non-positive threshold means "never spill" (a user passing 0 to
+        # disable spilling must not get one spill file per record)
+        self.threshold = threshold if threshold >= 1 else float("inf")
         self.key = record_sort_key(contigs)
         self.records: List[VcfRecord] = []
         self.paths: List[str] = []
@@ -671,6 +673,8 @@ def call_parallel(bam_paths: Sequence[str], ref_path: str, scorer: Scorer,
             raise
         if not body_ok:
             spiller.cleanup()          # drop temp spill shards on abort
+            if own_pool:               # don't leak worker processes either
+                pool.shutdown()
     if stats is not None:
         stats.update(t_acc)
 

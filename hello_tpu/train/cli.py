@@ -60,6 +60,8 @@ def prefetch_iter(it, depth: int = 2):
             for item in it:
                 if not _put(item):
                     return
+                if stop.is_set():   # don't pack one extra discarded batch
+                    return
         except BaseException as exc:   # surfaced to the consumer
             _put((ERR, exc))
             return
@@ -145,8 +147,8 @@ def train_from_shards(
         # LRSchedulers epoch = j + i/len(loader)); estimate the batches per
         # epoch from the shard indexes (sites are cheap to count; ~2 alleles
         # per site is the typical calling-mode density)
-        from .store import ShardReader
-        total_sites = sum(len(ShardReader(p)) for p in files)
+        from .store import open_shard
+        total_sites = sum(len(open_shard(p)) for p in files)
         per_batch = min(site_bucket, max(1, batch_alleles // 2))
         steps_per_epoch = max(1, -(-total_sites // per_batch))
         logger.info("estimated steps_per_epoch=%d for the LR schedule",

@@ -16,7 +16,7 @@ from typing import Iterator, List, Optional, Sequence
 
 from ..pipeline.batching import (SiteWork, group_sites_for_batching, pack_sites,
                                  stack_device_batches, training_dict)
-from .store import ShardReader
+from .store import open_shard
 
 
 def subsample_reads(site: SiteWork, max_reads: int, rng: random.Random) -> SiteWork:
@@ -72,7 +72,7 @@ def shard_files_for_ranks(files: Sequence[str], world_size: int,
     per_rank = [files[r::world_size] for r in range(world_size)]
     lengths = []
     for chunk in per_rank:
-        lengths.append(sum(len(ShardReader(p)) for p in chunk))
+        lengths.append(sum(len(open_shard(p)) for p in chunk))
     min_len = min(lengths) if lengths else 0
     return per_rank, min_len
 
@@ -99,7 +99,7 @@ class SiteDataset:
             rng.shuffle(paths)
         emitted = 0
         for path in paths:
-            reader = ShardReader(path)
+            reader = open_shard(path)
             sites = list(reader)
             if self.shuffle:
                 rng.shuffle(sites)

@@ -100,6 +100,16 @@ class ShardReader:
             yield self[i]
 
 
+def open_shard(index_path: str):
+    """Open a shard index of either format: native ShardReader indexes, or
+    reference MemmapperCompound dumps (train/interop.py) — sniffed per file,
+    so a training file list can mix both."""
+    from .interop import ReferenceShardReader, is_reference_index
+    if is_reference_index(index_path):
+        return ReferenceShardReader(index_path)
+    return ShardReader(index_path)
+
+
 def write_shards(sites: Iterator[SiteWork], out_prefix: str,
                  sites_per_shard: int = 1000) -> List[str]:
     """Write a site stream into numbered shards; returns index paths."""
