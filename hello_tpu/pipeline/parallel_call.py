@@ -369,6 +369,75 @@ class _AsyncDrainer:
                 self._cv.notify_all()
 
 
+class _AsyncStager:
+    """Background pack + host->device dispatch stage.
+
+    The upstream mirror of :class:`_AsyncDrainer`: ``device_put`` through a
+    remote-TPU tunnel is a blocking upload (~60 MB/s, 30 s of a 66 s 100 Mb
+    soak when paid on the dispatching thread), so batch packing and device
+    staging run on their own thread.  The main loop only appends site groups
+    to a bounded queue and returns to consuming worker results — it never
+    blocks on tunnel uploads.  Backpressure chains naturally: the drainer's
+    in-flight window fills -> ``drainer.put`` blocks the stager -> the stager
+    queue fills -> the main loop blocks in ``put`` (accounted as
+    ``stage_backpressure_s``).
+
+    ``close`` drains the queue, joins the thread, and re-raises any staging
+    failure.  Groups dispatch strictly in arrival order (the drainer bulk
+    fetch assumes the oldest dispatched batch finishes first)."""
+
+    def __init__(self, stage_fn, t_acc, max_groups: int = 8):
+        self._stage = stage_fn
+        self._t_acc = t_acc
+        self._max = max_groups
+        self._q: collections.deque = collections.deque()
+        self._cv = threading.Condition()
+        self._done = False
+        self._exc: Optional[BaseException] = None
+        self._thread = threading.Thread(target=self._run, daemon=True,
+                                        name="hello-tpu-stage")
+        self._thread.start()
+
+    def put(self, group):
+        t0 = time.perf_counter()
+        with self._cv:
+            while len(self._q) >= self._max and self._exc is None:
+                self._cv.wait()
+            if self._exc is not None:
+                raise self._exc
+            self._q.append(group)
+            self._cv.notify_all()
+        self._t_acc["stage_backpressure_s"] += time.perf_counter() - t0
+
+    def close(self, abort: bool = False):
+        """Drain the queue and join; ``abort=True`` discards queued groups
+        instead (an aborting caller must not dispatch more device work)."""
+        with self._cv:
+            if abort:
+                self._q.clear()
+            self._done = True
+            self._cv.notify_all()
+        self._thread.join()
+        if self._exc is not None:
+            raise self._exc
+
+    def _run(self):
+        try:
+            while True:
+                with self._cv:
+                    while not self._q and not self._done:
+                        self._cv.wait()
+                    if not self._q and self._done:
+                        return
+                    group = self._q.popleft()
+                    self._cv.notify_all()
+                self._stage(group)
+        except BaseException as exc:   # surfaced by put()/close()
+            with self._cv:
+                self._exc = exc
+                self._cv.notify_all()
+
+
 class _RecordSpiller:
     """Bounds the caller's in-memory VCF record set.
 
@@ -453,6 +522,19 @@ def call_parallel(bam_paths: Sequence[str], ref_path: str, scorer: Scorer,
                   # readbacks are off the dispatching thread; keeping 1024
                   # for the earlier first batch on slow hosts.
                   max_alleles_per_batch: int = 1024,
+                  # once a read-bucket class has flushed its first batch,
+                  # its budget ramps to the measured device-saturation point
+                  # (512 -> 8.8k, 1024 -> 11.3k, 2048 -> 12.3k w/s on a
+                  # v5e): the first batch still forms early, steady-state
+                  # batches ride the saturation curve.  Shapes stay within
+                  # the fixed bucket ladders (allele axis quantises to
+                  # DEFAULT_ALLELE_BUCKETS; the coded row axis to
+                  # {cap/4, cap/2, cap}) — the ramp is a deterministic
+                  # function of per-class flush count, never of arrival
+                  # timing, so the compile-shape discipline of
+                  # buffer_sites's NOTE holds.  Set equal to
+                  # max_alleles_per_batch to disable.
+                  saturation_alleles: int = 2048,
                   include_hp: bool = False,
                   stats: Optional[dict] = None,
                   pool: Optional[HostWorkerPool] = None,
@@ -516,13 +598,17 @@ def call_parallel(bam_paths: Sequence[str], ref_path: str, scorer: Scorer,
         _dispatch = _score_async
     else:
         _dispatch = scorer
-    # stage accounting (seconds), reported through ``stats``: wait = main
-    # thread blocked on worker results (host-stage bound), pack/dispatch =
-    # batch assembly + device dispatch, backpressure = main thread blocked
-    # on the full in-flight window; drain/fetch/decode accrue on the drainer
-    # thread and OVERLAP the main-thread stages (they only bound the wall
-    # clock when the device or the readback tunnel is the bottleneck)
+    # stage accounting (seconds), reported through ``stats``.  MAIN-THREAD
+    # stages (these bound the loop): wait = blocked on worker results
+    # (host-stage bound), stage_backpressure = blocked on the full stager
+    # queue (device/upload bound).  STAGER-THREAD stages (overlap the main
+    # loop): pack = batch assembly, dispatch = device_put + jit dispatch
+    # (the tunnel upload), backpressure = stager blocked on the drainer's
+    # full in-flight window.  DRAINER-THREAD stages (overlap both):
+    # drain/fetch/decode.  Off-main-thread stages only bound the wall clock
+    # when the device or the tunnel is the true bottleneck.
     t_acc = {"wait_s": 0.0, "pack_s": 0.0, "dispatch_s": 0.0,
+             "stage_backpressure_s": 0.0,
              "backpressure_s": 0.0, "drain_s": 0.0, "fetch_s": 0.0,
              "decode_s": 0.0}
 
@@ -561,6 +647,11 @@ def call_parallel(bam_paths: Sequence[str], ref_path: str, scorer: Scorer,
         t_acc["dispatch_s"] += time.perf_counter() - t1
         drainer.put(group, batch, out)
 
+    # pack + device_put run on the stager thread; the main loop only queues
+    # site groups (host->device uploads through a remote tunnel otherwise
+    # serialise the loop exactly like readbacks did before the drainer)
+    stager = _AsyncStager(score_group, t_acc)
+
     # Sites are buffered ACROSS chunk results so the device sees full
     # max_alleles_per_batch batches: per-chunk site counts are small, and
     # dispatch latency (not FLOPs) dominates under-filled batches —
@@ -571,13 +662,22 @@ def call_parallel(bam_paths: Sequence[str], ref_path: str, scorer: Scorer,
     from .batching import site_read_bucket
     pending: dict = {}            # read-bucket class -> [SiteWork]
     pending_alleles: dict = {}    # read-bucket class -> allele count
+    # per-class allele budget: first flush at max_alleles_per_batch (early
+    # device overlap), then ramped to the saturation point (see the
+    # saturation_alleles parameter note)
+    saturation = max(saturation_alleles, max_alleles_per_batch)
+    budgets: dict = {}
+
+    def class_budget(key) -> int:
+        return budgets.get(key, max_alleles_per_batch)
 
     def flush_class(key, keep_tail=True):
         groups = list(group_sites_for_batching(pending[key],
-                                               max_alleles_per_batch))
+                                               class_budget(key)))
         tail = groups.pop() if (keep_tail and groups) else None
         for group in groups:
-            score_group(group)
+            stager.put(group)
+            budgets[key] = saturation
         if tail is not None and keep_tail:
             pending[key] = list(tail)
             pending_alleles[key] = sum(len(t.alleles) for t in tail)
@@ -594,7 +694,7 @@ def call_parallel(bam_paths: Sequence[str], ref_path: str, scorer: Scorer,
                 site_read_bucket(s) if class_by_read_bucket else (0,))
             pending.setdefault(key, []).append(s)
             pending_alleles[key] = pending_alleles.get(key, 0) + len(s.alleles)
-            if pending_alleles[key] >= max_alleles_per_batch:
+            if pending_alleles[key] >= class_budget(key):
                 flush_class(key)
         # NOTE: no opportunistic partial flushing here.  Flushing "when the
         # device looks idle" was tried and is a trap: batch shapes become a
@@ -648,18 +748,30 @@ def call_parallel(bam_paths: Sequence[str], ref_path: str, scorer: Scorer,
 
         for key in sorted(pending):
             for group in group_sites_for_batching(pending[key],
-                                                  max_alleles_per_batch):
-                score_group(group)
+                                                  class_budget(key)):
+                stager.put(group)
         body_ok = True
     finally:
-        # always join the drainer (records are only complete — and only
-        # safely readable — after it returns); re-raises consumer failures,
-        # except while an earlier exception is already propagating (the
-        # root cause must not be masked by a secondary drain failure)
+        # join stager first (it feeds the drainer), then the drainer
+        # (records are only complete — and only safely readable — after it
+        # returns); re-raises staging/consumer failures, except while an
+        # earlier exception is already propagating (the root cause must not
+        # be masked by a secondary failure)
         try:
             if body_ok:
+                stage_exc = None
+                try:
+                    stager.close()
+                except BaseException as exc:
+                    stage_exc = exc       # still join the drainer below
                 drainer.close()
+                if stage_exc is not None:
+                    raise stage_exc
             else:
+                try:
+                    stager.close(abort=True)
+                except BaseException:
+                    logger.exception("stager failed during abort")
                 try:
                     drainer.close()
                 except BaseException:

@@ -472,6 +472,156 @@ def test_async_drainer_propagates_callback_failure():
         d.close()
 
 
+def test_async_stager_stages_in_order_and_propagates_failure():
+    """The stager dispatches groups strictly in arrival order (the drainer's
+    bulk fetch assumes in-order device completion) and surfaces staging
+    failures at put/close."""
+    from hello_tpu.pipeline.parallel_call import _AsyncStager
+
+    staged = []
+    t_acc = {"stage_backpressure_s": 0.0}
+    s = _AsyncStager(staged.append, t_acc, max_groups=3)
+    for i in range(20):
+        s.put(i)
+    s.close()
+    assert staged == list(range(20))
+
+    def boom(group):
+        raise RuntimeError("stage exploded")
+
+    s = _AsyncStager(boom, {"stage_backpressure_s": 0.0}, max_groups=2)
+    with pytest.raises(RuntimeError, match="stage exploded"):
+        for i in range(50):
+            s.put(i)
+        s.close()
+
+
+def test_async_stager_bounds_queue_and_abort_discards():
+    import threading
+    import time
+
+    from hello_tpu.pipeline.parallel_call import _AsyncStager
+
+    release = threading.Event()
+    staged = []
+
+    def slow_stage(group):
+        release.wait(5.0)
+        staged.append(group)
+
+    t_acc = {"stage_backpressure_s": 0.0}
+    s = _AsyncStager(slow_stage, t_acc, max_groups=2)
+    s.put("a")            # picked up by the thread, parks in slow_stage
+    s.put("b")
+    s.put("c")            # fills the queue (one in-stage + two queued)
+    done = [False]
+
+    def putter():
+        s.put("d")
+        done[0] = True
+
+    t = threading.Thread(target=putter)
+    t.start()
+    time.sleep(0.2)
+    blocked = not done[0]
+    release.set()
+    t.join(5.0)
+    s.close()
+    assert blocked and done[0]
+    assert staged == ["a", "b", "c", "d"]
+    assert t_acc["stage_backpressure_s"] > 0.0
+
+    # abort path: queued groups are discarded, no further staging happens
+    release.clear()
+    entered = threading.Event()
+    staged2 = []
+
+    def slow2(group):
+        entered.set()
+        release.wait(5.0)
+        staged2.append(group)
+
+    s2 = _AsyncStager(slow2, {"stage_backpressure_s": 0.0}, max_groups=4)
+    s2.put("x")
+    assert entered.wait(5.0)   # "x" is in-flight on the stager thread
+    s2.put("y")
+    s2.put("z")
+    release.set()
+    s2.close(abort=True)
+    assert staged2 == ["x"]   # only the in-flight group completed
+
+
+def test_saturation_budget_ramp(tmp_path):
+    """The per-class allele budget starts at max_alleles_per_batch (early
+    first batch) and ramps to saturation_alleles after a class's first
+    flush; the produced VCF is identical to a fixed-budget run."""
+    import subprocess
+    import sys
+
+    script = tmp_path / "driver.py"
+    script.write_text(f"""
+import sys; sys.path.insert(0, {repr(str(__import__('os').path.dirname(__import__('os').path.dirname(__import__('os').path.abspath(__file__)))))})
+import json
+import numpy as np
+import jax
+jax.config.update("jax_platforms", "cpu")
+from hello_tpu import sim
+from hello_tpu.pipeline.call import load_scorer
+
+class RecordingScorer:
+    '''Duck-typed dense scorer that logs real-allele counts per batch.'''
+    def __init__(self, inner):
+        self.inner = inner
+        self.model = inner.model
+        self.batch_alleles = []
+    def __call__(self, batch):
+        self.batch_alleles.append(int(batch.allele_mask.sum()))
+        return self.inner.finalize(self.inner.score_async(batch))
+
+if __name__ == "__main__":
+    out_dir = {repr(str(tmp_path))}
+    ds = sim.make_dataset(out_dir, ref_length=120000, num_variants=360,
+                          coverage=25, read_length=120, seed=47)
+    from hello_tpu.pipeline.parallel_call import HostWorkerPool, call_parallel
+    base = load_scorer("illumina")
+    with HostWorkerPool(2) as pool:
+        pool.wait_ready()
+        ramped = RecordingScorer(base)
+        call_parallel([ds.bams["illumina"]], ds.fasta, ramped,
+                      out_dir + "/ramped.vcf", pool=pool, chunk_size=15000,
+                      regions=[(ds.chromosome, 0, 120000)],
+                      max_alleles_per_batch=16, saturation_alleles=64)
+        flat = RecordingScorer(base)
+        call_parallel([ds.bams["illumina"]], ds.fasta, flat,
+                      out_dir + "/flat.vcf", pool=pool, chunk_size=15000,
+                      regions=[(ds.chromosome, 0, 120000)],
+                      max_alleles_per_batch=16, saturation_alleles=16)
+    json.dump({{"ramped": ramped.batch_alleles, "flat": flat.batch_alleles}},
+              open(out_dir + "/batches.json", "w"))
+    print("DRIVER_OK")
+""")
+    env = dict(__import__('os').environ)
+    res = subprocess.run([sys.executable, str(script)], capture_output=True,
+                         text=True, timeout=600, env=env)
+    assert "DRIVER_OK" in res.stdout, res.stderr[-3000:]
+
+    import json
+
+    from hello_tpu.io.vcf import read_vcf
+    sizes = json.load(open(tmp_path / "batches.json"))
+    # the ramped run formed batches beyond the initial budget ...
+    assert max(sizes["ramped"]) > 16, sizes
+    # ... the fixed-budget run never did (tails under budget are fine)
+    assert max(sizes["flat"]) <= 16, sizes
+    # and output records are identical
+    key = lambda r: (r.chromosome, r.position, r.ref, tuple(r.alt),
+                     tuple(r.gt))
+    ramped = [key(r) for r in read_vcf(str(tmp_path / "ramped.vcf"))]
+    flat = [key(r) for r in read_vcf(str(tmp_path / "flat.vcf"))]
+    assert ramped, "no records produced"
+    assert ramped == flat
+
+
 def test_call_parallel_spill_matches_in_memory(tmp_path):
     """A tiny spill threshold (forcing many disk spill shards + streamed
     merge) must produce a byte-identical VCF to the in-memory path, and
