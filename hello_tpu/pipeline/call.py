@@ -113,6 +113,19 @@ class Scorer:
                 "HELLO_TPU_DEVICE_DECODE", "1") == "1"
         self.device_decode = device_decode
 
+        # Packed-row read convolution (compact.expand_compact_packed +
+        # moe.packed_read_reduce): for coded-wire batches the conv stack runs
+        # over only the shipped rows instead of the dense A*R grid — at
+        # typical ~60% bucket occupancy that skips ~40% of the forward's
+        # dominant FLOPs and never materialises the dense uint8 tensor in
+        # HBM.  Auto: on for accelerators (wire is the default there), off
+        # on CPU (wire itself is off); HELLO_TPU_PACKED_CONV=0/1 forces.
+        env = os.environ.get("HELLO_TPU_PACKED_CONV", "")
+        if env in ("0", "1"):
+            self.packed_conv = env == "1"
+        else:
+            self.packed_conv = jax.devices()[0].platform not in ("cpu",)
+
         # the number of padded sites is carried by ref_segments' static shape;
         # bucketed batch shapes keep recompiles rare
         self._jax = jax
@@ -132,10 +145,16 @@ class Scorer:
 
     def _make_jitted(self, decode: bool = False):
         model = self.model
-        from .compact import expand_compact
+        from .compact import expand_compact, expand_compact_packed
+        use_packed = self.packed_conv
 
         def forward(params, state, batch):
-            batch = expand_compact(batch)   # no-op for dense batches
+            if (use_packed and "codes0" in batch
+                    and ("codes1" in batch or "read_mask1" not in batch)):
+                # packed-row path: conv over shipped rows only
+                batch = expand_compact_packed(batch)
+            else:
+                batch = expand_compact(batch)   # no-op for dense batches
             out, _ = model.apply(params, state, batch, train=False)
             if decode:
                 from ..nn.genotype import decode_pairs_device

@@ -498,6 +498,88 @@ def _expand_platform_coded(codes, scalars, slots, mask, ref_colors,
                               ref_colors, pos_colors, site_ids)
 
 
+def expand_compact_packed(batch: Dict) -> Dict:
+    """Coded-wire expansion WITHOUT the dense scatter: decode each shipped
+    row in place ``[nb, L, C]`` plus its allele-slot id, so the model's
+    read convolver runs over the PACKED row axis (only real rows + the
+    row-bucket tail) instead of the dense ``A*R`` grid.
+
+    At typical ~60% read-bucket occupancy the dense grid carries ~1.7x the
+    rows the wire shipped; the conv stack is the forward's dominant cost,
+    so skipping padding rows is a direct device-rate lever (and the dense
+    ``[A, R, L, C]`` uint8 intermediate never materialises in HBM at all).
+    The per-allele reduction becomes a segment-sum over ``row_allele``
+    (moe.packed_read_reduce); padding rows carry ``row_allele == A`` and
+    fold into a dropped dummy segment.  Only valid for batches where every
+    platform ships 1-byte codes (the production wire path)."""
+    import jax.numpy as jnp
+
+    if "codes0" not in batch:
+        raise ValueError("packed expansion needs coded-wire batches")
+
+    if "ref_codes" in batch:
+        rc = batch["ref_codes"].astype(jnp.int32)
+        ref_segments = jnp.asarray(REF_ONEHOT6)[rc]        # [S, L, 5]
+        ref_colors = jnp.asarray(REF_COLOR6)[rc]           # [S, L] uint8
+        L = rc.shape[1]
+    else:
+        ref_segments = batch["ref_segments"]
+        L = ref_segments.shape[1]
+        palette = jnp.asarray(REF_COLOR_PALETTE, jnp.float32)
+        ref_colors = jnp.dot(ref_segments.astype(jnp.float32),
+                             palette).astype(jnp.uint8)
+    rel = batch["relbounds"]
+    idx = jnp.arange(L, dtype=jnp.int32)[None, :]
+    pos_colors = jnp.where((idx >= rel[:, 0:1]) & (idx < rel[:, 1:2]),
+                           np.uint8(240), np.uint8(70)).astype(jnp.uint8)
+    site_ids = batch["site_ids"]
+
+    def _rows(k):
+        codes = batch[f"codes{k}"]                 # [nb, L]
+        scalars = batch[f"row_scalars{k}"]         # [nb, nscal]
+        slots = batch[f"row_slots{k}"]             # [nb] flat A*R index
+        mask = batch[f"read_mask{k}"]              # [A, R]
+        A, R = mask.shape
+        valid = (slots < A * R)
+        row_allele = jnp.where(valid, slots // R, A).astype(jnp.int32)
+        # padding rows must index a real site row for the gathers; their
+        # frames are zeroed by `valid` before the reduction anyway
+        row_site = site_ids[jnp.minimum(row_allele, A - 1)]
+        c = codes.astype(jnp.int32)
+        present = c != ABSENT_CODE
+        c0 = jnp.where(present, c, 0)
+        ch0 = jnp.take(jnp.asarray(BASE_PALETTE), c0 // 41)
+        ch2 = jnp.take(jnp.asarray(QUAL_PALETTE), c0 % 41)
+        m = present.astype(jnp.uint8)
+        ch1 = ref_colors[row_site] * m                      # [nb, L]
+        ch3 = scalars[:, 0:1] * m
+        ch4 = scalars[:, 1:2] * m
+        ch5 = pos_colors[row_site] * m
+        chans = [ch0, ch1, ch2, ch3, ch4, ch5]
+        if scalars.shape[1] == 3:
+            chans.append(scalars[:, 2:3] * m)
+        rows = jnp.stack(chans, axis=-1)                    # [nb, L, C]
+        return rows, row_allele, valid.astype(jnp.float32), A
+
+    rows0, row_allele0, row_valid0, A0 = _rows(0)
+    out = {
+        "site_ids": site_ids,
+        "allele_mask": batch["allele_mask"],
+        "ref_segments": ref_segments,
+        "read_mask0": batch["read_mask0"],
+        "rows0": rows0,
+        "row_allele0": row_allele0,
+        "row_valid0": row_valid0,
+    }
+    if "codes1" in batch:
+        rows1, row_allele1, row_valid1, _ = _rows(1)
+        out.update(read_mask1=batch["read_mask1"], rows1=rows1,
+                   row_allele1=row_allele1, row_valid1=row_valid1)
+    elif "packed1" in batch:
+        raise ValueError("packed expansion needs coded-wire batches")
+    return out
+
+
 def expand_compact(batch: Dict) -> Dict:
     """Device-side inverse of ``compact_batch`` / ``pack_sites_wire`` (inside
     jit): returns a batch dict with dense ``reads0``/``reads1`` and float

@@ -194,6 +194,12 @@ def main(argv=None):
     parser.add_argument("--reuse", action="store_true",
                         help="reuse an existing dataset in --dir (from a "
                              "previous --keep run); implies --keep")
+    parser.add_argument("--untrained", action="store_true",
+                        help="skip the gate-checkpoint training step and "
+                             "call with random weights (capacity-only soak)")
+    parser.add_argument("--train_mb", type=int, default=2,
+                        help="Mb of the first chromosome to dump+train the "
+                             "accuracy-gate checkpoint on")
     parser.add_argument("--gen_only", action="store_true",
                         help="generate the dataset and stop (pair with "
                              "--reuse later); implies --keep")
@@ -239,7 +245,41 @@ def main(argv=None):
     from .call import load_scorer
     from .parallel_call import HostWorkerPool, call_parallel
 
-    scorer = load_scorer("illumina")
+    # Train a real checkpoint on a small slice of the dataset first (unless
+    # --untrained): the soak's calling accuracy is then a genotype-level
+    # correctness gate at planted-truth scale, not a random-weight smoke.
+    # The slice is disjoint in reads (fresh dump of the first chromosome's
+    # head) but same simulator statistics — the generalization setting of
+    # tests/test_train_call_cycle.py.
+    checkpoint = None
+    train_s = None
+    if not args.untrained:
+        from ..io.fasta import FastaFile
+        from ..train.cli import train_from_shards
+        from .dump import dump_region
+
+        t0 = time.perf_counter()
+        slice_stop = min(args.train_mb * 1_000_000,
+                         ds["lengths"][ds["chromosomes"][0]])
+        chrom0 = ds["chromosomes"][0]
+        bed = os.path.join(args.dir, "train_slice.bed")
+        with open(bed, "w") as fh:
+            fh.write(f"{chrom0}\t0\t{slice_stop}\n")
+        ref = FastaFile(ds["fasta"])
+        shards = dump_region([ds["bam"]], ref, chrom0, 0, slice_stop,
+                             ds["truth"], bed,
+                             os.path.join(args.dir, "train_dump"))
+        train_from_shards(shards, "illumina",
+                          os.path.join(args.dir, "soak_model"),
+                          num_epochs=4, lr=1e-3, num_devices=1,
+                          batch_alleles=32, read_bucket=64,
+                          max_reads_per_site=48, val_fraction=0.0)
+        checkpoint = os.path.join(args.dir, "soak_model.final.ckpt")
+        train_s = time.perf_counter() - t0
+        print(f"trained gate checkpoint on {chrom0}:0-{slice_stop} "
+              f"in {train_s:.0f}s", flush=True)
+
+    scorer = load_scorer("illumina", checkpoint)
     pool = HostWorkerPool(args.workers)
     pool.wait_ready()
     call_peak_before = sampler.peak_mb
@@ -256,6 +296,21 @@ def main(argv=None):
     sites = stats.get("sites", 0)
     rate = sites / wall if wall else 0.0
 
+    # Calling accuracy vs the planted truth: the soak is a CORRECTNESS gate,
+    # not just a capacity gate — at 100 Mb a spill/merge or wire bug that
+    # drops 0.1% of records would otherwise pass unnoticed (the truth
+    # machinery role of reference trainDataTools.py:356-399).  The scorer
+    # here is untrained, so the meaningful gates are candidate-level: recall
+    # of planted sites and zero representation-level corruption; with a
+    # trained checkpoint the same numbers gate genotypes too.
+    from .evaluate import evaluate
+    t0 = time.perf_counter()
+    accuracy = evaluate(os.path.join(args.dir, "calls.vcf"), ds["truth"],
+                        ds["fasta"])
+    eval_s = time.perf_counter() - t0
+    print(f"accuracy vs planted truth ({eval_s:.0f}s): "
+          f"{accuracy['all']}", flush=True)
+
     result = {
         "total_mb": args.mb, "coverage": args.coverage,
         "workers": args.workers,
@@ -269,6 +324,9 @@ def main(argv=None):
         "peak_rss_vs_bam": round(peak_mb * 1e6 / ds["bam_bytes"], 3),
         "stages": {k: round(v, 2) for k, v in stats.items()
                    if k.endswith("_s")},
+        "gate_checkpoint": checkpoint, "gate_train_s": (
+            round(train_s, 1) if train_s is not None else None),
+        "accuracy": accuracy,
     }
     with open(args.out.replace(".md", ".json"), "w") as fh:
         json.dump(result, fh, indent=1)
@@ -292,10 +350,16 @@ end-to-end.
 | peak tree RSS (whole run incl. generation) | {peak_mb:.0f} MB |
 | peak RSS / BAM size | {result['peak_rss_vs_bam']:.2f} |
 | main-loop stages (s) | {result['stages']} |
+| accuracy vs planted truth (all) | {accuracy['all']} |
+| accuracy: snv / ins / del | {accuracy['snv']} / {accuracy['ins']} / {accuracy['del']} |
+| gate checkpoint | {'untrained (capacity-only run)' if checkpoint is None
+                    else f"trained on {args.train_mb} Mb in {train_s:.0f}s"} |
 
 Memory stays bounded by the chunked decomposition (region-indexed BAI
 fetches, one genome chunk per worker at a time), not by file size: peak
-RSS is a fixed working set, no whole-file residency.
+RSS is a fixed working set, no whole-file residency.  The accuracy row
+makes the soak a correctness gate at planted-truth scale: a spill/merge or
+wire bug dropping records would surface as recall loss here.
 """)
     print(json.dumps(result), flush=True)
     if not (args.keep or args.reuse or args.gen_only):

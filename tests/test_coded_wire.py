@@ -182,3 +182,80 @@ def test_call_parallel_coded_matches_dense(tmp_path):
         assert (a.chromosome, a.position, a.ref, a.alt, a.gt) == \
                (b.chromosome, b.position, b.ref, b.alt, b.gt)
         np.testing.assert_allclose(a.qual, b.qual, rtol=1e-3, atol=1e-3)
+
+
+@pytest.mark.parametrize("platforms,hp,model_name", [
+    (("illumina",), False, "illumina"),
+    (("illumina", "pacbio"), False, "hybrid"),
+    (("pacbio",), True, "pacbio_hp"),
+])
+def test_packed_rows_decode_matches_dense_rows(tmp_path, platforms, hp,
+                                               model_name):
+    """expand_compact_packed decodes each shipped row to exactly the bytes
+    the dense expansion scatters into the corresponding (allele, read) slot
+    — the packed-conv path consumes the identical row set."""
+    from hello_tpu.pipeline.compact import expand_compact_packed
+
+    _, sites = _sites(tmp_path / "p", platforms=platforms, hp_tags=hp,
+                      include_hp=hp)
+    hybrid = len(platforms) > 1
+    dense = pack_sites(sites, hybrid=hybrid,
+                       channels0=7 if hp else 6, channels1=7 if hp else 6)
+    wb = pack_sites_wire(encode_chunk_sites(sites), hybrid=hybrid)
+    packed = {k: np.asarray(v)
+              for k, v in expand_compact_packed(
+                  {k: np.asarray(v) for k, v in wb.wire.items()}).items()}
+
+    for k, reads, mask in (("0", dense.reads0, dense.read_mask0),
+                           ("1", dense.reads1, dense.read_mask1)):
+        if reads is None:
+            continue
+        A, R, L, C = reads.shape
+        slots = np.asarray(wb.wire[f"row_slots{k}"])
+        rows = packed[f"rows{k}"]
+        valid = packed[f"row_valid{k}"] > 0
+        allele = packed[f"row_allele{k}"]
+        n = int(valid.sum())
+        assert n == int(mask.sum())
+        flat = reads.reshape(A * R, L, C)
+        np.testing.assert_array_equal(rows[:n].astype(np.uint8),
+                                      flat[slots[:n]])
+        np.testing.assert_array_equal(allele[:n], slots[:n] // R)
+        # padding rows decode to all-zero and map to the dummy segment
+        assert (allele[n:] == A).all()
+        assert not rows[n:].any()
+
+
+@pytest.mark.parametrize("platforms,hp,model_name", [
+    (("illumina",), False, "illumina"),
+    (("illumina", "pacbio"), False, "hybrid"),
+    (("pacbio",), True, "pacbio_hp"),
+])
+def test_packed_conv_scorer_matches_dense(tmp_path, platforms, hp, model_name,
+                                          monkeypatch):
+    """A Scorer with packed-row convolution forced on must reproduce the
+    dense path's logits (same row set, same math; only the f32 reduction
+    order differs — segment-sum vs masked einsum)."""
+    from hello_tpu.pipeline.call import load_scorer
+
+    monkeypatch.setenv("HELLO_TPU_PACKED_CONV", "0")
+    _, sites = _sites(tmp_path / "pc", platforms=platforms, hp_tags=hp,
+                      include_hp=hp)
+    hybrid = len(platforms) > 1
+    dense = pack_sites(sites, hybrid=hybrid,
+                       channels0=7 if hp else 6, channels1=7 if hp else 6)
+    wb = pack_sites_wire(encode_chunk_sites(sites), hybrid=hybrid)
+    ref_scorer = load_scorer(model_name, compact=False)
+    e_dense, m_dense = ref_scorer(dense)
+
+    monkeypatch.setenv("HELLO_TPU_PACKED_CONV", "1")
+    packed_scorer = load_scorer(model_name, compact=False)
+    packed_scorer.params = ref_scorer.params
+    packed_scorer.state = ref_scorer.state
+    assert packed_scorer.packed_conv
+    e_packed, m_packed = packed_scorer(wb)
+    np.testing.assert_allclose(np.asarray(e_packed), np.asarray(e_dense),
+                               rtol=2e-5, atol=2e-5)
+    if m_dense is not None:
+        np.testing.assert_allclose(np.asarray(m_packed), np.asarray(m_dense),
+                                   rtol=2e-5, atol=2e-5)
