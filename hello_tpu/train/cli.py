@@ -17,6 +17,7 @@ import os
 import time
 
 import jax
+import numpy as np
 
 from ..nn.moe import create_model
 from ..parallel.mesh import data_mesh
@@ -114,6 +115,7 @@ def train_from_shards(
     seed: int = 13, channels: int = None, resume: str = None,
     coverage_range=None, checkpoint_every: int = 0,
     steps_per_epoch: int = 0, wire: bool = None, remat: bool = False,
+    overlap: bool = None,
 ):
     import jax
 
@@ -127,6 +129,16 @@ def train_from_shards(
             wire = env == "1"
         else:
             wire = jax.devices()[0].platform not in ("cpu",)
+    # Overlapped staging + lag-1 loss sync (accelerators): the prefetch
+    # thread device_puts each stacked batch with the step's sharding, and
+    # the loop syncs step i's loss while step i+1 is in flight — neither
+    # the host->device upload nor the loss readback gates the device
+    # (through a remote tunnel both are tens to hundreds of ms; bench.py's
+    # sustained train leg measures the difference).  Numerics are
+    # unchanged: same batches, same order, same step math.  On CPU the
+    # transfer is free, so the plain synchronous loop stays the default.
+    if overlap is None:
+        overlap = jax.devices()[0].platform not in ("cpu",)
 
     model = create_model(model_name)
     mesh = data_mesh(num_devices)
@@ -206,10 +218,48 @@ def train_from_shards(
                               coverage_range=coverage_range)
         epoch_loss, n_batches, n_trained = 0.0, 0, 0
         start_t = time.time()
-        batch_iter = prefetch_iter(
-            device_batches(dataset, model.hybrid, n_dev, batch_alleles,
-                           channels=channels, fixed_shape=fixed, wire=wire))
+        batch_src = device_batches(dataset, model.hybrid, n_dev,
+                                   batch_alleles, channels=channels,
+                                   fixed_shape=fixed, wire=wire)
+        if overlap:
+            # staging runs in the prefetch producer thread (blocking
+            # device_put with the step's sharding), so uploads overlap the
+            # in-flight step
+            batch_src = map(trainer.stage_batches, batch_src)
+        batch_iter = prefetch_iter(batch_src)
         multihost = jax.process_count() > 1
+
+        pending = None      # overlap mode: the in-flight step's metrics
+        metrics = {}
+
+        def _sync_pending():
+            """Sync the previous step's on-device loss (one step behind the
+            dispatch, so the readback overlaps the next step).  The
+            non-finite forensic dump here is one step LATE: parameters have
+            advanced one extra (garbage) step past the offending update —
+            the payload is exact, the params are post-NaN."""
+            nonlocal pending, epoch_loss, n_trained, metrics
+            if pending is None:
+                return
+            m, payload, step_no = pending
+            pending = None
+            loss = float(m["loss_device"])
+            if not np.isfinite(loss):
+                prefix = f"{out_prefix}.step{step_no}.err"
+                trainer.save(f"{prefix}.ckpt")
+                import pickle
+                with open(f"{prefix}.payload.pkl", "wb") as fh:
+                    pickle.dump(jax.tree_util.tree_map(np.asarray, payload),
+                                fh)
+                raise FloatingPointError(
+                    f"non-finite training loss at step {step_no}; "
+                    f"post-step params and payload dumped to {prefix}.*")
+            epoch_loss += loss
+            n_trained += 1
+            metrics = {"loss": loss,
+                       "per_expert": np.asarray(
+                           m["per_expert_device"]).tolist()}
+
         try:
             while True:
                 stacked = next(batch_iter, None)
@@ -227,14 +277,20 @@ def train_from_shards(
                     # deterministic sampler fast-forward on mid-epoch resume
                     skip_batches -= 1
                     continue
-                metrics = trainer.train_batch(stacked)
-                epoch_loss += metrics["loss"]
-                n_trained += 1
+                if overlap:
+                    m = trainer.train_batch(stacked, sync=False)
+                    _sync_pending()          # previous step, while this runs
+                    pending = (m, stacked, trainer.step)
+                else:
+                    metrics = trainer.train_batch(stacked)
+                    epoch_loss += metrics["loss"]
+                    n_trained += 1
                 if checkpoint_every and trainer.step % checkpoint_every == 0:
                     trainer.save(
                         f"{out_prefix}.step{trainer.step}.ckpt",
                         extra={"epoch": epoch, "batches_done": n_batches,
                                "seed": seed, "best_val": best_val})
+            _sync_pending()                  # drain the last in-flight step
         finally:
             # release the prefetch producer (multihost epochs break while
             # the local iterator still has batches; see prefetch_iter)
@@ -323,6 +379,13 @@ def main(argv=None):
                         help="coded-wire training batches (1-byte cells "
                              "expanded on device): auto = on for "
                              "accelerators, off on the CPU backend")
+    parser.add_argument("--overlap", choices=["auto", "0", "1"],
+                        default="auto",
+                        help="stage batches to device on the prefetch "
+                             "thread and sync each step's loss one step "
+                             "late, overlapping both transfer directions "
+                             "with the in-flight step: auto = on for "
+                             "accelerators")
     args = parser.parse_args(argv)
 
     logging.basicConfig(level=logging.INFO,
@@ -387,7 +450,8 @@ def main(argv=None):
         resume=args.resume, coverage_range=coverage_range,
         checkpoint_every=args.checkpoint_every,
         wire=None if args.wire == "auto" else args.wire == "1",
-        remat=args.remat)
+        remat=args.remat,
+        overlap=None if args.overlap == "auto" else args.overlap == "1")
     if args.profile_dir:
         jax.profiler.stop_trace()
         logger.info("profiler trace written to %s", args.profile_dir)

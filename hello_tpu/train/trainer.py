@@ -191,7 +191,13 @@ class Trainer:
         """Multi-host runs: each process stacks batches only for ITS
         addressable mesh devices; assemble the mesh-global sharded arrays
         (host-local numpy fed straight into the jit would be treated as an
-        identical replicated input, which it is not across processes)."""
+        identical replicated input, which it is not across processes).
+
+        Batches already staged to device arrays (``stage_batches``) pass
+        through unchanged."""
+        leaves = jax.tree_util.tree_leaves(device_batches)
+        if leaves and isinstance(leaves[0], jax.Array):
+            return device_batches
         if jax.process_count() == 1:
             return device_batches
         from jax.sharding import NamedSharding, PartitionSpec
@@ -200,6 +206,25 @@ class Trainer:
         return jax.tree_util.tree_map(
             lambda x: jax.make_array_from_process_local_data(
                 sharding, np.asarray(x)), device_batches)
+
+    def stage_batches(self, device_batches):
+        """Blocking host->device staging of a stacked batch with the train
+        step's input sharding (leading axis split over the ``data`` mesh
+        axis).  Called from a background thread (train/cli.prefetch_iter's
+        producer) so tunnel uploads overlap the in-flight step — the
+        production counterpart of the reference DDP loop's DataLoader-worker
+        overlap (MixtureOfExpertsDNNFastDistributed.py:694-808); the jitted
+        step then consumes committed arrays instead of paying a synchronous
+        transfer at dispatch."""
+        staged = self._globalize(device_batches)
+        leaves = jax.tree_util.tree_leaves(staged)
+        if not (leaves and isinstance(leaves[0], jax.Array)):
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            staged = jax.device_put(
+                staged, NamedSharding(self.mesh, PartitionSpec("data")))
+        jax.block_until_ready(staged)
+        return staged
 
     def all_ranks_have(self, flag: bool) -> bool:
         """True iff EVERY process reports ``flag`` — the per-batch barrier

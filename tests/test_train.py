@@ -356,6 +356,24 @@ def test_mid_epoch_resume_replays_identical_run(tmp_path):
                   str(tmp_path / "resumed.final.ckpt"))
 
 
+def test_overlapped_staging_bitwise_identical(tmp_path):
+    """The overlapped loop (batches staged to device on the prefetch thread,
+    loss synced one step late — the accelerator default) must be bitwise
+    identical to the plain synchronous loop: same batches, same order, same
+    step math; only the transfer/readback scheduling differs."""
+    from hello_tpu.train.cli import train_from_shards
+
+    shards = _resume_fixture(tmp_path)
+    kw = dict(num_epochs=2, lr=1e-3, num_devices=2, batch_alleles=16,
+              read_bucket=32, max_reads_per_site=32, val_fraction=0.0)
+    train_from_shards(shards, "illumina", str(tmp_path / "plain"),
+                      overlap=False, **kw)
+    train_from_shards(shards, "illumina", str(tmp_path / "olap"),
+                      overlap=True, **kw)
+    _params_equal(str(tmp_path / "plain.final.ckpt"),
+                  str(tmp_path / "olap.final.ckpt"))
+
+
 def test_batch_alleles_above_fixed_bucket_widens(tmp_path):
     """A grouping budget above the fixed allele bucket can never pack; the
     trainer widens the buckets instead of crashing mid-epoch."""
