@@ -70,39 +70,9 @@ def build_workload(rng, num_sites, alleles_per_site, reads0, reads1, L=150, C=6)
 
 
 def tunnel_health(size_mb: float = 8.0, seed: int = 0):
-    """Fixed-size transfer probe of the CURRENT tunnel phase: host->device
-    MB/s, device->host MB/s, and small-transfer round-trip latency.
-
-    The remote-TPU tunnel has multi-minute degraded phases (same-day >2x
-    swings with identical code); publishing the probe next to each timing
-    leg makes a degraded-phase capture self-explaining instead of looking
-    like a code regression."""
-    import jax
-
-    n = int(size_mb * 1e6)
-    arr = np.random.RandomState(seed).randint(0, 255, size=n).astype(np.uint8)
-    # small round trip first (8 B): pure latency
-    rtts = []
-    for i in range(3):
-        t0 = time.perf_counter()
-        small = jax.device_put(np.full(8, i, np.uint8))
-        np.asarray(small)
-        rtts.append(time.perf_counter() - t0)
-    t0 = time.perf_counter()
-    d = jax.device_put(arr)
-    jax.block_until_ready(d)
-    up_s = time.perf_counter() - t0
-    t0 = time.perf_counter()
-    back = np.asarray(d)
-    down_s = time.perf_counter() - t0
-    assert back[0] == arr[0]
-    import statistics
-    return {
-        "probe_mb": size_mb,
-        "up_mbps": round(size_mb / up_s, 1),
-        "down_mbps": round(size_mb / down_s, 1),
-        "rtt_ms": round(1e3 * statistics.median(rtts), 1),
-    }
+    """Transfer probe of the current tunnel phase (hello_tpu.telemetry)."""
+    from hello_tpu.telemetry import tunnel_health as probe
+    return probe(size_mb, seed)
 
 
 def bench_tpu(sites, iters, precision, num_rotations=2, model_name="hybrid",

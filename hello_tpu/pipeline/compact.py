@@ -310,7 +310,10 @@ def pack_sites_wire(
         nscal = row_scals[0].shape[1] if row_scals else 2
         scalars = np.zeros((nb, nscal), np.uint8)
         slots = np.full(nb, A * R, np.int32)
-        mask = np.zeros((A, R), np.float32)
+        # wire masks ship as uint8 (cast on device): 4x fewer bytes than
+        # float32 over the [A, R] grid, and every in-jit consumer either
+        # reads only the shape or casts before arithmetic
+        mask = np.zeros((A, R), np.uint8)
         if n:
             np.concatenate(row_codes, out=codes[:n])
             np.concatenate(row_scals, out=scalars[:n])
@@ -320,7 +323,7 @@ def pack_sites_wire(
             flat = np.repeat(np.arange(len(counts), dtype=np.int64) * R,
                              counts) + intra
             slots[:n] = flat
-            mask.reshape(-1)[flat] = 1.0
+            mask.reshape(-1)[flat] = 1
         return codes, scalars, slots, mask
 
     site_ids = np.full((A,), S - 1, np.int32)
@@ -417,7 +420,8 @@ def compact_batch(batch: PaddedBatch) -> Dict[str, np.ndarray]:
         "site_ids": batch.site_ids,
         "allele_mask": batch.allele_mask,
         "ref_segments": batch.ref_segments,
-        "read_mask0": batch.read_mask0,
+        # uint8 wire mask: 4x fewer bytes; in-jit consumers cast
+        "read_mask0": batch.read_mask0.astype(np.uint8),
     }
     def _add(k):
         p = _pack_platform(getattr(batch, f"reads{k}"),
@@ -428,7 +432,7 @@ def compact_batch(batch: PaddedBatch) -> Dict[str, np.ndarray]:
 
     _add(0)
     if batch.reads1 is not None:
-        d["read_mask1"] = batch.read_mask1
+        d["read_mask1"] = batch.read_mask1.astype(np.uint8)
         _add(1)
     # per-site allele-region bounds relative to the feature window
     S = batch.ref_segments.shape[0]

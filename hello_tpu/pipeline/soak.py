@@ -197,6 +197,9 @@ def main(argv=None):
     parser.add_argument("--untrained", action="store_true",
                         help="skip the gate-checkpoint training step and "
                              "call with random weights (capacity-only soak)")
+    parser.add_argument("--gate_checkpoint", default=None,
+                        help="reuse an existing gate checkpoint instead of "
+                             "retraining (call-phase reruns)")
     parser.add_argument("--train_mb", type=int, default=2,
                         help="Mb of the first chromosome to dump+train the "
                              "accuracy-gate checkpoint on")
@@ -253,7 +256,10 @@ def main(argv=None):
     # tests/test_train_call_cycle.py.
     checkpoint = None
     train_s = None
-    if not args.untrained:
+    if args.gate_checkpoint:
+        checkpoint = args.gate_checkpoint
+        print(f"reusing gate checkpoint {checkpoint}", flush=True)
+    elif not args.untrained:
         from ..io.fasta import FastaFile
         from ..train.cli import train_from_shards
         from .dump import dump_region
@@ -283,6 +289,12 @@ def main(argv=None):
     pool = HostWorkerPool(args.workers)
     pool.wait_ready()
     call_peak_before = sampler.peak_mb
+    # tunnel-phase probes bracketing the call phase (bench.py's policy): the
+    # sustained rate is upload-bandwidth-bound through the remote tunnel, so
+    # a degraded-phase capture must be self-explaining
+    from ..telemetry import tunnel_health
+    tunnel_before = tunnel_health(seed=41)
+    print(f"tunnel before call: {tunnel_before}", flush=True)
     stats = {}
     t0 = time.perf_counter()
     try:
@@ -292,6 +304,8 @@ def main(argv=None):
     finally:
         pool.shutdown()
     wall = time.perf_counter() - t0
+    tunnel_after = tunnel_health(seed=42)
+    print(f"tunnel after call: {tunnel_after}", flush=True)
     peak_mb = sampler.stop()
     sites = stats.get("sites", 0)
     rate = sites / wall if wall else 0.0
@@ -320,6 +334,7 @@ def main(argv=None):
         "bai_open_p50_ms": bai["p50_ms"], "bai_open_p95_ms": bai["p95_ms"],
         "call_wall_s": round(wall, 1), "scorable_sites": sites,
         "sustained_windows_per_s": round(rate, 1),
+        "tunnel_before": tunnel_before, "tunnel_after": tunnel_after,
         "peak_rss_mb": round(peak_mb, 0),
         "peak_rss_vs_bam": round(peak_mb * 1e6 / ds["bam_bytes"], 3),
         "stages": {k: round(v, 2) for k, v in stats.items()
@@ -347,6 +362,7 @@ end-to-end.
 | calling wall time | {wall:.1f} s |
 | scorable sites | {sites:,} |
 | sustained throughput | {rate:,.0f} windows/s |
+| tunnel phase (up MB/s before/after) | {tunnel_before['up_mbps']} / {tunnel_after['up_mbps']} (rtt {tunnel_before['rtt_ms']}/{tunnel_after['rtt_ms']} ms) |
 | peak tree RSS (whole run incl. generation) | {peak_mb:.0f} MB |
 | peak RSS / BAM size | {result['peak_rss_vs_bam']:.2f} |
 | main-loop stages (s) | {result['stages']} |

@@ -72,3 +72,42 @@ def device_trace(log_dir: str):
         yield
     finally:
         jax.profiler.stop_trace()
+
+
+def tunnel_health(size_mb: float = 8.0, seed: int = 0) -> Dict[str, float]:
+    """Fixed-size transfer probe of the CURRENT device-link phase:
+    host->device MB/s, device->host MB/s, and small-transfer round-trip
+    latency.
+
+    Remote-TPU tunnels have multi-minute degraded phases (same-day >2x
+    swings with identical code); publishing the probe next to a timing
+    capture makes a degraded-phase number self-explaining instead of
+    looking like a code regression.  Used by bench.py around its pipeline
+    leg and by pipeline/soak.py around the call phase."""
+    import statistics
+
+    import jax
+    import numpy as np
+
+    n = int(size_mb * 1e6)
+    arr = np.random.RandomState(seed).randint(0, 255, size=n).astype(np.uint8)
+    rtts = []
+    for i in range(3):                     # 8 B round trips: pure latency
+        t0 = time.perf_counter()
+        small = jax.device_put(np.full(8, i, np.uint8))
+        np.asarray(small)
+        rtts.append(time.perf_counter() - t0)
+    t0 = time.perf_counter()
+    d = jax.device_put(arr)
+    jax.block_until_ready(d)
+    up_s = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    back = np.asarray(d)
+    down_s = time.perf_counter() - t0
+    assert back[0] == arr[0]
+    return {
+        "probe_mb": size_mb,
+        "up_mbps": round(size_mb / up_s, 1),
+        "down_mbps": round(size_mb / down_s, 1),
+        "rtt_ms": round(1e3 * statistics.median(rtts), 1),
+    }
