@@ -103,6 +103,11 @@ def main(argv=None):
     parser.add_argument("--iters", type=int, default=12)
     parser.add_argument("--precision", default="bf16")
     parser.add_argument("--model", default="hybrid")
+    parser.add_argument("--fine_rows", action="store_true",
+                        help="bucket the packed row axis finely (4096 steps) "
+                        "so shipped rows ~= real rows — the ceiling a "
+                        "row-budget batcher would reach (NOT a production "
+                        "setting: too many live compile shapes)")
     args = parser.parse_args(argv)
 
     import jax
@@ -126,7 +131,10 @@ def main(argv=None):
                                     args.reads_lo, args.reads_hi)
         coded = encode_chunk_sites(sites)
         assert coded is not None, "sites failed to code"
-        wb = pack_sites_wire(coded, hybrid=model.hybrid)
+        row_buckets = (list(range(4096, 300_000, 4096))
+                       if args.fine_rows else None)
+        wb = pack_sites_wire(coded, hybrid=model.hybrid,
+                             row_buckets=row_buckets)
         dense = pack_sites(sites, hybrid=model.hybrid)
         return wb, dense
 

@@ -258,9 +258,41 @@ def site_read_bucket(site, read_buckets: Sequence[int] = DEFAULT_READ_BUCKETS):
     return (b0, b1)
 
 
+def site_row_counts(site) -> tuple:
+    """Real read rows this site contributes per platform (the packed-row
+    axis cost of including it in a coded-wire batch)."""
+    t0 = site.codes0 if isinstance(site, CodedSiteWork) else site.tensors0
+    t1 = site.codes1 if isinstance(site, CodedSiteWork) else site.tensors1
+    r0 = sum(t.shape[0] for t in t0)
+    if t1 is None:
+        return (r0,)
+    return (r0, sum(t.shape[0] for t in t1))
+
+
+def row_budgets_for_class(read_buckets: Sequence[int],
+                          max_alleles_per_batch: int,
+                          frac: float = 0.5) -> tuple:
+    """Per-platform packed-row budgets for a read-bucket class.
+
+    The packed-row bucket ladder is {cap/4, cap/2, cap} (compact._bucket) —
+    a hard compile-shape cap.  Production per-allele occupancy is typically
+    ~0.5-0.7 of the class read bucket (minor alleles carry far fewer reads
+    than the bucketed maximum), which the ladder rounds UP to cap: the
+    packed-row convolution then processes as many rows as the dense grid
+    and its FLOP savings vanish (measured 0.92x on a v5e at 62% occupancy
+    vs 1.24x with tightly packed rows).  Budgeting each batch's ROWS to
+    frac * cap makes every coded batch land in the cap/2 ladder step with
+    high occupancy — the conv runs over ~half the dense grid's rows — while
+    shapes stay a deterministic function of the workload and the ladder
+    keeps its three steps."""
+    return tuple(int(frac * max_alleles_per_batch * b) for b in read_buckets)
+
+
 def group_sites_for_batching(sites: Sequence[SiteWork], max_alleles_per_batch: int = 128,
                              max_sites_per_batch: Optional[int] = None,
-                             by_read_bucket: bool = False):
+                             by_read_bucket: bool = False,
+                             row_budget_frac: Optional[float] = None,
+                             _row_budgets: Optional[tuple] = None):
     """Greedily group sites so each batch stays under allele/site budgets.
 
     ``max_sites_per_batch`` defaults to the packer's largest site bucket — a
@@ -274,7 +306,12 @@ def group_sites_for_batching(sites: Sequence[SiteWork], max_alleles_per_batch: i
     otherwise double every site's conv rows).  Inference callers use this —
     the read convolver's cost scales with the padded read axis, and the VCF
     is position-sorted at the end anyway; the training loader keeps stream
-    order (its shuffle owns data order)."""
+    order (its shuffle owns data order).
+
+    ``row_budget_frac`` (coded-wire classes only) additionally bounds each
+    batch's REAL read rows per platform to ``frac * allele_budget * bucket``
+    so the packed-row convolution gets tightly packed batches — see
+    :func:`row_budgets_for_class`."""
     if max_sites_per_batch is None:
         max_sites_per_batch = DEFAULT_SITE_BUCKETS[-1]
     if by_read_bucket:
@@ -282,18 +319,37 @@ def group_sites_for_batching(sites: Sequence[SiteWork], max_alleles_per_batch: i
         for s in sites:
             classes.setdefault(site_read_bucket(s), []).append(s)
         for key in sorted(classes):
+            cls = classes[key]
+            budgets = None
+            if row_budget_frac and isinstance(cls[0], CodedSiteWork):
+                budgets = row_budgets_for_class(key, max_alleles_per_batch,
+                                                row_budget_frac)
             yield from group_sites_for_batching(
-                classes[key], max_alleles_per_batch, max_sites_per_batch)
+                cls, max_alleles_per_batch, max_sites_per_batch,
+                _row_budgets=budgets)
         return
     group: List[SiteWork] = []
     count = 0
+    rows = None
     for s in sites:
         n = len(s.alleles)
-        if group and (count + n > max_alleles_per_batch or
+        if _row_budgets is not None:
+            r = site_row_counts(s)
+            if rows is None:
+                rows = [0] * len(r)
+            over_rows = any(rows[i] + r[i] > _row_budgets[i]
+                            for i in range(len(r)))
+        else:
+            r, over_rows = None, False
+        if group and (count + n > max_alleles_per_batch or over_rows or
                       (max_sites_per_batch and len(group) >= max_sites_per_batch)):
             yield group
             group, count = [], 0
+            rows = [0] * len(r) if r is not None else None
         group.append(s)
         count += n
+        if r is not None:
+            for i in range(len(r)):
+                rows[i] += r[i]
     if group:
         yield group

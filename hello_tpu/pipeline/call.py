@@ -280,6 +280,22 @@ class Scorer:
         return self.finalize(self.score_async(batch))
 
 
+def row_budget_frac(scorer) -> Optional[float]:
+    """Packed-row batch budget fraction for this scorer, or None.
+
+    Active only when the scorer consumes the coded wire AND runs the
+    packed-row convolution (where tightly packed rows are the FLOP win);
+    HELLO_TPU_ROW_BUDGET overrides the fraction (0 disables)."""
+    if not (getattr(scorer, "packed_conv", False)
+            and getattr(scorer, "accepts_wire", False)):
+        return None
+    env = os.environ.get("HELLO_TPU_ROW_BUDGET", "")
+    if env:
+        frac = float(env)
+        return frac if frac > 0 else None
+    return 0.5
+
+
 def _record_from_genotype(site: "SiteWork", top_alleles, quality, ref_lookup,
                           info) -> Optional[VcfRecord]:
     """Shared alt/genotype assembly for all call streams
@@ -508,10 +524,15 @@ def call_region(bam_paths: Sequence[str], ref: FastaFile, chromosome: str,
         drainer = _AsyncDrainer(scorer, _decode_entry, drainer_acc,
                                 MAX_IN_FLIGHT)
     from .batching import CodedSiteWork
+    # coded batches heading for the packed-row convolution are additionally
+    # budgeted by real read ROWS so they land tightly in the packed-row
+    # bucket ladder (batching.row_budgets_for_class rationale)
+    row_frac = row_budget_frac(scorer)
     body_ok = False
     try:
         for group in group_sites_for_batching(sites, max_alleles_per_batch,
-                                              by_read_bucket=True):
+                                              by_read_bucket=True,
+                                              row_budget_frac=row_frac):
             with telemetry.stage("batch_packing"):
                 if isinstance(group[0], CodedSiteWork):
                     from .compact import pack_sites_wire

@@ -659,21 +659,34 @@ def call_parallel(bam_paths: Sequence[str], ref_path: str, scorer: Scorer,
     # class so a batch's padded read width matches its own sites' depth (one
     # deep site would otherwise inflate every site's conv rows); the VCF is
     # position-sorted at the end, so cross-class emission order is free.
-    from .batching import site_read_bucket
+    from .batching import site_read_bucket, site_row_counts
     pending: dict = {}            # read-bucket class -> [SiteWork]
     pending_alleles: dict = {}    # read-bucket class -> allele count
+    pending_rows: dict = {}       # read-bucket class -> per-platform rows
     # per-class allele budget: first flush at max_alleles_per_batch (early
     # device overlap), then ramped to the saturation point (see the
     # saturation_alleles parameter note)
     saturation = max(saturation_alleles, max_alleles_per_batch)
     budgets: dict = {}
+    # coded classes bound for the packed-row convolution also budget their
+    # real read rows (batching.row_budgets_for_class); key[0] is the class's
+    # coded-ness, key[1:] its per-platform read buckets
+    from .call import row_budget_frac
+    row_frac = row_budget_frac(scorer)
 
     def class_budget(key) -> int:
         return budgets.get(key, max_alleles_per_batch)
 
+    def class_row_budgets(key):
+        if not (row_frac and key[0] and len(key) > 1):
+            return None
+        from .batching import row_budgets_for_class
+        return row_budgets_for_class(key[1:], class_budget(key), row_frac)
+
     def flush_class(key, keep_tail=True):
-        groups = list(group_sites_for_batching(pending[key],
-                                               class_budget(key)))
+        groups = list(group_sites_for_batching(
+            pending[key], class_budget(key),
+            _row_budgets=class_row_budgets(key)))
         tail = groups.pop() if (keep_tail and groups) else None
         for group in groups:
             stager.put(group)
@@ -681,12 +694,16 @@ def call_parallel(bam_paths: Sequence[str], ref_path: str, scorer: Scorer,
         if tail is not None and keep_tail:
             pending[key] = list(tail)
             pending_alleles[key] = sum(len(t.alleles) for t in tail)
+            pending_rows[key] = [sum(r) for r in zip(
+                *(site_row_counts(t) for t in tail))]
         else:
             pending[key] = []
             pending_alleles[key] = 0
+            pending_rows[key] = None
 
     def buffer_sites(sites):
-        """Accumulate sites per class; flush any class at its batch budget.
+        """Accumulate sites per class; flush any class at its batch budget
+        (allele count, or real read rows for packed-row coded classes).
         Coded and dense sites never share a batch (a chunk that fell back to
         dense must not poison a coded batch's packer)."""
         for s in sites:
@@ -694,7 +711,18 @@ def call_parallel(bam_paths: Sequence[str], ref_path: str, scorer: Scorer,
                 site_read_bucket(s) if class_by_read_bucket else (0,))
             pending.setdefault(key, []).append(s)
             pending_alleles[key] = pending_alleles.get(key, 0) + len(s.alleles)
-            if pending_alleles[key] >= class_budget(key):
+            full = pending_alleles[key] >= class_budget(key)
+            rb = class_row_budgets(key)
+            if rb is not None:
+                r = site_row_counts(s)
+                acc = pending_rows.get(key)
+                if acc is None:
+                    acc = [0] * len(r)
+                for i in range(len(r)):
+                    acc[i] += r[i]
+                pending_rows[key] = acc
+                full = full or any(acc[i] >= rb[i] for i in range(len(r)))
+            if full:
                 flush_class(key)
         # NOTE: no opportunistic partial flushing here.  Flushing "when the
         # device looks idle" was tried and is a trap: batch shapes become a

@@ -682,3 +682,98 @@ def test_record_spiller_gz_output(tmp_path):
         [30, 50, 60]
     import glob
     assert not glob.glob(str(tmp_path / "*.tmp.vcf"))
+
+
+def test_row_budget_grouping_unit():
+    """Coded classes are additionally budgeted by real read rows: every
+    group (except single-site backstops) stays under the per-platform row
+    budget, the partition preserves site order, and dense SiteWork classes
+    are unaffected."""
+    import numpy as np
+
+    from hello_tpu.pipeline.batching import (CodedSiteWork,
+                                             group_sites_for_batching,
+                                             row_budgets_for_class,
+                                             site_row_counts)
+
+    def coded_site(i, reads0, reads1):
+        mk = lambda n: [np.zeros((r, 150), np.uint8) for r in n]
+        mks = lambda n: [np.zeros((r, 2), np.uint8) for r in n]
+        return CodedSiteWork("chr1", 100 + i, 101 + i, ["A", "C"],
+                             mk(reads0), mks(reads0), mk(reads1), mks(reads1),
+                             np.zeros(150, np.uint8))
+
+    rng = np.random.RandomState(3)
+    sites = [coded_site(i, rng.randint(8, 33, size=2),
+                        rng.randint(4, 17, size=2)) for i in range(60)]
+    budget_alleles = 16
+    groups = list(group_sites_for_batching(sites, budget_alleles,
+                                           by_read_bucket=True,
+                                           row_budget_frac=0.5))
+    # partition: same sites, each exactly once (order within class kept)
+    flat = [s for g in groups for s in g]
+    assert sorted(id(s) for s in flat) == sorted(id(s) for s in sites)
+    from hello_tpu.pipeline.batching import site_read_bucket
+    for g in groups:
+        key = site_read_bucket(g[0])
+        rb = row_budgets_for_class(key, budget_alleles, 0.5)
+        rows = [sum(r) for r in zip(*(site_row_counts(s) for s in g))]
+        if len(g) > 1:
+            assert all(rows[i] <= rb[i] for i in range(len(rb))), (rows, rb)
+    # a row-bound class must actually split below the allele budget
+    assert any(sum(len(s.alleles) for s in g) < budget_alleles
+               for g in groups[:-1] if len(g) > 1)
+
+
+def test_row_budget_identical_vcf(tmp_path):
+    """The worker-pool caller with packed-row row budgeting (the coded-wire
+    production default) must produce the identical VCF to a run with row
+    budgeting disabled, while forming row-bounded batches."""
+    import subprocess
+    import sys
+
+    script = tmp_path / "driver.py"
+    script.write_text(f"""
+import sys; sys.path.insert(0, {repr(str(__import__('os').path.dirname(__import__('os').path.dirname(__import__('os').path.abspath(__file__)))))})
+import os
+os.environ["HELLO_TPU_COMPACT"] = "1"
+os.environ["HELLO_TPU_PACKED_CONV"] = "1"
+import json
+import jax
+jax.config.update("jax_platforms", "cpu")
+from hello_tpu import sim
+from hello_tpu.pipeline.call import load_scorer
+
+if __name__ == "__main__":
+    out_dir = {repr(str(tmp_path))}
+    ds = sim.make_dataset(out_dir, ref_length=120000, num_variants=360,
+                          coverage=25, read_length=120, seed=48)
+    from hello_tpu.pipeline.parallel_call import HostWorkerPool, call_parallel
+    scorer = load_scorer("illumina")
+    assert scorer.compact and scorer.packed_conv
+    with HostWorkerPool(2) as pool:
+        pool.wait_ready()
+        call_parallel([ds.bams["illumina"]], ds.fasta, scorer,
+                      out_dir + "/budgeted.vcf", pool=pool, chunk_size=15000,
+                      regions=[(ds.chromosome, 0, 120000)],
+                      max_alleles_per_batch=32)
+        os.environ["HELLO_TPU_ROW_BUDGET"] = "0"
+        call_parallel([ds.bams["illumina"]], ds.fasta, scorer,
+                      out_dir + "/plain.vcf", pool=pool, chunk_size=15000,
+                      regions=[(ds.chromosome, 0, 120000)],
+                      max_alleles_per_batch=32)
+    print("DRIVER_OK")
+""")
+    import os
+    env = dict(os.environ)
+    res = subprocess.run([sys.executable, str(script)], capture_output=True,
+                         text=True, timeout=600, env=env)
+    assert "DRIVER_OK" in res.stdout, res.stderr[-3000:]
+
+    from hello_tpu.io.vcf import read_vcf
+    key = lambda r: (r.chromosome, r.position, r.ref, tuple(r.alt),
+                     tuple(r.gt))
+    budgeted = [key(r) for r in read_vcf(str(tmp_path / "budgeted.vcf"))]
+    plain = [key(r) for r in read_vcf(str(tmp_path / "plain.vcf"))]
+    assert budgeted, "no records produced"
+    assert budgeted == plain
