@@ -284,19 +284,24 @@ class _AsyncDrainer:
     Device readbacks through remote-TPU tunnels pay a full round trip per
     drain (~30-250 ms) and intermittently stall for seconds; paying them on
     the dispatching thread serialises the whole caller behind the tunnel.
-    This thread owns the in-flight queue's downstream half: it blocks on the
-    oldest dispatched batch, bulk-fetches the finished prefix in ONE
-    ``finalize_many`` call, and runs genotype decode + record assembly —
-    all overlapped with the main thread's packing/dispatching and the
-    workers' host production.
+    TWO pipelined threads own the in-flight queue's downstream half: a FETCH
+    thread blocks on the oldest dispatched batch and bulk-fetches the
+    finished prefix in ONE ``finalize_many`` call; a DECODE thread runs
+    genotype decode + record assembly behind it (fetch and decode each cost
+    tens of seconds at 100 Mb scale and previously serialised on one
+    thread).  Both overlap the dispatching threads and the workers' host
+    production; the in-flight window releases at fetch time (results are on
+    host, HBM is free) so the dispatcher refills while decode runs behind.
 
     ``put`` enforces the in-flight window (bounds live batch inputs in HBM);
-    ``close`` joins and re-raises any consumer-side failure.  Only this
-    thread touches the result callback, so record lists need no locking —
-    the caller reads them after ``close`` returns.
+    ``close`` joins both threads and re-raises any consumer-side failure.
+    Only the decode thread touches the result callback — strictly in fetch
+    order — so record lists need no locking; the caller reads them after
+    ``close`` returns.
     """
 
-    def __init__(self, scorer, on_result, t_acc, max_in_flight: int):
+    def __init__(self, scorer, on_result, t_acc, max_in_flight: int,
+                 max_decode_backlog: int = 16):
         self._on_result = on_result
         self._t_acc = t_acc
         self._max = max_in_flight
@@ -307,9 +312,20 @@ class _AsyncDrainer:
         self._done = False
         self._exc: Optional[BaseException] = None
         self._in_flight = 0
+        # fetched-but-undecoded batches hand off to a separate DECODE thread
+        # (bounded backlog): genotype decode + record assembly is pure host
+        # Python and previously serialised behind the next blocking fetch on
+        # this thread — at 100 Mb scale each cost ~27 s of the same wall.
+        self._dq: collections.deque = collections.deque()
+        self._decode_done = False
+        self._max_decode = max_decode_backlog
         self._thread = threading.Thread(target=self._run, daemon=True,
                                         name="hello-tpu-drain")
+        self._decode_thread = threading.Thread(target=self._run_decode,
+                                               daemon=True,
+                                               name="hello-tpu-decode")
         self._thread.start()
+        self._decode_thread.start()
 
     def put(self, group, batch, out):
         """Queue a dispatched batch; blocks while the in-flight window is
@@ -327,12 +343,16 @@ class _AsyncDrainer:
         self._t_acc["backpressure_s"] += time.perf_counter() - t0
 
     def close(self):
-        """Signal end of input, wait for the queue to drain, re-raise any
+        """Signal end of input, wait for both queues to drain, re-raise any
         consumer failure."""
         with self._cv:
             self._done = True
             self._cv.notify_all()
         self._thread.join()
+        with self._cv:
+            self._decode_done = True
+            self._cv.notify_all()
+        self._decode_thread.join()
         if self._exc is not None:
             raise self._exc
 
@@ -356,13 +376,41 @@ class _AsyncDrainer:
                     fins = [self._finalize(e[2]) for e in take]
                 t1 = time.perf_counter()
                 self._t_acc["fetch_s"] += t1 - t0
-                for (group, batch, _out), fin in zip(take, fins):
-                    self._on_result(group, batch, fin)
-                self._t_acc["decode_s"] += time.perf_counter() - t1
-                self._t_acc["drain_s"] += time.perf_counter() - t0
+                self._t_acc["drain_s"] += t1 - t0
                 with self._cv:
+                    # hand off to the decode thread; results are on host, so
+                    # HBM is free — release the in-flight window NOW (the
+                    # dispatcher can refill while decode runs behind)
+                    while (len(self._dq) >= self._max_decode
+                           and self._exc is None):
+                        self._cv.wait()
+                    if self._exc is not None:
+                        raise self._exc
+                    for entry, fin in zip(take, fins):
+                        self._dq.append((entry, fin))
                     self._in_flight -= len(take)
                     self._cv.notify_all()
+        except BaseException as exc:   # surfaced by put()/close()
+            with self._cv:
+                self._exc = exc
+                self._cv.notify_all()
+
+    def _run_decode(self):
+        try:
+            while True:
+                with self._cv:
+                    while not self._dq and not self._decode_done \
+                            and self._exc is None:
+                        self._cv.wait()
+                    if self._exc is not None:
+                        return
+                    if not self._dq and self._decode_done:
+                        return
+                    (group, batch, _out), fin = self._dq.popleft()
+                    self._cv.notify_all()
+                t0 = time.perf_counter()
+                self._on_result(group, batch, fin)
+                self._t_acc["decode_s"] += time.perf_counter() - t0
         except BaseException as exc:   # surfaced by put()/close()
             with self._cv:
                 self._exc = exc
@@ -382,21 +430,39 @@ class _AsyncStager:
     queue fills -> the main loop blocks in ``put`` (accounted as
     ``stage_backpressure_s``).
 
-    ``close`` drains the queue, joins the thread, and re-raises any staging
-    failure.  Groups dispatch strictly in arrival order (the drainer bulk
-    fetch assumes the oldest dispatched batch finishes first)."""
+    ``close`` drains the queues, joins the threads, and re-raises any
+    staging failure.  Groups dispatch strictly in arrival order (the
+    drainer bulk fetch assumes the oldest dispatched batch finishes first).
 
-    def __init__(self, stage_fn, t_acc, max_groups: int = 8):
+    With ``dispatch_fn`` the stager runs TWO pipelined threads: a PACK
+    thread runs ``stage_fn(group) -> item`` (batch assembly, host numpy)
+    and a DISPATCH thread runs ``dispatch_fn(item)`` (``device_put`` + jit
+    dispatch — the tunnel upload) — each previously tens of seconds of the
+    same 100 Mb wall when serialised on one thread.  Without it the single
+    thread runs ``stage_fn`` alone (packing and dispatching inside)."""
+
+    def __init__(self, stage_fn, t_acc, max_groups: int = 8,
+                 dispatch_fn=None, max_packed: int = 4):
         self._stage = stage_fn
+        self._dispatch = dispatch_fn
         self._t_acc = t_acc
         self._max = max_groups
+        self._max_packed = max_packed
         self._q: collections.deque = collections.deque()
+        self._q2: collections.deque = collections.deque()
         self._cv = threading.Condition()
         self._done = False
+        self._pack_done = False
         self._exc: Optional[BaseException] = None
         self._thread = threading.Thread(target=self._run, daemon=True,
-                                        name="hello-tpu-stage")
+                                        name="hello-tpu-pack")
         self._thread.start()
+        self._dispatch_thread = None
+        if dispatch_fn is not None:
+            self._dispatch_thread = threading.Thread(
+                target=self._run_dispatch, daemon=True,
+                name="hello-tpu-dispatch")
+            self._dispatch_thread.start()
 
     def put(self, group):
         t0 = time.perf_counter()
@@ -410,14 +476,22 @@ class _AsyncStager:
         self._t_acc["stage_backpressure_s"] += time.perf_counter() - t0
 
     def close(self, abort: bool = False):
-        """Drain the queue and join; ``abort=True`` discards queued groups
+        """Drain the queues and join; ``abort=True`` discards queued groups
         instead (an aborting caller must not dispatch more device work)."""
         with self._cv:
             if abort:
                 self._q.clear()
+                self._q2.clear()
             self._done = True
             self._cv.notify_all()
         self._thread.join()
+        with self._cv:
+            if abort:
+                self._q2.clear()
+            self._pack_done = True
+            self._cv.notify_all()
+        if self._dispatch_thread is not None:
+            self._dispatch_thread.join()
         if self._exc is not None:
             raise self._exc
 
@@ -425,13 +499,45 @@ class _AsyncStager:
         try:
             while True:
                 with self._cv:
-                    while not self._q and not self._done:
+                    while not self._q and not self._done \
+                            and self._exc is None:
                         self._cv.wait()
+                    if self._exc is not None:
+                        return
                     if not self._q and self._done:
                         return
                     group = self._q.popleft()
                     self._cv.notify_all()
-                self._stage(group)
+                item = self._stage(group)
+                if self._dispatch is None:
+                    continue
+                with self._cv:
+                    while (len(self._q2) >= self._max_packed
+                           and self._exc is None):
+                        self._cv.wait()
+                    if self._exc is not None:
+                        return
+                    self._q2.append(item)
+                    self._cv.notify_all()
+        except BaseException as exc:   # surfaced by put()/close()
+            with self._cv:
+                self._exc = exc
+                self._cv.notify_all()
+
+    def _run_dispatch(self):
+        try:
+            while True:
+                with self._cv:
+                    while not self._q2 and not self._pack_done \
+                            and self._exc is None:
+                        self._cv.wait()
+                    if self._exc is not None:
+                        return
+                    if not self._q2 and self._pack_done:
+                        return
+                    item = self._q2.popleft()
+                    self._cv.notify_all()
+                self._dispatch(item)
         except BaseException as exc:   # surfaced by put()/close()
             with self._cv:
                 self._exc = exc
@@ -628,7 +734,7 @@ def call_parallel(bam_paths: Sequence[str], ref_path: str, scorer: Scorer,
 
     drainer = _AsyncDrainer(scorer, _on_result, t_acc, MAX_IN_FLIGHT)
 
-    def score_group(group):
+    def pack_group(group):
         t0 = time.perf_counter()
         if isinstance(group[0], CodedSiteWork):
             from .compact import pack_sites_wire
@@ -641,16 +747,22 @@ def call_parallel(bam_paths: Sequence[str], ref_path: str, scorer: Scorer,
                                                           FEATURE_LENGTH),
                                channels0=7 if include_hp else 6,
                                channels1=7 if include_hp else 6)
-        t1 = time.perf_counter()
-        t_acc["pack_s"] += t1 - t0
+        t_acc["pack_s"] += time.perf_counter() - t0
+        return (group, batch)
+
+    def dispatch_group(item):
+        group, batch = item
+        t0 = time.perf_counter()
         out = _dispatch(batch)
-        t_acc["dispatch_s"] += time.perf_counter() - t1
+        t_acc["dispatch_s"] += time.perf_counter() - t0
         drainer.put(group, batch, out)
 
-    # pack + device_put run on the stager thread; the main loop only queues
-    # site groups (host->device uploads through a remote tunnel otherwise
-    # serialise the loop exactly like readbacks did before the drainer)
-    stager = _AsyncStager(score_group, t_acc)
+    # batch packing and device_put/jit dispatch run on their own pipelined
+    # threads; the main loop only queues site groups (host->device uploads
+    # through a remote tunnel otherwise serialise the loop exactly like
+    # readbacks did before the drainer, and pack previously serialised
+    # behind dispatch on a single staging thread)
+    stager = _AsyncStager(pack_group, t_acc, dispatch_fn=dispatch_group)
 
     # Sites are buffered ACROSS chunk results so the device sees full
     # max_alleles_per_batch batches: per-chunk site counts are small, and

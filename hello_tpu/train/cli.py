@@ -210,8 +210,13 @@ def train_from_shards(
              "site_bucket": site_bucket}
     # rank-0-style scalar telemetry (replaces the reference's TensorBoard
     # writer, MixtureOfExpertsDNNFastDistributed.py:932-939)
+    # checkpoints and the metrics stream are RANK 0's job in multi-process
+    # runs — every rank writing the same paths races the atomic-replace save
+    # (the reference checkpoints on global rank 0 only,
+    # MixtureOfExpertsDNNFastDistributed.py:904-907,932-939)
+    rank0 = jax.process_index() == 0
     metrics_path = f"{out_prefix}.metrics.jsonl"
-    metrics_fh = open(metrics_path, "a")
+    metrics_fh = open(metrics_path, "a") if rank0 else None
     for epoch in range(start_epoch, num_epochs):
         dataset = SiteDataset(train_files, max_reads_per_site,
                               shuffle=True, seed=seed + epoch,
@@ -246,6 +251,8 @@ def train_from_shards(
             loss = float(m["loss_device"])
             if not np.isfinite(loss):
                 prefix = f"{out_prefix}.step{step_no}.err"
+                if jax.process_count() > 1:   # crash dumps must not collide
+                    prefix += f".rank{jax.process_index()}"
                 trainer.save(f"{prefix}.ckpt")
                 import pickle
                 with open(f"{prefix}.payload.pkl", "wb") as fh:
@@ -285,7 +292,8 @@ def train_from_shards(
                     metrics = trainer.train_batch(stacked)
                     epoch_loss += metrics["loss"]
                     n_trained += 1
-                if checkpoint_every and trainer.step % checkpoint_every == 0:
+                if rank0 and checkpoint_every \
+                        and trainer.step % checkpoint_every == 0:
                     trainer.save(
                         f"{out_prefix}.step{trainer.step}.ckpt",
                         extra={"epoch": epoch, "batches_done": n_batches,
@@ -307,25 +315,29 @@ def train_from_shards(
             "epoch %d: train_loss=%.4f (%d batches, %.1fs) val_loss=%s",
             epoch, epoch_loss / max(n_trained, 1), n_trained, elapsed,
             f"{val_loss:.4f}" if val_loss is not None else "n/a")
-        metrics_fh.write(json.dumps({
-            "epoch": epoch, "step": trainer.step,
-            "train_loss": epoch_loss / max(n_trained, 1),
-            "val_loss": val_loss, "batches": n_trained,
-            "seconds": round(elapsed, 2),
-            "per_expert": metrics.get("per_expert") if n_trained else None,
-        }) + "\n")
-        metrics_fh.flush()
+        if rank0:
+            metrics_fh.write(json.dumps({
+                "epoch": epoch, "step": trainer.step,
+                "train_loss": epoch_loss / max(n_trained, 1),
+                "val_loss": val_loss, "batches": n_trained,
+                "seconds": round(elapsed, 2),
+                "per_expert": metrics.get("per_expert") if n_trained else None,
+            }) + "\n")
+            metrics_fh.flush()
 
         if val_loss is not None and val_loss < best_val:
             best_val = val_loss
         epoch_extra = {"epoch": epoch + 1, "batches_done": 0,
                        "seed": seed, "best_val": best_val}
-        if val_loss is not None and val_loss == best_val:
+        if rank0 and val_loss is not None and val_loss == best_val:
             trainer.save(f"{out_prefix}.best.ckpt", extra=epoch_extra)
-        trainer.save(f"{out_prefix}.epoch{epoch}.ckpt", extra=epoch_extra)
-    trainer.save(f"{out_prefix}.final.ckpt",
-                 extra={"epoch": num_epochs, "batches_done": 0, "seed": seed})
-    metrics_fh.close()
+        if rank0:
+            trainer.save(f"{out_prefix}.epoch{epoch}.ckpt", extra=epoch_extra)
+    if rank0:
+        trainer.save(f"{out_prefix}.final.ckpt",
+                     extra={"epoch": num_epochs, "batches_done": 0,
+                            "seed": seed})
+        metrics_fh.close()
     return trainer
 
 

@@ -777,3 +777,43 @@ if __name__ == "__main__":
     plain = [key(r) for r in read_vcf(str(tmp_path / "plain.vcf"))]
     assert budgeted, "no records produced"
     assert budgeted == plain
+
+
+def test_async_stager_two_stage_pipeline():
+    """With dispatch_fn, pack and dispatch run on separate threads but
+    items flow strictly in order; failures in EITHER stage surface at
+    put/close."""
+    import threading
+
+    from hello_tpu.pipeline.parallel_call import _AsyncStager
+
+    packed, dispatched = [], []
+    t_acc = {"stage_backpressure_s": 0.0}
+    pack_tid, dispatch_tid = set(), set()
+
+    def pack(g):
+        pack_tid.add(threading.get_ident())
+        packed.append(g)
+        return g * 10
+
+    def dispatch(item):
+        dispatch_tid.add(threading.get_ident())
+        dispatched.append(item)
+
+    s = _AsyncStager(pack, t_acc, max_groups=3, dispatch_fn=dispatch)
+    for i in range(20):
+        s.put(i)
+    s.close()
+    assert packed == list(range(20))
+    assert dispatched == [i * 10 for i in range(20)]
+    assert pack_tid != dispatch_tid, "stages must run on separate threads"
+
+    def boom(item):
+        raise RuntimeError("dispatch exploded")
+
+    s = _AsyncStager(lambda g: g, {"stage_backpressure_s": 0.0},
+                     max_groups=2, dispatch_fn=boom)
+    with pytest.raises(RuntimeError, match="dispatch exploded"):
+        for i in range(50):
+            s.put(i)
+        s.close()

@@ -22,7 +22,13 @@ def main():
     # the axon plugin registers via sitecustomize and overrides the platform
     # in-config; env vars alone do not switch backends
     jax.config.update("jax_platforms", "cpu")
-    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_test_cache")
+    # a PRIVATE compile cache: the shared /tmp/jax_test_cache can hold AOT
+    # entries compiled for a different machine (observed when other
+    # processes in the session compile through the remote-TPU tunnel's
+    # service) — loading those in a subprocess risks SIGILL, and this test
+    # must not skip because of cache pollution
+    jax.config.update("jax_compilation_cache_dir",
+                      "/tmp/jax_two_process_cache")
     from hello_tpu.train import cli
     cli.main(sys.argv[1:])
 
