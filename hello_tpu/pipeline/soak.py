@@ -185,7 +185,11 @@ def main(argv=None):
     parser.add_argument("--mb", type=int, default=100)
     parser.add_argument("--chrom_mb", type=int, default=10)
     parser.add_argument("--coverage", type=float, default=30.0)
-    parser.add_argument("--workers", type=int, default=4)
+    # cpus + 2, capped at 8: the worker-oversubscription policy bench.py's
+    # pipeline leg A/B'd on small hosts (workers block on BAM IO and IPC
+    # enough that modest oversubscription keeps cores busy)
+    parser.add_argument("--workers", type=int,
+                        default=min(8, (os.cpu_count() or 2) + 2))
     parser.add_argument("--dir", default="/tmp/hello_tpu_soak")
     parser.add_argument("--out", default="SOAK.md")
     parser.add_argument("--seed", type=int, default=1)
@@ -369,7 +373,9 @@ end-to-end.
 | accuracy vs planted truth (all) | {accuracy['all']} |
 | accuracy: snv / ins / del | {accuracy['snv']} / {accuracy['ins']} / {accuracy['del']} |
 | gate checkpoint | {'untrained (capacity-only run)' if checkpoint is None
-                    else f"trained on {args.train_mb} Mb in {train_s:.0f}s"} |
+                    else (f"trained on {args.train_mb} Mb in {train_s:.0f}s"
+                          if train_s is not None
+                          else f"reused {checkpoint}")} |
 
 Memory stays bounded by the chunked decomposition (region-indexed BAI
 fetches, one genome chunk per worker at a time), not by file size: peak
