@@ -55,6 +55,20 @@ reduction) exists and is numerically verified but loses to XLA in all
 modes; pre-packing the lane layout outside the timed region does not close
 the gap, so the loss is intrinsic to the packed schedule's small revisited
 matmuls, not the input relayout.
+
+POST-SCRIPT (round 5) — the lever that did move the device rate in bf16 is
+not a kernel but a BATCHING change: the packed-row XLA path
+(moe.packed_read_reduce — conv over only the shipped coded-wire rows +
+segment-sum) wins exactly when its row axis is tightly packed.  Measured on
+a v5e at 1024 sites x 2 alleles (ops/bench_packed.py): with the default
+{cap/4, cap/2, cap} row-bucket ladder rounding ~62% occupancy up to cap,
+packed = 0.92-0.94x of the dense-grid path (pure overhead); with rows
+tightly bucketed (--fine_rows) packed = 12,758 w/s = 1.24x over the
+dense-expanded wire path and 1.11x over the dense-batch path.  Production
+therefore row-budgets coded batches to land in the cap/2 ladder step with
+high occupancy (pipeline/batching.row_budgets_for_class) instead of paying
+a deep ladder's compile-shape count — the FLOP skip comes from shipping
+and convolving fewer rows, which no Mosaic schedule was needed for.
 """
 
 from __future__ import annotations
