@@ -536,16 +536,23 @@ def main():
             tunnel_before = tunnel_health(seed=1)
             sys.stderr.write(f"tunnel before pipeline: {tunnel_before}\n")
             e2e_rate = bench_pipeline(workers=args.pipeline_workers)
+            # probe IMMEDIATELY after the pipeline passes — the illumina
+            # device leg below takes minutes (compiles + spaced windows),
+            # which is longer than a tunnel phase, so probing after it
+            # would mis-attribute the pipeline leg's phase
+            tunnel_after = tunnel_health(seed=2)
+            sys.stderr.write(f"tunnel after pipeline: {tunnel_after}\n")
+        except Exception as exc:
+            sys.stderr.write(f"pipeline leg failed: {exc!r}\n")
+        try:
             # same-model AND same-path: the pipeline scores through the
             # production wire format, so its device-rate reference must too
             device_illumina_rate = bench_tpu(sites, args.iters,
                                              args.precision,
                                              model_name="illumina",
                                              wire=True)
-            tunnel_after = tunnel_health(seed=2)
-            sys.stderr.write(f"tunnel after pipeline: {tunnel_after}\n")
         except Exception as exc:
-            sys.stderr.write(f"pipeline leg failed: {exc!r}\n")
+            sys.stderr.write(f"illumina device leg failed: {exc!r}\n")
 
     e2e_pct = (100 * e2e_rate / device_illumina_rate
                if e2e_rate and device_illumina_rate else None)

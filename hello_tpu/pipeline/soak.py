@@ -317,10 +317,11 @@ def main(argv=None):
     # Calling accuracy vs the planted truth: the soak is a CORRECTNESS gate,
     # not just a capacity gate — at 100 Mb a spill/merge or wire bug that
     # drops 0.1% of records would otherwise pass unnoticed (the truth
-    # machinery role of reference trainDataTools.py:356-399).  The scorer
-    # here is untrained, so the meaningful gates are candidate-level: recall
-    # of planted sites and zero representation-level corruption; with a
-    # trained checkpoint the same numbers gate genotypes too.
+    # machinery role of reference trainDataTools.py:356-399).  With the
+    # default trained gate checkpoint these numbers gate GENOTYPES at
+    # planted-truth scale; under --untrained (random weights) only the
+    # candidate-level gates are meaningful: recall of planted sites and
+    # zero representation-level corruption.
     from .evaluate import evaluate
     t0 = time.perf_counter()
     accuracy = evaluate(os.path.join(args.dir, "calls.vcf"), ds["truth"],

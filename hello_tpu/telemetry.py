@@ -90,7 +90,9 @@ def tunnel_health(size_mb: float = 8.0, seed: int = 0) -> Dict[str, float]:
     import numpy as np
 
     n = int(size_mb * 1e6)
-    arr = np.random.RandomState(seed).randint(0, 255, size=n).astype(np.uint8)
+    # generate uint8 directly (an int64 intermediate would transiently
+    # allocate 8x the probe and pay a cast before the timed transfer)
+    arr = np.random.RandomState(seed).randint(0, 256, size=n, dtype=np.uint8)
     rtts = []
     for i in range(3):                     # 8 B round trips: pure latency
         t0 = time.perf_counter()

@@ -194,7 +194,11 @@ def train_from_shards(
         logger.info("resumed from %s at step %d (epoch %d, %d batches done)",
                     resume, trainer.step, start_epoch, skip_batches)
 
-    n_val = max(1, int(len(files) * val_fraction)) if len(files) > 1 else 0
+    # val_fraction <= 0 means NO holdout (the soak's gate training and other
+    # train-on-everything callers); the max(1, ...) floor only applies when
+    # a validation split was actually requested
+    n_val = (max(1, int(len(files) * val_fraction))
+             if len(files) > 1 and val_fraction > 0 else 0)
     val_files = files[:n_val]
     train_files = files[n_val:] or files
 

@@ -57,18 +57,28 @@ class _Holder:
 _REF_CLASSES = ("MemmapperSingle", "MemmapperCompound")
 
 # globals a MemmapperCompound pickle legitimately references (numpy scalar
-# types for the per-key dtype attributes, builtins for containers)
-_SAFE_GLOBALS = {
-    ("numpy", None),                      # np.uint8 / np.float32 / dtype
-    ("numpy.core.multiarray", None),
-    ("numpy._core.multiarray", None),
-    ("collections", "defaultdict"),
-    ("collections", "OrderedDict"),
-    ("builtins", "set"),
-    ("builtins", "frozenset"),
-    ("builtins", "bytearray"),
-    ("builtins", "complex"),
-}
+# types for the per-key dtype attributes, builtins for containers).  Every
+# entry is an EXPLICIT (module, name) pair: a module-level wildcard would
+# admit e.g. numpy.load — whose allow_pickle path runs an unrestricted
+# pickle — and defeat the whole restricted-unpickler design.
+_NUMPY_NAMES = ("dtype", "ndarray", "generic", "bool_",
+                "int8", "int16", "int32", "int64", "intc", "int_",
+                "uint8", "uint16", "uint32", "uint64",
+                "float16", "float32", "float64")
+_MULTIARRAY_NAMES = ("_reconstruct", "scalar")
+_SAFE_GLOBALS = (
+    {("numpy", n) for n in _NUMPY_NAMES}
+    | {(m, n) for n in _MULTIARRAY_NAMES
+       for m in ("numpy.core.multiarray", "numpy._core.multiarray")}
+    | {
+        ("collections", "defaultdict"),
+        ("collections", "OrderedDict"),
+        ("builtins", "set"),
+        ("builtins", "frozenset"),
+        ("builtins", "bytearray"),
+        ("builtins", "complex"),
+    }
+)
 
 
 class _RefIndexUnpickler(pickle.Unpickler):
@@ -81,9 +91,8 @@ class _RefIndexUnpickler(pickle.Unpickler):
         if name in _REF_CLASSES:
             cls = type(name, (_Holder,), {})
             return cls
-        for mod, attr in _SAFE_GLOBALS:
-            if module == mod and (attr is None or name == attr):
-                return super().find_class(module, name)
+        if (module, name) in _SAFE_GLOBALS:
+            return super().find_class(module, name)
         raise pickle.UnpicklingError(
             f"unexpected global {module}.{name} in reference index "
             "(not a MemmapperCompound dump?)")

@@ -546,8 +546,15 @@ def test_async_stager_bounds_queue_and_abort_discards():
     assert entered.wait(5.0)   # "x" is in-flight on the stager thread
     s2.put("y")
     s2.put("z")
+    # abort (clearing "y"/"z") BEFORE releasing the in-flight stage: if
+    # release came first, the stager thread could legally pop "y" ahead of
+    # close() clearing the queue and the assertion would race
+    closer = threading.Thread(target=lambda: s2.close(abort=True))
+    closer.start()
+    time.sleep(0.2)            # close() clears the queue, then joins
     release.set()
-    s2.close(abort=True)
+    closer.join(10.0)
+    assert not closer.is_alive()
     assert staged2 == ["x"]   # only the in-flight group completed
 
 
