@@ -546,7 +546,12 @@ def main():
             sys.stderr.write(f"pipeline leg failed: {exc!r}\n")
         try:
             # same-model AND same-path: the pipeline scores through the
-            # production wire format, so its device-rate reference must too
+            # production wire format, so its device-rate reference must too.
+            # CAVEAT on the ratio: this leg's uniform-depth workload cannot
+            # be row-budgeted, so it runs the packed conv at full-grid rows
+            # — a few-percent SLOWER than the pipeline's row-budgeted
+            # batches, making the published e2e percentage slightly
+            # generous (ops/bench_packed.py quantifies the gap).
             device_illumina_rate = bench_tpu(sites, args.iters,
                                              args.precision,
                                              model_name="illumina",
